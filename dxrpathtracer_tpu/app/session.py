@@ -1,0 +1,163 @@
+"""RenderSession — the progressive render loop orchestrator.
+
+The TPU-native equivalent of DXRPathTracer::Update/Render (DXRPathTracer.cpp:
+1338-1563): owns the camera, settings, sky cache, accumulation state and the
+jitted per-sample step. Restart logic mirrors the reference's watch list
+(:1416-1461): any restart-relevant settings change, camera move, or
+AlwaysResetPathTrace resets the accumulation to sample 0; rendering early-outs
+at SqrtNumSamples^2 accumulated samples (:2026-2028).
+
+Frame state is an explicit pytree {accum image, sample idx} — checkpointing a
+progressive render is `np.save` (strictly better than the reference, whose
+"resume state" lives in a GPU UAV; SURVEY.md §5.4).
+"""
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.lbvh import build_bvh_for_scene
+from ..app.settings import AppSettings, Scenes
+from ..render.camera import FirstPersonCamera
+from ..render.integrator import FrameConstants, render_sample
+from ..render.postfx import post_process
+from ..scene.registry import PRESETS, load_scene
+from ..sky.skycache import SkyCache
+from .profiler import Profiler
+
+
+class RenderSession:
+    def __init__(self, settings: AppSettings | None = None,
+                 width: int = 1920, height: int = 1080,
+                 scene=None, preset=None):
+        self.settings = settings or AppSettings()
+        self.width = width
+        self.height = height
+        self.profiler = Profiler()
+
+        if scene is None:
+            scene, preset = load_scene(self.settings.current_scene)
+        self.scene = scene
+        self.preset = preset
+
+        # Scene switch forces white-furnace mode (DXRPathTracer.cpp:934-935)
+        if preset is not None:
+            force_wf = preset.scene_enum == Scenes.WhiteFurnace
+            self.settings = self.settings.replace(
+                enable_white_furnace_mode=force_wf,
+                sun_direction=tuple(preset.sun_direction),
+                current_scene=preset.scene_enum)
+
+        with self.profiler.cpu_scope("BuildAccelStructure"):
+            self.bvh = build_bvh_for_scene(scene)
+
+        self.camera = FirstPersonCamera(aspect=width / height)
+        if preset is not None:
+            self.camera.set_position(preset.camera_position)
+            self.camera.set_x_rotation(preset.camera_rotation[0])
+            self.camera.set_y_rotation(preset.camera_rotation[1])
+
+        self.sky = SkyCache()
+        self._sky_cube_dev = None
+        self._update_sky()
+
+        self.accum = jnp.zeros((height, width, 3), jnp.float32)
+        self.sample_idx = 0
+        self._last_restart_key = None
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+    def _update_sky(self):
+        s = self.settings
+        changed = self.sky.update(np.asarray(s.sun_direction, np.float32),
+                                  s.sun_size, np.asarray(s.ground_albedo, np.float32),
+                                  s.turbidity)
+        if changed or self._sky_cube_dev is None:
+            self._sky_cube_dev = jnp.asarray(self.sky.cubemap)
+        return changed
+
+    def _build_step(self):
+        @partial(jax.jit, static_argnames=("settings",), donate_argnums=(2,))
+        def step(scene, bvh, accum, sky_cube, frame, settings):
+            return render_sample(scene, bvh, sky_cube, settings, frame,
+                                 self.width, self.height, accum)
+        return step
+
+    def frame_constants(self, sample_idx: int) -> FrameConstants:
+        s = self.settings
+        sun_dir = np.asarray(s.sun_direction, np.float32)
+        sun_dir = sun_dir / np.linalg.norm(sun_dir)
+        ang = np.deg2rad(s.sun_size)
+        return FrameConstants(
+            inv_view_projection=jnp.asarray(self.camera.inv_view_projection()),
+            camera_pos_ws=jnp.asarray(self.camera.position),
+            sun_direction_ws=jnp.asarray(sun_dir),
+            sun_irradiance=jnp.asarray(self.sky.sun_irradiance),
+            sun_render_color=jnp.asarray(self.sky.sun_render_color),
+            cos_sun_angular_radius=jnp.float32(np.cos(ang)),
+            sin_sun_angular_radius=jnp.float32(np.sin(ang)),
+            curr_sample_idx=jnp.uint32(sample_idx),
+        )
+
+    # ------------------------------------------------------------------
+    def update(self):
+        """Per-frame update: sky rebuild + restart detection
+        (DXRPathTracer::Update, :1338-1461)."""
+        self._update_sky()
+        key = (self.settings.restart_key(), self.camera.state_tuple(),
+               self.width, self.height)
+        if key != self._last_restart_key or self.settings.always_reset_path_trace:
+            self._last_restart_key = key
+            self.reset_accumulation()
+
+    def reset_accumulation(self):
+        self.accum = jnp.zeros((self.height, self.width, 3), jnp.float32)
+        self.sample_idx = 0
+
+    @property
+    def done(self) -> bool:
+        return self.sample_idx >= self.settings.total_samples
+
+    def render_frame(self, force: bool = False) -> bool:
+        """Render one progressive sample; returns False if converged
+        (early-out at SqrtNumSamples^2, DXRPathTracer.cpp:2026-2028)."""
+        self.update()
+        if self.done and not force:
+            return False
+        frame = self.frame_constants(self.sample_idx)
+        with self.profiler.gpu_scope("RenderRayTracing"):
+            self.accum = self._step(self.scene, self.bvh, self.accum,
+                                    self._sky_cube_dev, frame, self.settings)
+        self.sample_idx += 1
+        return True
+
+    def render_to_completion(self, max_samples: int | None = None):
+        n = max_samples or self.settings.total_samples
+        while self.sample_idx < n:
+            frame = self.frame_constants(self.sample_idx)
+            self.accum = self._step(self.scene, self.bvh, self.accum,
+                                    self._sky_cube_dev, frame, self.settings)
+            self.sample_idx += 1
+        self.accum.block_until_ready()
+        return self.accum
+
+    # ------------------------------------------------------------------
+    def display_image(self):
+        """Tone-mapped display output (PostProcessor::Render)."""
+        s = self.settings
+        return post_process(self.accum, s.exposure, s.bloom_exposure,
+                            s.bloom_magnitude, s.bloom_blur_sigma)
+
+    def checkpoint_state(self):
+        """Progressive-render checkpoint: {accum, sample_idx} (SURVEY.md §5.4)."""
+        return {"accum": np.asarray(self.accum), "sample_idx": self.sample_idx}
+
+    def restore_state(self, state):
+        self.accum = jnp.asarray(state["accum"])
+        self.sample_idx = int(state["sample_idx"])
+        self._last_restart_key = (self.settings.restart_key(),
+                                  self.camera.state_tuple(),
+                                  self.width, self.height)

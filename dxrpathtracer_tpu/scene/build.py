@@ -1,0 +1,66 @@
+"""Assemble Scene pytrees from host MeshData lists.
+
+The flattening mirrors Model::CreateBuffers (Model.cpp:851-881): one global vertex
+pool and one global index pool with per-mesh offsets — except offsets are applied
+eagerly so triangles address the global pool directly (the GeometryInfo
+{VtxOffset, IdxOffset, MaterialIdx} side table of SharedTypes.h:58-64 collapses
+into a per-triangle material id).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .procedural import MeshData
+from .textures import AtlasBuilder, default_material_table
+from .types import MaterialTable, Scene, SpotLights, make_spot_lights
+
+
+def flatten_meshes(meshes: list[MeshData]):
+    """Concatenate meshes into global SoA pools with offset-applied indices."""
+    positions, normals, uvs, tangents, bitangents = [], [], [], [], []
+    tri_idx, tri_material = [], []
+    v_off = 0
+    for mesh in meshes:
+        positions.append(mesh.positions)
+        normals.append(mesh.normals)
+        uvs.append(mesh.uvs)
+        tangents.append(mesh.tangents)
+        bitangents.append(mesh.bitangents)
+        tri = mesh.indices.reshape(-1, 3).astype(np.int64) + v_off
+        tri_idx.append(tri)
+        tri_material.append(np.full(tri.shape[0], mesh.material_idx, np.int32))
+        v_off += mesh.positions.shape[0]
+    return (
+        np.concatenate(positions).astype(np.float32),
+        np.concatenate(normals).astype(np.float32),
+        np.concatenate(uvs).astype(np.float32),
+        np.concatenate(tangents).astype(np.float32),
+        np.concatenate(bitangents).astype(np.float32),
+        np.concatenate(tri_idx).astype(np.int32),
+        np.concatenate(tri_material).astype(np.int32),
+    )
+
+
+def build_scene(meshes: list[MeshData], materials: MaterialTable | None = None,
+                atlas_builder: AtlasBuilder | None = None,
+                lights: SpotLights | None = None) -> Scene:
+    pos, nrm, uv, tan, bit, tri, tri_mat = flatten_meshes(meshes)
+    if atlas_builder is None:
+        atlas_builder = AtlasBuilder(resolution=1)
+    if materials is None:
+        num_materials = int(tri_mat.max()) + 1 if tri_mat.size else 1
+        materials = default_material_table(num_materials, atlas_builder)
+    if lights is None:
+        lights = make_spot_lights()
+    return Scene(
+        positions=jnp.asarray(pos),
+        normals=jnp.asarray(nrm),
+        uvs=jnp.asarray(uv),
+        tangents=jnp.asarray(tan),
+        bitangents=jnp.asarray(bit),
+        tri_idx=jnp.asarray(tri),
+        tri_material=jnp.asarray(tri_mat),
+        materials=materials,
+        textures=atlas_builder.build(),
+        lights=lights,
+    )

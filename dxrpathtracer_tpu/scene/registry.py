@@ -1,0 +1,119 @@
+"""Scene registry — the 5 reference scenes with per-scene presets.
+
+Parity with DXRPathTracer.cpp:83-105 (ScenePaths/SceneScales/SceneCameraPositions/
+SceneCameraRotations/SceneSunDirections) and InitializeScene (:932-985).
+
+Scene sources:
+  - BoxTest      — procedural (GenerateBoxTestScene)
+  - WhiteFurnace — WhiteFurnace.fbx when importable, else a procedural
+                   stand-in (energy-conservation results are geometry-invariant)
+  - Sponza / SunTemple / Stronghold — FBX + textures; the reference snapshot
+    gitignores Sponza/SunTemple content, so a procedural atrium stand-in with
+    comparable triangle count backs the benchmark when assets are absent.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from ..app.settings import Scenes
+from .build import build_scene
+from .procedural import MeshData, box_test_meshes, make_box, make_plane, make_sphere
+from .types import Scene
+
+
+@dataclasses.dataclass(frozen=True)
+class ScenePreset:
+    name: str
+    scene_enum: Scenes
+    camera_position: tuple
+    camera_rotation: tuple  # (x_rot, y_rot)
+    sun_direction: tuple
+    scene_scale: float
+    fbx_path: str | None = None
+    texture_dir: str | None = None
+    force_white_furnace: bool = False
+
+
+PRESETS = {
+    Scenes.Sponza: ScenePreset(
+        "Sponza", Scenes.Sponza, (-11.5, 1.85, -0.45), (0.0, 1.544),
+        (0.26, 0.987, -0.16), 0.01,
+        fbx_path="Content/Models/Sponza/Sponza_NoSpotLight.fbx",
+        texture_dir="Textures"),
+    Scenes.SunTemple: ScenePreset(
+        "SunTemple", Scenes.SunTemple, (-1.0, 5.5, 12.0), (0.2, 3.0),
+        (-0.133022308, 0.642787635, 0.75440651), 0.005,
+        fbx_path="Content/Models/SunTemple/SunTemple.fbx",
+        texture_dir="Textures"),
+    Scenes.BoxTest: ScenePreset(
+        "BoxTest", Scenes.BoxTest, (0.0, 2.5, -10.0), (0.0, 0.0),
+        (0.26, 0.987, -0.16), 1.0),
+    Scenes.WhiteFurnace: ScenePreset(
+        "WhiteFurnace", Scenes.WhiteFurnace, (0.0, 0.0, -3.0), (0.0, 0.0),
+        (0.0, 1.0, 0.0), 1.0,
+        fbx_path="Content/Models/WhiteFurnace/WhiteFurnace.fbx",
+        force_white_furnace=True),
+    Scenes.Stronghold: ScenePreset(
+        "Stronghold", Scenes.Stronghold, (0.0, 0.0, -30.0), (0.0, 0.0),
+        (-0.218, 0.5, -0.839), 0.1,
+        fbx_path="Content/Models/theInn/source/theInn.fbx",
+        texture_dir="../textures"),
+}
+
+
+def _sponza_standin_meshes(target_tris: int = 260_000) -> list[MeshData]:
+    """Procedural atrium with Sponza-class triangle count + occlusion structure,
+    used for benchmarking when the (gitignored) Sponza asset is unavailable.
+    Deterministic (seeded)."""
+    rng = np.random.default_rng(1234)
+    meshes = []
+    # Floor + walls forming an atrium ~ (36 x 14 x 18) like scaled Sponza
+    meshes.append(make_box((36.0, 0.5, 18.0), (0.0, -0.25, 0.0)))
+    for sx, sz in [(-18.0, 0.0), (18.0, 0.0)]:
+        meshes.append(make_box((0.5, 14.0, 18.0), (sx, 7.0, sz)))
+    for sz in (-9.0, 9.0):
+        meshes.append(make_box((36.0, 14.0, 0.5), (0.0, 7.0, sz)))
+    # Two colonnade rows of pillars
+    for x in np.linspace(-15, 15, 11):
+        for z in (-5.0, 5.0):
+            meshes.append(make_box((0.8, 9.0, 0.8), (float(x), 4.5, z)))
+    # Dense sphere field to reach target triangle count (drapes/props stand-in)
+    base = sum(m.indices.size // 3 for m in meshes)
+    n_spheres = 60
+    tris_per = max((target_tris - base) // n_spheres, 8)
+    n_lat = max(int(np.sqrt(tris_per / 4)), 3)
+    n_lon = 2 * n_lat
+    for _ in range(n_spheres):
+        pos = (float(rng.uniform(-16, 16)), float(rng.uniform(0.5, 12.0)),
+               float(rng.uniform(-8, 8)))
+        meshes.append(make_sphere(float(rng.uniform(0.3, 1.2)), pos,
+                                  n_lat=n_lat, n_lon=n_lon))
+    return meshes
+
+
+def _white_furnace_standin_meshes() -> list[MeshData]:
+    return [make_sphere(1.0, (0.0, 0.0, 0.0), n_lat=32, n_lon=64)]
+
+
+def load_scene_meshes(preset: ScenePreset) -> list[MeshData]:
+    if preset.scene_enum == Scenes.BoxTest:
+        return box_test_meshes()
+    if preset.fbx_path is not None:
+        try:
+            from .fbx import load_fbx_meshes
+            from pathlib import Path
+            path = Path("/root/reference") / preset.fbx_path
+            if path.exists():
+                return load_fbx_meshes(path, scene_scale=preset.scene_scale)
+        except Exception:
+            pass
+    if preset.scene_enum == Scenes.WhiteFurnace:
+        return _white_furnace_standin_meshes()
+    return _sponza_standin_meshes()
+
+
+def load_scene(scene_enum: Scenes) -> tuple[Scene, ScenePreset]:
+    preset = PRESETS[scene_enum]
+    meshes = load_scene_meshes(preset)
+    return build_scene(meshes), preset

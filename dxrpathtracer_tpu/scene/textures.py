@@ -1,0 +1,159 @@
+"""Texture atlas + material table construction — bindless-heap emulation.
+
+The reference binds every material texture through one shader-visible descriptor
+heap and samples by dynamic index (RayTrace.hlsl:171-221 `ResourceDescriptorHeap[
+NonUniformResourceIndex(material.X)]`, DescriptorTables.hlsl:12-18). On TPU,
+dynamic per-lane resource selection becomes a gather from a single stacked texture
+array: all textures are resampled to one resolution S and stored as
+(num_textures, S, S, 4) float32 in HBM; a texel fetch is then a flat gather.
+
+Filtering parity: every path-tracer fetch is `SampleLevel(sampler, uv, 0.0f)` with
+a wrap-addressed linear sampler, i.e. bilinear at mip 0 — reproduced by
+`sample_bilinear_wrap`.
+
+Default texture values parity (Model.cpp:74-83 + Content/Textures/*.dds texel
+values): albedo 0xC0 (sRGB-decoded only when the scene forces sRGB), normal
+(0.498, 0.498, 1.0), roughness 0x40, metallic/emissive black.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .types import MaterialTable, TextureAtlas
+
+# Decoded 1x1 default texel values from the reference's Content/Textures/*.dds.
+DEFAULT_BASECOLOR_UNORM = 192.0 / 255.0   # DefaultBaseColor.dds (0xC0)
+DEFAULT_NORMAL = (127.0 / 255.0, 127.0 / 255.0, 1.0)  # DefaultNormalMap.dds
+DEFAULT_ROUGHNESS_UNORM = 64.0 / 255.0    # DefaultRoughness.dds (0x40)
+
+
+def srgb_to_linear(c):
+    c = np.asarray(c, np.float32)
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+@dataclasses.dataclass
+class TextureDesc:
+    """Host-side description of one texture before packing."""
+
+    name: str
+    data: np.ndarray  # (H, W, 4) float32, already in linear space
+
+
+class AtlasBuilder:
+    """Accumulates textures (deduplicated by name) and packs the atlas.
+
+    Mirrors LoadMaterialResources (Model.cpp:104-149): textures are shared by
+    name across materials; missing names fall back to the default texel values.
+    """
+
+    def __init__(self, resolution: int = 1):
+        self.resolution = int(resolution)
+        self._by_name: dict[str, int] = {}
+        self._textures: list[TextureDesc] = []
+        # Reserve default textures at fixed indices.
+        self.default_albedo = self.add_constant("__default_albedo", (DEFAULT_BASECOLOR_UNORM,) * 3)
+        self.default_albedo_srgb = self.add_constant(
+            "__default_albedo_srgb", tuple(srgb_to_linear(DEFAULT_BASECOLOR_UNORM) for _ in range(3)))
+        self.default_normal = self.add_constant("__default_normal", DEFAULT_NORMAL)
+        self.default_roughness = self.add_constant("__default_roughness", (DEFAULT_ROUGHNESS_UNORM,) * 3)
+        self.default_black = self.add_constant("__default_black", (0.0, 0.0, 0.0))
+        self.default_white = self.add_constant("__default_white", (1.0, 1.0, 1.0))
+
+    def add_constant(self, name: str, rgb, alpha: float = 1.0) -> int:
+        data = np.zeros((1, 1, 4), np.float32)
+        data[..., :3] = np.asarray(rgb, np.float32)
+        data[..., 3] = alpha
+        return self.add(name, data)
+
+    def add(self, name: str, data: np.ndarray) -> int:
+        if name in self._by_name:
+            return self._by_name[name]
+        data = np.asarray(data, np.float32)
+        if data.ndim == 2:
+            data = data[..., None]
+        if data.shape[-1] == 1:
+            data = np.concatenate([np.repeat(data, 3, axis=-1), np.ones_like(data)], axis=-1)
+        elif data.shape[-1] == 3:
+            data = np.concatenate([data, np.ones_like(data[..., :1])], axis=-1)
+        idx = len(self._textures)
+        self._textures.append(TextureDesc(name, data))
+        self._by_name[name] = idx
+        return idx
+
+    def _resample(self, img: np.ndarray) -> np.ndarray:
+        """Box-filter / bilinear resample to (S, S)."""
+        s = self.resolution
+        h, w = img.shape[:2]
+        if (h, w) == (s, s):
+            return img
+        # Nearest-area resample via index mapping (adequate for v1; real scenes
+        # get proper mip-free bilinear at sample time).
+        yi = np.clip((np.arange(s) + 0.5) * h / s, 0, h - 1).astype(np.int64)
+        xi = np.clip((np.arange(s) + 0.5) * w / s, 0, w - 1).astype(np.int64)
+        return img[yi][:, xi]
+
+    def build(self) -> TextureAtlas:
+        s = self.resolution
+        n = len(self._textures)
+        data = np.zeros((n, s, s, 4), np.float32)
+        for i, tex in enumerate(self._textures):
+            data[i] = self._resample(tex.data)
+        return TextureAtlas(data=jnp.asarray(data), num_textures=n, resolution=s)
+
+
+def sample_bilinear_wrap(atlas: TextureAtlas, tex_idx, uv):
+    """Bilinear, wrap-addressed fetch at mip 0 for a batch of (tex_idx, uv).
+
+    tex_idx: (...,) int32; uv: (..., 2) f32. Returns (..., 4) f32.
+    Equivalent to HLSL `tex.SampleLevel(MeshSampler, uv, 0.0f)` with a linear
+    wrap sampler (D3D texel-center convention: sample coord = uv * size - 0.5).
+    """
+    data = atlas.data
+    s = atlas.resolution
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def wrap(v):
+        return jnp.mod(v.astype(jnp.int32), s)
+
+    x0i, x1i = wrap(x0), wrap(x0 + 1)
+    y0i, y1i = wrap(y0), wrap(y0 + 1)
+
+    flat = data.reshape(-1, 4)
+    base = tex_idx.astype(jnp.int32) * (s * s)
+
+    def fetch(yi, xi):
+        return jnp.take(flat, base + yi * s + xi, axis=0)
+
+    t00 = fetch(y0i, x0i)
+    t10 = fetch(y0i, x1i)
+    t01 = fetch(y1i, x0i)
+    t11 = fetch(y1i, x1i)
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+def default_material_table(num_materials: int, builder: AtlasBuilder,
+                           srgb_albedo: bool = False) -> MaterialTable:
+    """All-default materials (what BoxTest resolves to: Model.cpp:761-768 names
+    White.png/Hex.png which are absent from Content, falling back to defaults)."""
+    m = num_materials
+    alb = builder.default_albedo_srgb if srgb_albedo else builder.default_albedo
+    full = lambda v: jnp.full((m,), v, jnp.int32)
+    return MaterialTable(
+        albedo=full(alb),
+        normal=full(builder.default_normal),
+        roughness=full(builder.default_roughness),
+        metallic=full(builder.default_black),
+        opacity=full(builder.default_white),
+        emissive=full(builder.default_black),
+        has_opacity=jnp.zeros((m,), jnp.bool_),
+    )

@@ -1,0 +1,135 @@
+"""Scene pytrees — the TPU-native replacement for the reference's GPU scene state.
+
+The reference holds the scene in D3D12 structured buffers addressed through a
+bindless descriptor heap (Model.cpp:851-881 vertex/index pools with global offsets,
+SharedTypes.h:30-64 Material/GeometryInfo/SpotLight). Here the same data is a set
+of immutable SoA device arrays in one pytree: XLA sees static shapes, gathers
+replace descriptor-table indirections, and the whole scene is replicated to each
+chip (Sponza-class scenes are far below HBM capacity).
+
+Vertex layout parity: MeshVertex {Position, Normal, UV, Tangent, Bitangent}
+(Graphics/Model.h:25-67). Triangles carry a material index (the flattened
+equivalent of GeometryInfo.MaterialIdx per D3D12_RAYTRACING_GEOMETRY_DESC).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+
+MAX_SPOT_LIGHTS = 32  # AppSettings.cs:92 MaxSpotLights
+SPOT_LIGHT_RANGE = 7.5  # AppSettings.cs:94
+SPOT_SHADOW_NEAR_CLIP = 0.1  # AppSettings.cs:96
+
+
+def _register(cls, meta=()):
+    data = tuple(f.name for f in dataclasses.fields(cls) if f.name not in meta)
+    jax.tree_util.register_dataclass(cls, data_fields=list(data), meta_fields=list(meta))
+    return cls
+
+
+@partial(_register, meta=("num_textures", "resolution"))
+@dataclasses.dataclass(frozen=True)
+class TextureAtlas:
+    """Bindless-heap emulation: all material textures resampled into one stacked
+    array so a (texture_idx, uv) pair becomes a single HBM gather.
+
+    The reference samples every material texture at mip 0 with a linear sampler
+    (RayTrace.hlsl:174,185,189,198 `SampleLevel(..., 0.0f)`), so a single-level
+    stack reproduces its filtering exactly — no mip chain needed for parity.
+    """
+
+    data: jax.Array  # (num_textures, S, S, 4) float32 RGBA, linear space
+    num_textures: int = 0
+    resolution: int = 1
+
+
+@partial(_register, meta=("any_opacity",))
+@dataclasses.dataclass(frozen=True)
+class MaterialTable:
+    """Per-material texture slots (SharedTypes.h:30-38 Material)."""
+
+    albedo: jax.Array     # (M,) int32 texture indices
+    normal: jax.Array
+    roughness: jax.Array
+    metallic: jax.Array
+    opacity: jax.Array
+    emissive: jax.Array
+    has_opacity: jax.Array  # (M,) bool — mesh had an opacity map => alpha-test hit group
+                            # (DXRPathTracer.cpp:1176-1199 hit-table selection)
+    any_opacity: bool = False  # static: scene contains alpha-tested materials at all
+
+
+@partial(_register, meta=("num_lights",))
+@dataclasses.dataclass(frozen=True)
+class SpotLights:
+    """Spot lights, padded to MAX_SPOT_LIGHTS (SharedTypes.h:40-48)."""
+
+    position: jax.Array   # (L, 3)
+    direction: jax.Array  # (L, 3)
+    intensity: jax.Array  # (L, 3)
+    angular_attenuation_x: jax.Array  # (L,) cos(inner/2)
+    angular_attenuation_y: jax.Array  # (L,) cos(outer/2)
+    range: jax.Array      # (L,)
+    num_lights: int = 0
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    positions: jax.Array    # (V, 3) f32
+    normals: jax.Array      # (V, 3) f32
+    uvs: jax.Array          # (V, 2) f32
+    tangents: jax.Array     # (V, 3) f32
+    bitangents: jax.Array   # (V, 3) f32
+    tri_idx: jax.Array      # (T, 3) int32 global vertex indices
+    tri_material: jax.Array  # (T,) int32
+    materials: MaterialTable
+    textures: TextureAtlas
+    lights: SpotLights
+
+    @property
+    def num_triangles(self):
+        return self.tri_idx.shape[0]
+
+    @property
+    def num_vertices(self):
+        return self.positions.shape[0]
+
+
+def make_spot_lights(positions=None, directions=None, intensities=None,
+                     angular_attenuation=None, light_range=SPOT_LIGHT_RANGE):
+    """Build a padded SpotLights pytree.
+
+    Matches DXRPathTracer::InitializeScene (DXRPathTracer.cpp:965-980): stored
+    direction is the negated model light direction, intensity is scaled x2500,
+    angular attenuation values are cos(angle/2).
+    """
+    if positions is None or len(positions) == 0:
+        z3 = np.zeros((MAX_SPOT_LIGHTS, 3), np.float32)
+        z1 = np.zeros((MAX_SPOT_LIGHTS,), np.float32)
+        return SpotLights(z3, z3, z3, z1, z1, z1 + light_range, num_lights=0)
+
+    n = min(len(positions), MAX_SPOT_LIGHTS)
+
+    def pad3(a):
+        out = np.zeros((MAX_SPOT_LIGHTS, 3), np.float32)
+        out[:n] = np.asarray(a, np.float32)[:n]
+        return out
+
+    def pad1(a):
+        out = np.zeros((MAX_SPOT_LIGHTS,), np.float32)
+        out[:n] = np.asarray(a, np.float32)[:n]
+        return out
+
+    ang = np.asarray(angular_attenuation, np.float32)[:n]  # (n, 2) inner/outer angles
+    return SpotLights(
+        position=pad3(positions),
+        direction=pad3(directions),
+        intensity=pad3(intensities),
+        angular_attenuation_x=pad1(np.cos(ang[:, 0] * 0.5)),
+        angular_attenuation_y=pad1(np.cos(ang[:, 1] * 0.5)),
+        range=pad1(np.full(n, light_range, np.float32)),
+        num_lights=n,
+    )

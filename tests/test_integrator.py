@@ -1,0 +1,177 @@
+"""Wavefront integrator end-to-end tests (RayTrace.hlsl parity semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dxrpathtracer_tpu.app.settings import AppSettings, Scenes
+from dxrpathtracer_tpu.render.camera import FirstPersonCamera
+from dxrpathtracer_tpu.render.integrator import FrameConstants, render_sample
+from dxrpathtracer_tpu.scene.registry import load_scene
+from dxrpathtracer_tpu.accel.lbvh import build_bvh_for_scene
+
+
+@pytest.fixture(scope="module")
+def boxtest():
+    scene, preset = load_scene(Scenes.BoxTest)
+    bvh = build_bvh_for_scene(scene)
+    return scene, bvh, preset
+
+
+def _frame(preset, cam, sample_idx=0, sun_irr=(90.0, 75.0, 56.0)):
+    sun = np.asarray(preset.sun_direction, np.float32)
+    sun /= np.linalg.norm(sun)
+    return FrameConstants(
+        inv_view_projection=jnp.asarray(cam.inv_view_projection()),
+        camera_pos_ws=jnp.asarray(cam.position),
+        sun_direction_ws=jnp.asarray(sun),
+        sun_irradiance=jnp.asarray(np.asarray(sun_irr, np.float32)),
+        sun_render_color=jnp.asarray(np.asarray([65000, 53437, 39919], np.float32)),
+        cos_sun_angular_radius=jnp.float32(np.cos(np.deg2rad(1.0))),
+        sin_sun_angular_radius=jnp.float32(np.sin(np.deg2rad(1.0))),
+        curr_sample_idx=jnp.uint32(sample_idx),
+    )
+
+
+def _cam(preset, aspect=1.0):
+    cam = FirstPersonCamera(aspect=aspect)
+    cam.set_position(preset.camera_position)
+    cam.set_x_rotation(preset.camera_rotation[0])
+    cam.set_y_rotation(preset.camera_rotation[1])
+    return cam
+
+
+W = H = 16
+
+
+def test_sky_only_miss_path(boxtest):
+    """Camera looking straight up: every pixel sees only sky (+ sun disc)."""
+    scene, bvh, preset = boxtest
+    cam = _cam(preset)
+    cam.set_position((0.0, 20.0, 0.0))
+    cam.set_x_rotation(-np.pi / 2)  # look up
+    sky_val = 3.0
+    sky = jnp.full((6, 8, 8, 3), sky_val, jnp.float32)
+    s = AppSettings(sqrt_num_samples=1, enable_sun=True)
+    accum = jnp.zeros((H, W, 3), jnp.float32)
+    img = np.asarray(render_sample(scene, bvh, sky, s, _frame(preset, cam), W, H, accum))
+    assert np.isfinite(img).all()
+    sun_color = 65000.0
+    is_sky = np.isclose(img[..., 0], sky_val, atol=1e-3)
+    is_sun = img[..., 0] > 1000.0
+    assert (is_sky | is_sun).all()
+    assert is_sun.any()  # sun is near zenith (0.26, 0.987, -0.16)
+
+
+def test_sky_disabled_black(boxtest):
+    scene, bvh, preset = boxtest
+    cam = _cam(preset)
+    cam.set_position((0.0, 20.0, 0.0))
+    cam.set_x_rotation(-np.pi / 2)
+    sky = jnp.full((6, 8, 8, 3), 3.0, jnp.float32)
+    s = AppSettings(sqrt_num_samples=1, enable_sky=False, enable_sun=False)
+    accum = jnp.zeros((H, W, 3), jnp.float32)
+    img = np.asarray(render_sample(scene, bvh, sky, s, _frame(preset, cam), W, H, accum))
+    # Parity quirk: the miss shader draws the sun disc regardless of EnableSun
+    # (RayTrace.hlsl:523-528 has no EnableSun gate); everything else is black.
+    sun_disc = img[..., 0] > 1000.0
+    assert (img[~sun_disc] == 0).all()
+
+
+def test_progressive_accumulation_is_running_mean(boxtest):
+    """accum_k == mean of the k individual sample images (RayTrace.hlsl:143-148)."""
+    scene, bvh, preset = boxtest
+    cam = _cam(preset)
+    sky = jnp.full((6, 8, 8, 3), 2.0, jnp.float32)
+    s = AppSettings(sqrt_num_samples=2)
+    zero = jnp.zeros((H, W, 3), jnp.float32)
+    singles = []
+    accum = zero
+    for k in range(3):
+        f = _frame(preset, cam, sample_idx=k)
+        # render over a zero accum applies lerp s/(s+1) -> radiance/(k+1);
+        # recover the raw per-sample radiance by scaling back.
+        scaled = np.asarray(render_sample(scene, bvh, sky, s, f, W, H, zero))
+        singles.append(scaled * (k + 1))
+        accum = render_sample(scene, bvh, sky, s, f, W, H, accum)
+    mean = np.mean(singles, axis=0)
+    assert np.allclose(np.asarray(accum), mean, rtol=1e-3, atol=1e-3)
+
+
+def test_white_furnace_miss_is_one(boxtest):
+    scene, bvh, preset = boxtest
+    cam = _cam(preset)
+    cam.set_position((0.0, 20.0, 0.0))
+    cam.set_x_rotation(-np.pi / 2)
+    sky = jnp.zeros((6, 8, 8, 3), jnp.float32)
+    s = AppSettings(sqrt_num_samples=1, enable_white_furnace_mode=True)
+    accum = jnp.zeros((H, W, 3), jnp.float32)
+    img = np.asarray(render_sample(scene, bvh, sky, s, _frame(preset, cam), W, H, accum))
+    assert np.allclose(img, 1.0)
+
+
+def test_white_furnace_energy(boxtest):
+    """Furnace hits converge to E[2*1{spec}*F*G2/G1*comp] — computed here by an
+    independent scalar-ish MC with the same published formulas. With the
+    reference's Turquin compensation the result sits near (above) 1."""
+    scene, bvh, preset = boxtest
+    cam = _cam(preset)
+    cam.set_position((0.0, 10.0, 0.0))
+    cam.set_x_rotation(np.pi / 2)  # look straight down at the box top (y=2.5)
+    sky = jnp.zeros((6, 8, 8, 3), jnp.float32)
+    s = AppSettings(sqrt_num_samples=8, enable_white_furnace_mode=True)
+    accum = jnp.zeros((H, W, 3), jnp.float32)
+    # Run the FULL 64-sample CMJ set: the lobe selector is stratified in x, so
+    # the complete set picks specular exactly half the time (partial prefixes
+    # are imbalanced and converge slower).
+    for k in range(s.total_samples):
+        accum = render_sample(scene, bvh, sky, s, _frame(preset, cam, k), W, H, accum)
+    img = np.asarray(accum)
+    assert np.isfinite(img).all()
+
+    # Independent estimate for normal incidence (camera straight down, normal up):
+    # ndv ~= 1, Ess = scale(1, 1) from the env-BRDF polynomial; E[G2/G1] via MC.
+    from dxrpathtracer_tpu.core import brdf, sampling
+    rng = np.random.default_rng(0)
+    u1 = jnp.asarray(rng.uniform(size=4096).astype(np.float32))
+    u2 = jnp.asarray(rng.uniform(size=4096).astype(np.float32))
+    wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4096, 3))
+    m = sampling.sample_ggx_visible_normal(wo, 1.0, 1.0, u1, u2)
+    li = -wo + 2.0 * jnp.sum(wo * m, -1, keepdims=True) * m
+    n_ts = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4096, 3))
+    g1 = brdf.smith_ggx_masking(n_ts, li, wo, 1.0)
+    g2 = brdf.smith_ggx_masking_shadowing(n_ts, li, wo, 1.0)
+    e_g = float(jnp.mean(g2 / jnp.where(g1 == 0, 1.0, g1)))
+    # Quirk parity: comp uses ndv = saturate(-rayDir.z) with the WORLD ray;
+    # looking straight down rayDir ~ (0,-1,0) -> ndv = 0.
+    ess, _ = brdf.ggx_environment_brdf_scale_bias(jnp.asarray([0.0]), 1.0)
+    comp = 1.0 + 1.0 * (1.0 / float(ess[0]) - 1.0)
+    expect = e_g * comp
+
+    # Tight center window: the comp quirk's ndv = |rayDir.z| grows off-center
+    center = img[H // 2 - 1:H // 2 + 1, W // 2 - 1:W // 2 + 1].mean()
+    assert abs(center - expect) / expect < 0.06, (center, expect)
+
+
+def test_enable_direct_indirect_toggles(boxtest):
+    scene, bvh, preset = boxtest
+    cam = _cam(preset)
+    sky = jnp.zeros((6, 8, 8, 3), jnp.float32)  # isolate sun lighting
+    accum = jnp.zeros((H, W, 3), jnp.float32)
+    f = _frame(preset, cam)
+    full = np.asarray(render_sample(
+        scene, bvh, sky, AppSettings(sqrt_num_samples=2), f, W, H, accum))
+    no_direct = np.asarray(render_sample(
+        scene, bvh, sky, AppSettings(sqrt_num_samples=2, enable_direct=False),
+        f, W, H, accum))
+    no_indirect = np.asarray(render_sample(
+        scene, bvh, sky, AppSettings(sqrt_num_samples=2, enable_indirect=False),
+        f, W, H, accum))
+    nothing = np.asarray(render_sample(
+        scene, bvh, sky, AppSettings(sqrt_num_samples=2, enable_direct=False,
+                                     enable_indirect=False), f, W, H, accum))
+    assert (nothing == 0).all()
+    assert full.sum() > no_direct.sum() >= 0
+    assert full.sum() > no_indirect.sum() >= 0
+    # direct + indirect should approximately compose to full (same sample seq)
+    assert np.allclose(no_direct + no_indirect, full, rtol=1e-3, atol=1e-4)
