@@ -20,3 +20,20 @@ Layer map (mirrors SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the tunneled TPU pays seconds per compile,
+# and every fresh process would otherwise recompile the whole pipeline
+# (ShaderCompilation.cpp:42-60's on-disk shader cache is the reference analog).
+import os as _os
+
+try:
+    import jax as _jax
+
+    _cache_dir = _os.environ.get("DXRPT_COMPILATION_CACHE",
+                                 _os.path.expanduser("~/.cache/dxrpt_xla_cache"))
+    if _cache_dir:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass

@@ -1,4 +1,4 @@
-"""LBVH construction (host-side, vectorized numpy).
+"""LBVH construction (host-side, vectorized numpy) with a TPU-packed layout.
 
 TPU-native replacement for the reference's driver-built DXR acceleration
 structures (BuildRTAccelerationStructure, DXRPathTracer.cpp:2331-2488): the
@@ -9,9 +9,15 @@ out in BFS order with *skip links* so traversal is stackless and uniform —
 the property that matters on TPU, where every ray must execute the same
 instruction stream (`hit -> left child, miss/leaf-done -> skip link`).
 
-Triangles are reordered into morton order so each leaf is a contiguous range;
-leaves are padded to a static max size so the traversal loop can unroll triangle
-intersection without dynamic trip counts.
+Memory layout is tuned for wavefront traversal on TPU, where every gather is a
+separate kernel and kernel-launch overhead dominates:
+  - `nodes` (n, 8) f32   — [lo.xyz, hi.xyz, bitcast(next_if_hit), bitcast(skip)]
+    ONE gather fetches a node's AABB and both links. `next_if_hit` is the left
+    child for internal nodes and `~leaf_idx` (negative) for leaves.
+  - `leaves` (n_leaves, leaf_size*12) f32 — per-leaf packed triangles
+    [v0.xyz, e1.xyz, e2.xyz, bitcast(tri_id), pad, pad] x leaf_size; ONE gather
+    fetches all of a leaf's triangles (padded slots have tri_id == -1 and
+    degenerate zero edges that can never report a hit).
 """
 
 import dataclasses
@@ -21,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+TRI_STRIDE = 12  # f32 slots per packed triangle
+
 
 def _register(cls, meta=()):
     data = tuple(f.name for f in dataclasses.fields(cls) if f.name not in meta)
@@ -28,21 +36,14 @@ def _register(cls, meta=()):
     return cls
 
 
-@partial(_register, meta=("num_nodes", "num_tris", "leaf_size"))
+@partial(_register, meta=("num_nodes", "num_tris", "num_leaves", "leaf_size"))
 @dataclasses.dataclass(frozen=True)
 class FlatBVH:
-    bounds_lo: jax.Array   # (n, 3) f32 node AABB min
-    bounds_hi: jax.Array   # (n, 3) f32 node AABB max
-    left: jax.Array        # (n,) i32 first-child index (internal) / unused (leaf)
-    skip: jax.Array        # (n,) i32 next node if AABB missed or leaf done; n = END
-    tri_start: jax.Array   # (n,) i32 leaf triangle range start (reordered order)
-    tri_count: jax.Array   # (n,) i32 0 for internal nodes
-    tri_v0: jax.Array      # (T, 3) f32 reordered triangle vertex 0
-    tri_e1: jax.Array      # (T, 3) f32 edge v1 - v0
-    tri_e2: jax.Array      # (T, 3) f32 edge v2 - v0
-    tri_id: jax.Array      # (T,) i32 original triangle index
+    nodes: jax.Array    # (n, 8) f32 packed node records (see module doc)
+    leaves: jax.Array   # (n_leaves, leaf_size * TRI_STRIDE) f32 packed triangles
     num_nodes: int = 0
     num_tris: int = 0
+    num_leaves: int = 0
     leaf_size: int = 4
 
     @property
@@ -68,7 +69,7 @@ def morton_codes_30(centroids: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4) -> FlatBVH:
-    """Build a FlatBVH from (T, 3) triangle vertices (host numpy, device output)."""
+    """Build a FlatBVH from (T, 3) triangle vertices (host numpy -> device)."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -82,27 +83,25 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4
     tri_hi = np.maximum(np.maximum(sv0, sv1), sv2)
 
     # --- Level-by-level BFS construction over contiguous morton ranges ---
-    levels = []  # each: dict(l, r, node_idx) as arrays
+    levels = []
     ranges = np.array([[0, num_tris]], np.int64)
     node_base = 0
     all_l, all_r = [], []
-    level_slices = []
     while ranges.size:
         k = ranges.shape[0]
         all_l.append(ranges[:, 0])
         all_r.append(ranges[:, 1])
-        level_slices.append((node_base, node_base + k))
         counts = ranges[:, 1] - ranges[:, 0]
         internal = counts > leaf_size
         li, ri = ranges[internal, 0], ranges[internal, 1]
         mid = (li + ri) // 2
-        child_ranges = np.empty((internal.sum() * 2, 2), np.int64)
+        child_ranges = np.empty((int(internal.sum()) * 2, 2), np.int64)
         child_ranges[0::2, 0] = li
         child_ranges[0::2, 1] = mid
         child_ranges[1::2, 0] = mid
         child_ranges[1::2, 1] = ri
-        levels.append({"l": ranges[:, 0], "r": ranges[:, 1], "internal": internal,
-                       "base": node_base})
+        levels.append({"internal": internal, "base": node_base,
+                       "l": ranges[:, 0], "r": ranges[:, 1]})
         node_base += k
         ranges = child_ranges
 
@@ -112,10 +111,8 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4
     left = np.full(n, -1, np.int64)
     skip = np.full(n, n, np.int64)
     tri_count = np.zeros(n, np.int64)
-    tri_start = l_arr.copy()
 
-    # Children/skip wiring, vectorized per level.
-    for li_idx, lev in enumerate(levels):
+    for lev in levels:
         base = lev["base"]
         internal = lev["internal"]
         k = internal.shape[0]
@@ -128,17 +125,12 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4
             fc = first_child[internal]
             ids = node_ids[internal]
             left[ids] = fc
-            # left child's skip = right sibling; right child's skip = parent's skip
-            skip[fc] = fc + 1
-            # parent skip propagates after we know it: fill below in second pass
-    # Second pass for right-child skip (needs parent's final skip): process levels
-    # top-down so parents are already final.
+            skip[fc] = fc + 1  # left child's skip = right sibling
+    # Right-child skip = parent's skip; parents are final when processed top-down.
     for lev in levels:
         base = lev["base"]
         internal = lev["internal"]
-        k = internal.shape[0]
-        node_ids = base + np.arange(k)
-        ids = node_ids[internal]
+        ids = (base + np.arange(internal.shape[0]))[internal]
         if ids.size:
             fc = left[ids]
             skip[fc + 1] = skip[ids]
@@ -149,14 +141,9 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4
     for lev in reversed(levels):
         base = lev["base"]
         internal = lev["internal"]
-        k = internal.shape[0]
-        node_ids = base + np.arange(k)
+        node_ids = base + np.arange(internal.shape[0])
         leaf_ids = node_ids[~internal]
         if leaf_ids.size:
-            # Exact per-leaf bounds via reduceat over interleaved [l0,r0,l1,r1,...]
-            # boundaries (ranges within a level are ascending and non-empty);
-            # even-position segments are the leaf ranges. A trailing r == num_tris
-            # must be dropped (reduceat indices must be < len).
             bounds = np.stack([l_arr[leaf_ids], r_arr[leaf_ids]], -1).reshape(-1)
             if bounds[-1] == num_tris:
                 bounds = bounds[:-1]
@@ -168,25 +155,52 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4
             lo[int_ids] = np.minimum(lo[fc], lo[fc + 1])
             hi[int_ids] = np.maximum(hi[fc], hi[fc + 1])
 
+    # --- Packed layouts ---
+    is_leaf = tri_count > 0
+    leaf_ids = np.where(is_leaf)[0]
+    n_leaves = leaf_ids.size
+    leaf_index_of_node = np.zeros(n, np.int64)
+    leaf_index_of_node[leaf_ids] = np.arange(n_leaves)
+
+    # next_if_hit: left child for internal; ~leaf_idx (negative) for leaves
+    next_if_hit = np.where(is_leaf, ~leaf_index_of_node, left).astype(np.int32)
+
+    nodes = np.zeros((n, 8), np.float32)
+    nodes[:, 0:3] = lo
+    nodes[:, 3:6] = hi
+    nodes[:, 6] = next_if_hit.view(np.float32)
+    nodes[:, 7] = skip.astype(np.int32).view(np.float32)
+
+    leaves = np.zeros((max(n_leaves, 1), leaf_size, TRI_STRIDE), np.float32)
+    # Padded slots: tri_id = -1, zero edges (Möller–Trumbore det == 0 -> miss).
+    leaves[:, :, 9] = np.float32(np.int32(-1).view(np.float32))
+    e1 = sv1 - sv0
+    e2 = sv2 - sv0
+    sorted_tri_id = order.astype(np.int32)
+    starts = l_arr[leaf_ids]
+    counts = tri_count[leaf_ids]
+    for k in range(leaf_size):
+        sel = counts > k
+        src = starts[sel] + k
+        dst = np.where(sel)[0]
+        leaves[dst, k, 0:3] = sv0[src]
+        leaves[dst, k, 3:6] = e1[src]
+        leaves[dst, k, 6:9] = e2[src]
+        leaves[dst, k, 9] = sorted_tri_id[src].view(np.float32)
+
     return FlatBVH(
-        bounds_lo=jnp.asarray(lo),
-        bounds_hi=jnp.asarray(hi),
-        left=jnp.asarray(left.astype(np.int32)),
-        skip=jnp.asarray(skip.astype(np.int32)),
-        tri_start=jnp.asarray(tri_start.astype(np.int32)),
-        tri_count=jnp.asarray(tri_count.astype(np.int32)),
-        tri_v0=jnp.asarray(sv0),
-        tri_e1=jnp.asarray(sv1 - sv0),
-        tri_e2=jnp.asarray(sv2 - sv0),
-        tri_id=jnp.asarray(order.astype(np.int32)),
+        nodes=jnp.asarray(nodes),
+        leaves=jnp.asarray(leaves.reshape(max(n_leaves, 1), leaf_size * TRI_STRIDE)),
         num_nodes=int(n),
         num_tris=int(num_tris),
+        num_leaves=int(n_leaves),
         leaf_size=int(leaf_size),
     )
 
 
-def build_bvh_for_scene(scene) -> FlatBVH:
-    """Build from a Scene pytree (gathers triangle vertices on host)."""
-    pos = np.asarray(scene.positions)
-    tri = np.asarray(scene.tri_idx)
+def build_bvh_for_scene(scene, positions=None, tri_idx=None) -> FlatBVH:
+    """Build from a Scene pytree. Pass host-numpy `positions`/`tri_idx` when
+    available to avoid device->host readbacks (slow over the TPU tunnel)."""
+    pos = positions if positions is not None else np.asarray(scene.positions)
+    tri = tri_idx if tri_idx is not None else np.asarray(scene.tri_idx)
     return build_bvh(pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]])

@@ -2,11 +2,19 @@
 
 The reference's per-ray MIMD hardware traversal (RayTrace.hlsl:138,258,407
 `TraceRay`, max recursion 8) becomes a wavefront: every ray in a flat batch steps
-through the threaded BVH in lockstep inside one `lax.while_loop`. Per step, each
-lane gathers one node's AABB + skip links from HBM, slab-tests it, and either
-descends (`left`) or follows the skip link; leaf lanes intersect a statically
-unrolled block of `leaf_size` triangles (Möller–Trumbore). Control flow is
+through the threaded BVH in lockstep inside one `lax.while_loop`. Control flow is
 uniform — divergence is data (masks), which is exactly what the VPU wants.
+
+TPU performance structure (kernel-launch overhead dominates on this platform,
+so the loop body is organized to minimize kernel count per node visited):
+  - one packed (N, 8) gather per node step fetches AABB + both links
+    (see accel/lbvh.py layout);
+  - `UNROLL` node steps run per while-loop iteration, amortizing the loop's
+    fixed overhead;
+  - leaf intersection is *deferred*: a lane that enters a leaf parks its leaf
+    index and stops stepping; once per iteration all parked lanes intersect
+    their whole leaf with ONE (N, leaf_size*12) gather and a statically
+    unrolled Möller–Trumbore over slices (no per-triangle gathers).
 
 Two entry points mirror the reference's two hit groups:
   closest_hit — radiance rays (ClosestHitShader path)
@@ -19,14 +27,13 @@ None is RAY_FLAG_FORCE_OPAQUE.
 """
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from .lbvh import FlatBVH
+from .lbvh import FlatBVH, TRI_STRIDE
 
-_BIG = 3.0e38
+UNROLL = 4  # node steps per while-loop iteration
 
 
 def _register(cls, meta=()):
@@ -58,40 +65,48 @@ def _gather(arr, idx):
     return jnp.take(arr, idx, axis=0, mode="clip")
 
 
-def _intersect_leaf(bvh: FlatBVH, o, d, t_min, cur_t, leaf_mask, tri_start, tri_count,
-                    accept_fn):
-    """Intersect up to leaf_size triangles; returns (t, local_tri, u, v) best."""
-    best_t = cur_t
-    best_tri = jnp.full(cur_t.shape, -1, jnp.int32)
-    best_u = jnp.zeros_like(cur_t)
-    best_v = jnp.zeros_like(cur_t)
+def _bitcast_i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _intersect_pending_leaf(bvh: FlatBVH, o, d, t_min, state, accept_fn, first_hit):
+    """Intersect every parked lane's whole leaf; clears `pending`."""
+    node, pending, best_t, best_tri, best_u, best_v = state
+    has_leaf = pending >= 0
+    leaf = _gather(bvh.leaves, jnp.maximum(pending, 0))  # (N, leaf_size*12)
+
     for k in range(bvh.leaf_size):
-        lane = leaf_mask & (k < tri_count)
-        ti = jnp.where(lane, tri_start + k, 0)
-        v0 = _gather(bvh.tri_v0, ti)
-        e1 = _gather(bvh.tri_e1, ti)
-        e2 = _gather(bvh.tri_e2, ti)
+        base = k * TRI_STRIDE
+        v0 = leaf[:, base:base + 3]
+        e1 = leaf[:, base + 3:base + 6]
+        e2 = leaf[:, base + 6:base + 9]
+        tid = _bitcast_i32(leaf[:, base + 9])
         # Möller–Trumbore, no backface culling (the reference disables culling:
         # Timing.txt:3 "No back-face cull" is the shipped configuration).
         pvec = jnp.cross(d, e2)
         det = jnp.sum(e1 * pvec, axis=-1)
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12,
+                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
         tvec = o - v0
         u = jnp.sum(tvec * pvec, axis=-1) * inv_det
         qvec = jnp.cross(tvec, e1)
         v = jnp.sum(d * qvec, axis=-1) * inv_det
         t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-        ok = (lane & (jnp.abs(det) > 1e-12)
+        ok = (has_leaf & (tid >= 0) & (jnp.abs(det) > 1e-12)
               & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
               & (t >= t_min) & (t < best_t))
         if accept_fn is not None:
-            tid = _gather(bvh.tri_id, ti)
             ok = ok & accept_fn(tid, u, v)
-        best_tri = jnp.where(ok, ti, best_tri)
+        best_tri = jnp.where(ok, tid, best_tri)
         best_u = jnp.where(ok, u, best_u)
         best_v = jnp.where(ok, v, best_v)
         best_t = jnp.where(ok, t, best_t)
-    return best_t, best_tri, best_u, best_v
+
+    pending = jnp.full_like(pending, -1)
+    if first_hit:
+        # ACCEPT_FIRST_HIT_AND_END_SEARCH: stop the lane once anything hit.
+        node = jnp.where(best_tri >= 0, bvh.end_sentinel, node)
+    return (node, pending, best_t, best_tri, best_u, best_v)
 
 
 def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
@@ -100,55 +115,54 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
     inv_d = _safe_inv(ray_d)
     n = ray_o.shape[0]
 
-    node0 = jnp.where(active, 0, n_end).astype(jnp.int32)
     state = (
-        node0,
-        t_max.astype(jnp.float32),                 # best t so far
-        jnp.full((n,), -1, jnp.int32),             # best local tri
-        jnp.zeros((n,), jnp.float32),              # u
-        jnp.zeros((n,), jnp.float32),              # v
+        jnp.where(active, 0, n_end).astype(jnp.int32),  # node cursor
+        jnp.full((n,), -1, jnp.int32),                  # parked leaf index
+        t_max.astype(jnp.float32),                      # best t so far
+        jnp.full((n,), -1, jnp.int32),                  # best triangle
+        jnp.zeros((n,), jnp.float32),                   # u
+        jnp.zeros((n,), jnp.float32),                   # v
+        jnp.zeros((), jnp.int32),                       # iteration counter
     )
 
+    # Hard safety bound: a ray visits each node at most once, and each leaf
+    # visit stalls one loop iteration (stepping pauses while a leaf is parked),
+    # so num_nodes + num_leaves iterations always suffice. The cap only exists
+    # to turn a link-corruption bug into a wrong image instead of a hung TPU.
+    max_iters = n_end + bvh.num_leaves + 2
+
     def cond(s):
-        return jnp.any(s[0] < n_end)
+        return jnp.any((s[0] < n_end) | (s[1] >= 0)) & (s[6] < max_iters)
 
     def body(s):
-        node, best_t, best_tri, best_u, best_v = s
-        live = node < n_end
-        nidx = jnp.where(live, node, 0)
+        node, pending, best_t, best_tri, best_u, best_v, it = s
 
-        lo = _gather(bvh.bounds_lo, nidx)
-        hi = _gather(bvh.bounds_hi, nidx)
-        t0 = (lo - ray_o) * inv_d
-        t1 = (hi - ray_o) * inv_d
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        aabb_hit = live & (jnp.maximum(tn, t_min) <= jnp.minimum(tf, best_t))
+        for _ in range(UNROLL):
+            can = (pending < 0) & (node < n_end)
+            rec = _gather(bvh.nodes, jnp.where(can, node, 0))  # (N, 8)
+            t0 = (rec[:, 0:3] - ray_o) * inv_d
+            t1 = (rec[:, 3:6] - ray_o) * inv_d
+            tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            aabb_hit = can & (jnp.maximum(tn, t_min) <= jnp.minimum(tf, best_t))
 
-        count = _gather(bvh.tri_count, nidx)
-        is_leaf = count > 0
-        start = _gather(bvh.tri_start, nidx)
+            next_if_hit = _bitcast_i32(rec[:, 6])
+            skip = _bitcast_i32(rec[:, 7])
+            is_leaf = next_if_hit < 0
 
-        leaf_mask = aabb_hit & is_leaf
-        lt, ltri, lu, lv = _intersect_leaf(
-            bvh, ray_o, ray_d, t_min, best_t, leaf_mask, start, count, accept_fn)
-        improved = ltri >= 0
-        best_t = jnp.where(improved, lt, best_t)
-        best_tri = jnp.where(improved, ltri, best_tri)
-        best_u = jnp.where(improved, lu, best_u)
-        best_v = jnp.where(improved, lv, best_v)
+            take_leaf = aabb_hit & is_leaf
+            pending = jnp.where(take_leaf, ~next_if_hit, pending)
+            nxt = jnp.where(aabb_hit & ~is_leaf, next_if_hit, skip)
+            node = jnp.where(can, nxt, node)
 
-        descend = aabb_hit & ~is_leaf
-        nxt = jnp.where(descend, _gather(bvh.left, nidx), _gather(bvh.skip, nidx))
-        nxt = jnp.where(live, nxt, n_end)
-        if first_hit:
-            # ACCEPT_FIRST_HIT_AND_END_SEARCH: stop the lane once anything hit.
-            nxt = jnp.where(best_tri >= 0, n_end, nxt)
-        return (nxt.astype(jnp.int32), best_t, best_tri, best_u, best_v)
+        out = _intersect_pending_leaf(
+            bvh, ray_o, ray_d, t_min,
+            (node, pending, best_t, best_tri, best_u, best_v),
+            accept_fn, first_hit)
+        return out + (it + 1,)
 
-    _, t, tri, u, v = jax.lax.while_loop(cond, body, state)
-    tri_global = jnp.where(tri >= 0, _gather(bvh.tri_id, jnp.maximum(tri, 0)), -1)
-    return HitRecord(t=t, tri_id=tri_global.astype(jnp.int32), u=u, v=v)
+    _, _, t, tri, u, v, _ = jax.lax.while_loop(cond, body, state)
+    return HitRecord(t=t, tri_id=tri, u=u, v=v)
 
 
 def closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None, accept_fn=None):

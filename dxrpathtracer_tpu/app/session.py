@@ -40,7 +40,11 @@ class RenderSession:
 
         if scene is None:
             scene, preset = load_scene(self.settings.current_scene)
-        self.scene = scene
+        # Keep host numpy copies (BVH build reads them without device->host
+        # readbacks, which are slow over the TPU tunnel); one batched
+        # device_put moves the whole scene.
+        self.scene_host = scene
+        self.scene = jax.device_put(scene)
         self.preset = preset
 
         # Scene switch forces white-furnace mode (DXRPathTracer.cpp:934-935)
@@ -52,7 +56,9 @@ class RenderSession:
                 current_scene=preset.scene_enum)
 
         with self.profiler.cpu_scope("BuildAccelStructure"):
-            self.bvh = build_bvh_for_scene(scene)
+            self.bvh = build_bvh_for_scene(
+                self.scene, positions=np.asarray(self.scene_host.positions),
+                tri_idx=np.asarray(self.scene_host.tri_idx))
 
         self.camera = FirstPersonCamera(aspect=width / height)
         if preset is not None:

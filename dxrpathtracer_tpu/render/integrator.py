@@ -402,6 +402,14 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     return jnp.clip(total, 0.0, FP16Max)
 
 
+# Max rays per traversal tile. A frame's wavefront runs as a sequence of tiles
+# via lax.map: bounds peak memory (leaf-gather temporaries are O(tile)),
+# sidesteps TPU kernel faults observed on multi-hundred-k-lane integrator
+# programs, and lets each tile's traversal while_loop exit as soon as *its*
+# rays finish instead of waiting on the frame's single worst ray.
+TILE_RAYS = 131072
+
+
 def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                   width: int, height: int, accum, row_offset=0, total_height=None):
     """One progressive sample: raygen + trace + running-mean accumulation
@@ -449,9 +457,28 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
     ray_len = jnp.sqrt(jnp.maximum(dot(seg, seg), 1e-30))
     ray_dir = seg / ray_len[..., None]
 
-    radiance = trace_paths(scene, bvh, sky_cube, s, frame,
-                           ray_start, ray_dir, ray_len, pixel_idx, n,
-                           first_set_idx=1)
+    n_local = width * height
+    n_tiles = max(1, -(-n_local // TILE_RAYS))
+    while n_tiles > 1 and n_local % n_tiles != 0:
+        n_tiles += 1  # image sizes are highly composite; terminates quickly
+    if n_tiles > 1:
+        tile = n_local // n_tiles
+
+        def trace_tile(args):
+            t_o, t_d, t_len, t_pix = args
+            return trace_paths(scene, bvh, sky_cube, s, frame,
+                               t_o, t_d, t_len, t_pix, n, first_set_idx=1)
+
+        radiance = jax.lax.map(trace_tile, (
+            ray_start.reshape(n_tiles, tile, 3),
+            ray_dir.reshape(n_tiles, tile, 3),
+            ray_len.reshape(n_tiles, tile),
+            pixel_idx.reshape(n_tiles, tile),
+        ))
+    else:
+        radiance = trace_paths(scene, bvh, sky_cube, s, frame,
+                               ray_start, ray_dir, ray_len, pixel_idx, n,
+                               first_set_idx=1)
     radiance = radiance.reshape(height, width, 3)
 
     lerp_factor = (frame.curr_sample_idx.astype(f32)

@@ -44,6 +44,12 @@ def flatten_meshes(meshes: list[MeshData]):
 def build_scene(meshes: list[MeshData], materials: MaterialTable | None = None,
                 atlas_builder: AtlasBuilder | None = None,
                 lights: SpotLights | None = None) -> Scene:
+    """Build a Scene pytree with HOST (numpy) leaves.
+
+    Keeping the scene on host until one explicit `jax.device_put(scene)` avoids
+    dozens of small per-array transfers (expensive over the tunneled TPU) and
+    lets the LBVH builder read vertices without device->host readbacks.
+    """
     pos, nrm, uv, tan, bit, tri, tri_mat = flatten_meshes(meshes)
     if atlas_builder is None:
         atlas_builder = AtlasBuilder(resolution=1)
@@ -53,13 +59,13 @@ def build_scene(meshes: list[MeshData], materials: MaterialTable | None = None,
     if lights is None:
         lights = make_spot_lights()
     return Scene(
-        positions=jnp.asarray(pos),
-        normals=jnp.asarray(nrm),
-        uvs=jnp.asarray(uv),
-        tangents=jnp.asarray(tan),
-        bitangents=jnp.asarray(bit),
-        tri_idx=jnp.asarray(tri),
-        tri_material=jnp.asarray(tri_mat),
+        positions=pos,
+        normals=nrm,
+        uvs=uv,
+        tangents=tan,
+        bitangents=bit,
+        tri_idx=tri,
+        tri_material=tri_mat,
         materials=materials,
         textures=atlas_builder.build(),
         lights=lights,

@@ -114,6 +114,8 @@ def load_scene_meshes(preset: ScenePreset) -> list[MeshData]:
 
 
 def load_scene(scene_enum: Scenes) -> tuple[Scene, ScenePreset]:
+    """Returns (scene, preset). The scene pytree has HOST numpy leaves — move
+    it to device with one `jax.device_put(scene)` (see RenderSession)."""
     preset = PRESETS[scene_enum]
     meshes = load_scene_meshes(preset)
     return build_scene(meshes), preset

@@ -101,7 +101,8 @@ class AtlasBuilder:
         data = np.zeros((n, s, s, 4), np.float32)
         for i, tex in enumerate(self._textures):
             data[i] = self._resample(tex.data)
-        return TextureAtlas(data=jnp.asarray(data), num_textures=n, resolution=s)
+        # Host numpy leaf: one jax.device_put of the whole Scene moves it.
+        return TextureAtlas(data=data, num_textures=n, resolution=s)
 
 
 def sample_bilinear_wrap(atlas: TextureAtlas, tex_idx, uv):
@@ -147,7 +148,7 @@ def default_material_table(num_materials: int, builder: AtlasBuilder,
     White.png/Hex.png which are absent from Content, falling back to defaults)."""
     m = num_materials
     alb = builder.default_albedo_srgb if srgb_albedo else builder.default_albedo
-    full = lambda v: jnp.full((m,), v, jnp.int32)
+    full = lambda v: np.full((m,), v, np.int32)
     return MaterialTable(
         albedo=full(alb),
         normal=full(builder.default_normal),
@@ -155,5 +156,5 @@ def default_material_table(num_materials: int, builder: AtlasBuilder,
         metallic=full(builder.default_black),
         opacity=full(builder.default_white),
         emissive=full(builder.default_black),
-        has_opacity=jnp.zeros((m,), jnp.bool_),
+        has_opacity=np.zeros((m,), bool),
     )

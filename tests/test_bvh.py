@@ -26,36 +26,53 @@ def _rays(rng, n, spread=3.0):
 
 def test_bvh_structure():
     rng = np.random.default_rng(3)
-    v0, v1, v2 = _soup(rng, 300)
+    t_count = 300
+    v0, v1, v2 = _soup(rng, t_count)
     bvh = build_bvh(v0, v1, v2)
     n = bvh.num_nodes
-    skip = np.asarray(bvh.skip)
-    left = np.asarray(bvh.left)
-    cnt = np.asarray(bvh.tri_count)
-    start = np.asarray(bvh.tri_start)
-    # Every triangle appears in exactly one leaf
-    covered = np.zeros(300, bool)
-    for i in range(n):
-        if cnt[i] > 0:
-            covered[start[i]:start[i] + cnt[i]] = True
-    assert covered.all()
-    assert set(np.asarray(bvh.tri_id).tolist()) == set(range(300))
+    nodes = np.asarray(bvh.nodes)
+    lo, hi = nodes[:, 0:3], nodes[:, 3:6]
+    def as_i32(col):
+        return np.ascontiguousarray(col).view(np.int32)
+
+    next_if_hit = as_i32(nodes[:, 6])
+    skip = as_i32(nodes[:, 7])
+    leaves = np.asarray(bvh.leaves).reshape(bvh.num_leaves, bvh.leaf_size, -1)
+    tri_ids = as_i32(leaves[:, :, 9])
+
+    # Every triangle appears in exactly one packed leaf slot
+    valid = tri_ids[tri_ids >= 0]
+    assert sorted(valid.tolist()) == list(range(t_count))
+    # Padded slots are degenerate (zero edges)
+    pad = tri_ids < 0
+    assert (leaves[pad][:, 3:9] == 0).all()
+
     # Skip-link walk visits every node exactly once
     node, steps = 0, 0
     visited = np.zeros(n, bool)
     while node < n and steps <= n:
         visited[node] = True
-        node = left[node] if cnt[node] == 0 else skip[node]
+        node = next_if_hit[node] if next_if_hit[node] >= 0 else skip[node]
         steps += 1
     assert visited.all() and steps == n
-    # Parent AABBs contain children
-    lo = np.asarray(bvh.bounds_lo)
-    hi = np.asarray(bvh.bounds_hi)
+
+    # Parent AABBs contain children; leaf AABBs contain their triangles
     for i in range(n):
-        if cnt[i] == 0:
-            for c in (left[i], left[i] + 1):
-                assert (lo[i] <= lo[c] + 1e-6).all()
-                assert (hi[i] >= hi[c] - 1e-6).all()
+        c = next_if_hit[i]
+        if c >= 0:
+            for ch in (c, c + 1):
+                assert (lo[i] <= lo[ch] + 1e-6).all()
+                assert (hi[i] >= hi[ch] - 1e-6).all()
+        else:
+            leaf = leaves[~c]
+            for k in range(bvh.leaf_size):
+                if tri_ids[~c, k] >= 0:
+                    p0 = leaf[k, 0:3]
+                    p1 = p0 + leaf[k, 3:6]
+                    p2 = p0 + leaf[k, 6:9]
+                    for p in (p0, p1, p2):
+                        assert (p >= lo[i] - 1e-5).all()
+                        assert (p <= hi[i] + 1e-5).all()
 
 
 def test_closest_hit_matches_brute_force():
