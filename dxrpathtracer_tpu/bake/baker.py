@@ -1,0 +1,170 @@
+"""GI lightmap baker — the TPU-native Baking.hlsl pipeline.
+
+Parity with RenderBakingPass/RenderBakingPass_Progressive + BakeRayGen
+(DXRPathTracer.cpp:1845-2022, Baking.hlsl:336-466):
+  1. surface maps at bake resolution (bake/surface_map.py),
+  2. one cosine-hemisphere sample per covered texel per step (CMJ set 0,
+     permutation = texelIdx; BakingCB.SampleIndex is the progressive counter),
+  3. the sample is traced through the SAME wavefront integrator the interactive
+     path uses (Baking.hlsl reuses RayTrace.hlsl's PathTrace), starting with
+     PathLength 1, IsDiffuse = true, TMin = 1e-4, origin nudged 1e-5 along the
+     ray,
+  4. firefly clamp against 10x the running-mean luminance (Baking.hlsl:431-447),
+  5. NaN + too-dark (luminance < 1e-4) sample rejection: accumulation holds
+     (colorSum, validCount) and the lightmap is colorSum / validCount
+     (Baking.hlsl:449-466),
+  6. denoise: median 3x3 ("GPU Median Denoise") or the à-trous OIDN stand-in
+     (render/denoise.py) — both fully on device, unlike the reference's
+     GPU->CPU->GPU OIDN round trip.
+
+The bake accumulation state {accum (S,S,4)} is an explicit array — progressive
+bakes checkpoint/restart trivially (the reference can only stop/restart from
+the UI, DXRPathTracer.cpp:2225-2240).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..app.settings import AppSettings
+from ..core import cmj
+from ..core.constants import FP32Max
+from ..core.sampling import sample_cosine_hemisphere
+from ..render.integrator import FrameConstants, trace_paths
+from .lightmap_uv import build_lightmap_atlas
+from .surface_map import build_surface_maps
+
+LIGHTMAP_RESOLUTION = 4096  # reference default (DXRPathTracer.cpp:111)
+FIREFLY_MULTIPLIER = 10.0   # Baking.hlsl:438
+MIN_LUMINANCE = 1e-4        # Baking.hlsl:427
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+
+BAKE_TILE = 131072
+
+
+def bake_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
+                surface_pos, surface_nrm, accum, sample_index):
+    """One progressive bake step over all texels.
+
+    surface_pos: (S, S, 4) [xyz | coverage]; surface_nrm: (S, S, 3);
+    accum: (S, S, 4) [colorSum | validCount]. Returns new accum.
+    """
+    s_res = surface_pos.shape[0]
+    n = s_res * s_res
+    f32 = jnp.float32
+
+    pos = surface_pos[..., :3].reshape(n, 3)
+    coverage = surface_pos[..., 3].reshape(n) > 0.0
+    nrm = surface_nrm.reshape(n, 3)
+    nrm_len2 = jnp.sum(nrm * nrm, axis=-1)
+    covered = coverage & (nrm_len2 >= 1e-4)  # Baking.hlsl:363-369
+    normal = nrm / jnp.sqrt(jnp.maximum(nrm_len2, 1e-20))[..., None]
+
+    # TBN from the up-vector method (Baking.hlsl:376-379)
+    up = jnp.where((jnp.abs(normal[:, 2]) < 0.999)[..., None],
+                   jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], f32), (n, 3)),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], f32), (n, 3)))
+    tangent = jnp.cross(up, normal)
+    tangent = tangent / jnp.maximum(jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-12)
+    bitangent = jnp.cross(normal, tangent)
+
+    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    sqrt_n = int(settings.sqrt_num_samples)
+    u2 = cmj.sample_cmj_2d(sample_index, sqrt_n, sqrt_n, pixel_idx)
+    dir_ts = sample_cosine_hemisphere(u2[..., 0], u2[..., 1])
+    ray_dir = (dir_ts[:, 0:1] * tangent + dir_ts[:, 1:2] * bitangent
+               + dir_ts[:, 2:3] * normal)
+    ray_o = pos + ray_dir * 1e-5
+
+    n_tiles = max(1, -(-n // BAKE_TILE))
+    while n_tiles > 1 and n % n_tiles != 0:
+        n_tiles += 1
+
+    def trace(args):
+        o, d, pix, act = args
+        return trace_paths(scene, bvh, sky_cube, settings, frame,
+                           o, d, jnp.full(o.shape[:1], FP32Max, f32), pix, n,
+                           first_set_idx=1, initial_is_diffuse=True,
+                           t_min0=1e-4, active0=act, sample_idx=sample_index)
+
+    if n_tiles > 1:
+        tile = n // n_tiles
+        radiance = jax.lax.map(trace, (
+            ray_o.reshape(n_tiles, tile, 3), ray_dir.reshape(n_tiles, tile, 3),
+            pixel_idx.reshape(n_tiles, tile), covered.reshape(n_tiles, tile)))
+        radiance = radiance.reshape(n, 3)
+    else:
+        radiance = trace((ray_o, ray_dir, pixel_idx, covered))
+
+    # --- firefly clamp + validity accumulation (Baking.hlsl:426-465) ---
+    color_sum = accum[..., :3].reshape(n, 3)
+    valid_count = accum[..., 3].reshape(n)
+    luma = jnp.asarray(_LUMA)
+
+    avg = color_sum / jnp.maximum(valid_count, 1.0)[..., None]
+    avg_lum = jnp.sum(avg * luma, axis=-1) + 0.001
+    smp_lum = jnp.sum(radiance * luma, axis=-1)
+    clamp_scale = jnp.where(
+        (valid_count >= 1.0) & (smp_lum > avg_lum * FIREFLY_MULTIPLIER),
+        avg_lum * FIREFLY_MULTIPLIER / jnp.maximum(smp_lum, 1e-20), 1.0)
+    new_sample = radiance * clamp_scale[..., None]
+
+    is_nan = jnp.any(jnp.isnan(new_sample), axis=-1)
+    lum = jnp.sum(new_sample * luma, axis=-1)
+    valid = covered & ~is_nan & (lum >= MIN_LUMINANCE)
+
+    color_sum = color_sum + jnp.where(valid[..., None], new_sample, 0.0)
+    valid_count = valid_count + valid.astype(f32)
+    return jnp.concatenate([color_sum, valid_count[..., None]], -1).reshape(s_res, s_res, 4)
+
+
+def lightmap_from_accum(accum):
+    """colorSum / validCount (zero where no valid samples)."""
+    count = accum[..., 3:4]
+    return jnp.where(count > 0.0, accum[..., :3] / jnp.maximum(count, 1.0), 0.0)
+
+
+class Baker:
+    """Progressive bake session (the HUD 'Start Baking' flow,
+    DXRPathTracer.cpp:2225-2240 + per-frame RenderBakingPass :1993-2022)."""
+
+    def __init__(self, session, resolution: int = 512):
+        self.session = session
+        self.resolution = resolution
+        self.atlas = build_lightmap_atlas(int(session.scene_host.num_triangles))
+        self.surface_maps = build_surface_maps(session.scene_host, self.atlas,
+                                               resolution)
+        self.accum = jnp.zeros((resolution, resolution, 4), jnp.float32)
+        self.sample_index = 0
+        self._step = self._build_step()
+
+    def _build_step(self):
+        @partial(jax.jit, static_argnames=("settings",), donate_argnums=(2,))
+        def step(scene, bvh, accum, sky_cube, frame, pos, nrm, sample_index, settings):
+            return bake_sample(scene, bvh, sky_cube, settings, frame,
+                               pos, nrm, accum, sample_index)
+        return step
+
+    def bake_step(self):
+        sess = self.session
+        frame = sess.frame_constants(sess.sample_idx)
+        self.accum = self._step(sess.scene, sess.bvh, self.accum,
+                                sess._sky_cube_dev, frame,
+                                self.surface_maps["position"],
+                                self.surface_maps["normal"],
+                                jnp.uint32(self.sample_index), sess.settings)
+        self.sample_index += 1
+
+    def lightmap(self):
+        return lightmap_from_accum(self.accum)
+
+    def denoised_lightmap(self, mode: str = "median"):
+        from ..render.denoise import atrous_denoise, median_filter_3x3
+        lm = self.lightmap()
+        if mode == "median":
+            return median_filter_3x3(lm)
+        valid = self.accum[..., 3] > 0.0
+        return atrous_denoise(lm, valid=valid)

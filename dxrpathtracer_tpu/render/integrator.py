@@ -139,13 +139,16 @@ def _from_tangent(v_ts, tan, bit, nrm):
 
 def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                 ray_o, ray_d, t_max, pixel_idx, total_num_pixels: int,
-                first_set_idx: int = 1):
+                first_set_idx: int = 1, initial_is_diffuse: bool = False,
+                t_min0=0.0, active0=None, sample_idx=None):
     """Trace a wavefront of rays to completion; returns (N, 3) radiance.
 
     ray_o/ray_d/t_max describe the depth-1 rays (already jittered primaries for
     the interactive path, or hemisphere rays for the baker). `first_set_idx` is
     the CMJ sample-set index consumed by the *first* PathTrace vertex (the
-    raygen shader consumed set 0 for the pixel jitter).
+    raygen shader consumed set 0 for the pixel jitter). The baker sets
+    initial_is_diffuse=True / t_min0=1e-4 (BakeRayGen, Baking.hlsl:395-409) and
+    passes its own sample counter via `sample_idx`.
     """
     from ..core.sampling import sample_cosine_hemisphere, sample_ggx_visible_normal
 
@@ -155,10 +158,11 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
 
     total = jnp.zeros((n, 3), f32)
     beta = jnp.ones((n, 3), f32)
-    active = jnp.ones((n,), jnp.bool_)
-    prev_is_diffuse = jnp.zeros((n,), jnp.bool_)
+    active = jnp.ones((n,), jnp.bool_) if active0 is None else active0
+    prev_is_diffuse = jnp.full((n,), bool(initial_is_diffuse))
     prev_roughness = jnp.zeros((n,), f32)
-    t_min = jnp.zeros((n,), f32)
+    t_min = jnp.full((n,), t_min0, f32)
+    cmj_sample_idx = frame.curr_sample_idx if sample_idx is None else sample_idx
 
     sqrt_n = int(s.sqrt_num_samples)
     furnace = bool(s.enable_white_furnace_mode)
@@ -328,7 +332,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         set_idx = first_set_idx + (depth - 1)
         permutation = (jnp.uint32(set_idx) * jnp.uint32(total_num_pixels)
                        + pixel_idx.astype(jnp.uint32))
-        uv2 = cmj.sample_cmj_2d(frame.curr_sample_idx, sqrt_n, sqrt_n, permutation)
+        uv2 = cmj.sample_cmj_2d(cmj_sample_idx, sqrt_n, sqrt_n, permutation)
         bx = uv2[..., 0]
         by = uv2[..., 1]
 
