@@ -151,6 +151,29 @@ class RenderSession:
         return self.accum
 
     # ------------------------------------------------------------------
+    def render_raster_frame(self, lightmap=None, lightmap_uvs=None):
+        """One forward-rendered frame (EnableRayTracing=false path,
+        DXRPathTracer::Render :1538-1559): cluster binning + ray-cast forward
+        shading + skybox + weighted resolve. Returns (H, W, 3) radiance."""
+        from ..render.clusters import build_cluster_masks, froxel_bounding_spheres
+        from ..render.raster import forward_render
+
+        self._update_sky()
+        spheres, dims = froxel_bounding_spheres(self.width, self.height, self.camera)
+        with self.profiler.gpu_scope("RenderClusters"):
+            masks = build_cluster_masks(jax.device_put(self.scene.lights),
+                                        spheres)
+        frame = self.frame_constants(self.sample_idx)
+        sky_sh = jnp.asarray(self.sky.sh9) if self.sky.sh9 is not None else None
+        with self.profiler.gpu_scope("RenderForward"):
+            img = forward_render(
+                self.scene, self.bvh, self._sky_cube_dev, sky_sh,
+                self.settings, frame, self.width, self.height,
+                masks, dims, self.camera.forward(),
+                self.camera.near_clip, self.camera.far_clip,
+                lightmap=lightmap, lightmap_uvs=lightmap_uvs)
+        return img
+
     def display_image(self):
         """Tone-mapped display output (PostProcessor::Render)."""
         s = self.settings

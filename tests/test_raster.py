@@ -1,0 +1,116 @@
+"""Forward (raster-mode) renderer, clusters, cascades tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dxrpathtracer_tpu.app.settings import AppSettings, MSAAModes, Scenes
+from dxrpathtracer_tpu.render.clusters import (build_cluster_masks,
+                                               froxel_bounding_spheres,
+                                               sphere_cone_intersection)
+from dxrpathtracer_tpu.render.shadows import cascade_splits, prepare_cascades
+from dxrpathtracer_tpu.scene.types import make_spot_lights
+
+
+def test_sphere_cone_intersection_basics():
+    tip = jnp.asarray([[0.0, 0.0, 0.0]])
+    axis = jnp.asarray([[0.0, 0.0, 1.0]])
+    height = jnp.asarray([10.0])
+    angle = jnp.asarray([np.deg2rad(60.0)])
+    centers = jnp.asarray([
+        [0.0, 0.0, 5.0],    # on axis, inside
+        [0.0, 0.0, -5.0],   # behind the tip
+        [0.0, 0.0, 25.0],   # beyond the cap (radius 1)
+        [8.0, 0.0, 5.0],    # far off to the side
+        [3.2, 0.0, 5.0],    # near the cone surface (boundary ~2.89 + r)
+    ])
+    radii = jnp.asarray([1.0, 1.0, 1.0, 1.0, 1.0])
+    hit = np.asarray(sphere_cone_intersection(tip, axis, height, angle,
+                                              centers, radii))[:, 0]
+    assert hit[0] and not hit[1] and not hit[2] and not hit[3] and hit[4]
+
+
+def test_froxel_spheres_cover_frustum():
+    from dxrpathtracer_tpu.render.camera import FirstPersonCamera
+    cam = FirstPersonCamera(aspect=1.0)
+    cam.set_position((0, 0, 0))
+    spheres, (nx, ny, nz) = froxel_bounding_spheres(64, 64, cam)
+    assert spheres.shape == (nx * ny * nz, 4)
+    assert (spheres[:, 3] > 0).all()
+    # A point straight ahead at mid depth must be inside some froxel sphere
+    p = np.array([0.0, 0.0, 50.0])
+    d = np.linalg.norm(spheres[:, :3] - p, axis=1)
+    assert (d <= spheres[:, 3]).any()
+
+
+def test_cluster_masks_select_correct_lights():
+    from dxrpathtracer_tpu.render.camera import FirstPersonCamera
+    cam = FirstPersonCamera(aspect=1.0)
+    cam.set_position((0, 0, 0))
+    lights = make_spot_lights(
+        positions=[[0.0, 0.0, 5.0], [1000.0, 0.0, 5.0]],
+        directions=[[0.0, -1.0, 0.0], [0.0, -1.0, 0.0]],
+        intensities=[[1, 1, 1], [1, 1, 1]],
+        angular_attenuation=[[0.5, 1.0], [0.5, 1.0]])
+    spheres, dims = froxel_bounding_spheres(64, 64, cam)
+    masks = np.asarray(build_cluster_masks(lights, jnp.asarray(spheres)))
+    # Light 0 (in front of the camera) must land in some clusters
+    assert (masks & 1).any()
+    # Light 1 is 1000 units off to the side: no cluster within the frustum
+    assert not (masks & 2).any()
+
+
+def test_cascade_splits_monotone():
+    s = cascade_splits()
+    assert len(s) == 4
+    assert s[-1] == 1.0 or abs(s[-1] - 1.0) < 1e-6
+    assert (np.diff(s) > 0).all()
+
+
+def test_prepare_cascades():
+    from dxrpathtracer_tpu.render.camera import FirstPersonCamera
+    cam = FirstPersonCamera()
+    cam.set_position((0, 2, 0))
+    sun = np.array([0.26, 0.987, -0.16])
+    cascades = prepare_cascades(cam, sun)
+    assert len(cascades) == 4
+    radii = [c.radius for c in cascades]
+    assert all(np.isfinite(radii)) and (np.diff(radii) > 0).all()
+    # Cascade transform maps its own center near the light-space origin (xy)
+    for c in cascades:
+        h = np.append(c.center, 1.0) @ c.view_proj
+        assert abs(h[0]) < 0.1 and abs(h[1]) < 0.1
+
+
+def test_forward_render_boxtest():
+    from dxrpathtracer_tpu.app.session import RenderSession
+    sess = RenderSession(
+        settings=AppSettings(current_scene=Scenes.BoxTest,
+                             msaa_mode=MSAAModes.MSAANone),
+        width=32, height=32)
+    img = np.asarray(sess.render_raster_frame())
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0  # sun-lit scene is not black
+    # Sky pixels (top rows look above the horizon) roughly match cubemap scale
+    assert img[0].mean() > 0.1
+
+
+def test_forward_render_lightmap_mode():
+    import jax
+    from dxrpathtracer_tpu.app.session import RenderSession
+    from dxrpathtracer_tpu.bake.baker import Baker
+
+    sess = RenderSession(
+        settings=AppSettings(current_scene=Scenes.BoxTest,
+                             msaa_mode=MSAAModes.MSAANone,
+                             enable_light_map_render=True,
+                             sqrt_num_samples=2),
+        width=24, height=24)
+    baker = Baker(sess, resolution=64)
+    for _ in range(4):
+        baker.bake_step()
+    lm = baker.lightmap()
+    uvs = jnp.asarray(baker.atlas.triangle_uvs())
+    img = np.asarray(sess.render_raster_frame(lightmap=lm, lightmap_uvs=uvs))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0
