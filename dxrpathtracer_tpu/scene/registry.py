@@ -96,6 +96,101 @@ def _white_furnace_standin_meshes() -> list[MeshData]:
     return [make_sphere(1.0, (0.0, 0.0, 0.0), n_lat=32, n_lon=64)]
 
 
+def _load_image_linear(path, srgb: bool) -> np.ndarray:
+    """Decode an image file to (H, W, 3/4) float32, optionally sRGB->linear."""
+    from PIL import Image
+    from .textures import srgb_to_linear
+    img = Image.open(path)
+    if img.mode not in ("RGB", "RGBA", "L"):
+        img = img.convert("RGBA")
+    arr = np.asarray(img).astype(np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if srgb:
+        arr = np.concatenate([srgb_to_linear(arr[..., :3]), arr[..., 3:]], -1) \
+            if arr.shape[-1] == 4 else srgb_to_linear(arr)
+    return arr
+
+
+def _load_fbx_scene_full(preset: ScenePreset):
+    """FBX load with materials/textures/lights (CreateWithAssimp parity)."""
+    from pathlib import Path
+
+    import jax.numpy  # noqa: F401  (keep device imports out of hot path)
+
+    from .fbx import load_fbx_scene
+    from .textures import AtlasBuilder, default_material_table
+    from .types import MaterialTable, make_spot_lights
+
+    path = Path("/root/reference") / preset.fbx_path
+    fbx = load_fbx_scene(path, scene_scale=preset.scene_scale)
+
+    tex_dir = path.parent
+    if preset.texture_dir:
+        tex_dir = (path.parent / preset.texture_dir).resolve()
+
+    builder = AtlasBuilder(resolution=256)
+    n_mats = len(fbx.material_textures)
+    table = {k: np.zeros(n_mats, np.int32) for k in
+             ("albedo", "normal", "roughness", "metallic", "opacity", "emissive")}
+    defaults = {"albedo": builder.default_albedo_srgb,  # ForceSRGB=true scenes
+                "normal": builder.default_normal,
+                "roughness": builder.default_roughness,
+                "metallic": builder.default_black,
+                "opacity": builder.default_white,
+                "emissive": builder.default_black}
+    # Some exporters (3dsMax) leave Texture filenames empty; fall back to
+    # keyword-matching files in the scene's texture directory.
+    dir_files = sorted(p.name for p in tex_dir.glob("*")) if tex_dir.exists() else []
+    keywords = {"albedo": ("diffuse", "albedo", "basecolor", "color"),
+                "normal": ("normal", "bump"),
+                "roughness": ("rough", "specular"),
+                "metallic": ("metal",),
+                "opacity": ("opacity", "alpha"),
+                "emissive": ("emissive", "emission")}
+
+    def dir_fallback(slot):
+        for kw in keywords[slot]:
+            for f in dir_files:
+                if kw in f.lower() and f.lower().endswith(
+                        (".png", ".jpg", ".jpeg", ".tga", ".bmp")):
+                    return f
+        return None
+
+    has_opacity = np.zeros(n_mats, bool)
+    for mi, slots in enumerate(fbx.material_textures):
+        for slot in table:
+            name = slots.get(slot) or dir_fallback(slot)
+            tex_idx = defaults[slot]
+            if name:
+                cand = tex_dir / name
+                if cand.exists():
+                    try:
+                        img = _load_image_linear(cand, srgb=(slot == "albedo"))
+                        tex_idx = builder.add(name, img)
+                        if slot == "opacity":
+                            has_opacity[mi] = True
+                    except Exception:
+                        pass
+            table[slot][mi] = tex_idx
+
+    materials = MaterialTable(
+        albedo=table["albedo"], normal=table["normal"],
+        roughness=table["roughness"], metallic=table["metallic"],
+        opacity=table["opacity"], emissive=table["emissive"],
+        has_opacity=has_opacity, any_opacity=bool(has_opacity.any()))
+
+    lights = make_spot_lights(
+        positions=[l.position for l in fbx.spot_lights],
+        directions=[-l.direction for l in fbx.spot_lights],  # :976 negation
+        intensities=[l.color * l.intensity * 2500.0 for l in fbx.spot_lights],
+        angular_attenuation=[[l.inner_angle, l.outer_angle] for l in fbx.spot_lights],
+    ) if fbx.spot_lights else make_spot_lights()
+
+    return build_scene(fbx.meshes, materials=materials, atlas_builder=builder,
+                       lights=lights)
+
+
 def load_scene_meshes(preset: ScenePreset) -> list[MeshData]:
     if preset.scene_enum == Scenes.BoxTest:
         return box_test_meshes()
@@ -117,5 +212,15 @@ def load_scene(scene_enum: Scenes) -> tuple[Scene, ScenePreset]:
     """Returns (scene, preset). The scene pytree has HOST numpy leaves — move
     it to device with one `jax.device_put(scene)` (see RenderSession)."""
     preset = PRESETS[scene_enum]
-    meshes = load_scene_meshes(preset)
-    return build_scene(meshes), preset
+    if preset.scene_enum == Scenes.BoxTest:
+        return build_scene(box_test_meshes()), preset
+    if preset.fbx_path is not None:
+        from pathlib import Path
+        if (Path("/root/reference") / preset.fbx_path).exists():
+            try:
+                return _load_fbx_scene_full(preset), preset
+            except Exception:
+                pass
+    if preset.scene_enum == Scenes.WhiteFurnace:
+        return build_scene(_white_furnace_standin_meshes()), preset
+    return build_scene(_sponza_standin_meshes()), preset
