@@ -68,13 +68,30 @@ def morton_codes_30(centroids: np.ndarray) -> np.ndarray:
     return (expand_bits(q[:, 0]) * 4 + expand_bits(q[:, 1]) * 2 + expand_bits(q[:, 2])).astype(np.uint32)
 
 
-def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4) -> FlatBVH:
-    """Build a FlatBVH from (T, 3) triangle vertices (host numpy -> device)."""
+def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4,
+              use_native: bool = True) -> FlatBVH:
+    """Build a FlatBVH from (T, 3) triangle vertices (host numpy -> device).
+
+    Uses the native C++ builder (native/lbvh_builder.cpp via ctypes) when
+    available; the numpy path below is the bit-identical reference
+    implementation and fallback.
+    """
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
     num_tris = v0.shape[0]
     assert num_tris > 0
+
+    if use_native:
+        from . import native
+        packed = native.build_packed(v0, v1, v2, leaf_size)
+        if packed is not None:
+            nodes_n, leaves_n, n_nodes, n_leaves = packed
+            return FlatBVH(
+                nodes=jnp.asarray(nodes_n),
+                leaves=jnp.asarray(leaves_n),
+                num_nodes=n_nodes, num_tris=int(num_tris),
+                num_leaves=n_leaves, leaf_size=int(leaf_size))
 
     centroids = (v0 + v1 + v2) / 3.0
     order = np.argsort(morton_codes_30(centroids), kind="stable").astype(np.int64)

@@ -1,0 +1,72 @@
+"""ctypes bridge to the native C++ LBVH builder (native/lbvh_builder.cpp).
+
+Compiled lazily with g++ on first use and cached next to the source; falls
+back to the numpy builder transparently if the toolchain is unavailable. Both
+builders produce bit-identical packed arrays (cross-checked in tests), so this
+is purely a host-side build-speed optimization — the reference's equivalent
+native component is the D3D12 driver's acceleration-structure builder.
+"""
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SRC = _NATIVE_DIR / "lbvh_builder.cpp"
+_LIB = _NATIVE_DIR / "liblbvh.so"
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 str(_SRC), "-o", str(_LIB)],
+                check=True, capture_output=True, timeout=300)
+        lib = ctypes.CDLL(str(_LIB))
+        lib.lbvh_count_nodes.restype = ctypes.c_int64
+        lib.lbvh_count_nodes.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                         ctypes.POINTER(ctypes.c_int64)]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.lbvh_build.restype = ctypes.c_int
+        lib.lbvh_build.argtypes = [f32p, f32p, f32p,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   f32p, ctypes.c_int64, f32p, ctypes.c_int64]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_packed(v0, v1, v2, leaf_size: int = 4):
+    """Native build -> (nodes (n,8) f32, leaves (n_leaves, ls*12) f32,
+    num_nodes, num_leaves) or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    t = v0.shape[0]
+    n_leaves = ctypes.c_int64(0)
+    n_nodes = lib.lbvh_count_nodes(t, leaf_size, ctypes.byref(n_leaves))
+    nodes = np.zeros((n_nodes, 8), np.float32)
+    leaves = np.zeros((max(n_leaves.value, 1), leaf_size * 12), np.float32)
+    rc = lib.lbvh_build(v0, v1, v2, t, leaf_size, nodes, n_nodes,
+                        leaves, max(n_leaves.value, 1))
+    if rc != 0:
+        return None
+    return nodes, leaves, int(n_nodes), int(n_leaves.value)

@@ -1,0 +1,187 @@
+"""Command-line renderer — the app shell.
+
+Replaces the reference's Win32 interactive app (App::Run message loop,
+App.cpp:55-87) with an offline CLI; every AppSettings field is auto-exposed as
+a flag (the settings registry generates the CLI the way the reference's
+SettingsCompiler generates the ImGui editor — SURVEY.md §5.6), plus the HUD's
+progress bar and Mrays/s estimate (DXRPathTracer.cpp:2132-2182) on stderr.
+
+Commands:
+  render — progressive path trace (or --raster forward mode) to PNG/NPY
+  bake   — GI lightmap bake + optional denoise to PNG/NPY
+  uvviz  — lightmap UV layout visualization (UVVisualizer.hlsl equivalent)
+"""
+
+import argparse
+import dataclasses
+import enum
+import sys
+import time
+
+import numpy as np
+
+from .settings import AppSettings, Scenes
+
+
+def _add_settings_flags(parser: argparse.ArgumentParser):
+    for f in dataclasses.fields(AppSettings):
+        name = "--" + f.name.replace("_", "-")
+        default = f.default
+        if isinstance(default, bool):
+            parser.add_argument(name, type=lambda v: v.lower() in ("1", "true", "yes"),
+                                default=None, metavar="BOOL")
+        elif isinstance(default, enum.IntEnum):
+            parser.add_argument(name, type=str, default=None,
+                                help=f"one of {[e.name for e in type(default)]}")
+        elif isinstance(default, (int, float)):
+            parser.add_argument(name, type=type(default), default=None)
+        elif isinstance(default, tuple):
+            parser.add_argument(name, type=float, nargs=len(default), default=None)
+
+
+def _settings_from_args(args) -> AppSettings:
+    kw = {}
+    for f in dataclasses.fields(AppSettings):
+        v = getattr(args, f.name, None)
+        if v is None:
+            continue
+        if isinstance(f.default, enum.IntEnum):
+            v = type(f.default)[v] if isinstance(v, str) else type(f.default)(v)
+        elif isinstance(f.default, tuple):
+            v = tuple(v)
+        kw[f.name] = v
+    return AppSettings(**kw)
+
+
+def _progress(i, total, t0, width, height, max_path_length):
+    dt = max(time.time() - t0, 1e-6)
+    rays = width * height * (1 + (max_path_length - 1) * 2) * (i + 1)
+    mrays = rays / dt / 1e6
+    bar = int(30 * (i + 1) / total)
+    sys.stderr.write(f"\r[{'#' * bar}{'.' * (30 - bar)}] {i + 1}/{total} samples "
+                     f"{mrays:7.1f} Mrays/s ")
+    sys.stderr.flush()
+
+
+def cmd_render(args):
+    from .session import RenderSession
+    from ..render.film import write_npy, write_png
+
+    settings = _settings_from_args(args)
+    t0 = time.time()
+    sess = RenderSession(settings=settings, width=args.width, height=args.height)
+    print(f"# scene={sess.preset.name} tris={sess.scene_host.num_triangles} "
+          f"bvh_nodes={sess.bvh.num_nodes} init={time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    if args.raster:
+        img = sess.render_raster_frame()
+        from ..render.postfx import post_process
+        s = sess.settings
+        disp = post_process(img, s.exposure, s.bloom_exposure, s.bloom_magnitude,
+                            s.bloom_blur_sigma)
+    else:
+        total = settings.total_samples
+        t0 = time.time()
+        while sess.sample_idx < total:
+            sess.render_frame(force=True)
+            if args.progress:
+                sess.accum.block_until_ready()
+                _progress(sess.sample_idx - 1, total, t0, args.width, args.height,
+                          settings.max_path_length)
+        sess.accum.block_until_ready()
+        if args.progress:
+            sys.stderr.write("\n")
+        disp = sess.display_image()
+
+    out = np.asarray(disp)
+    if args.output.endswith(".npy"):
+        write_npy(args.output, out)
+    else:
+        write_png(args.output, out)
+    if args.save_hdr:
+        write_npy(args.save_hdr, np.asarray(sess.accum))
+    print(f"# wrote {args.output}", file=sys.stderr)
+
+
+def cmd_bake(args):
+    from .session import RenderSession
+    from ..bake.baker import Baker
+    from ..render.film import write_npy, write_png
+    from ..render.postfx import tone_map_filmic_alu
+    from ..core.constants import FP16Scale
+
+    settings = _settings_from_args(args)
+    sess = RenderSession(settings=settings, width=8, height=8)
+    baker = Baker(sess, resolution=args.resolution)
+    t0 = time.time()
+    for i in range(args.samples):
+        baker.bake_step()
+        if args.progress:
+            baker.accum.block_until_ready()
+            _progress(i, args.samples, t0, args.resolution, args.resolution,
+                      settings.max_path_length)
+    if args.progress:
+        sys.stderr.write("\n")
+    lm = baker.denoised_lightmap(args.denoise) if args.denoise else baker.lightmap()
+    arr = np.asarray(lm)
+    if args.output.endswith(".npy"):
+        write_npy(args.output, arr)
+    else:
+        disp = tone_map_filmic_alu(arr * (2.0 ** settings.exposure) / FP16Scale)
+        write_png(args.output, np.asarray(disp))
+    print(f"# wrote {args.output}", file=sys.stderr)
+
+
+def cmd_uvviz(args):
+    from ..bake.lightmap_uv import build_lightmap_atlas
+    from ..render.uvviz import visualize_uvs
+    from ..render.film import write_png
+    from ..scene.registry import load_scene
+
+    settings = _settings_from_args(args)
+    scene, _ = load_scene(settings.current_scene)
+    atlas = build_lightmap_atlas(int(scene.num_triangles))
+    img = visualize_uvs(atlas, args.resolution)
+    write_png(args.output, img)
+    print(f"# wrote {args.output}", file=sys.stderr)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="dxrpathtracer_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_render = sub.add_parser("render", help="progressive path trace to an image")
+    p_render.add_argument("--width", type=int, default=1920)
+    p_render.add_argument("--height", type=int, default=1080)
+    p_render.add_argument("--output", type=str, default="render.png")
+    p_render.add_argument("--save-hdr", type=str, default=None,
+                          help="also save the raw HDR accumulation (.npy)")
+    p_render.add_argument("--raster", action="store_true",
+                          help="forward raster-mode path (EnableRayTracing=false)")
+    p_render.add_argument("--progress", action="store_true", default=True)
+    _add_settings_flags(p_render)
+    p_render.set_defaults(fn=cmd_render)
+
+    p_bake = sub.add_parser("bake", help="bake a GI lightmap")
+    p_bake.add_argument("--resolution", type=int, default=1024)
+    p_bake.add_argument("--samples", type=int, default=64)
+    p_bake.add_argument("--denoise", type=str, default=None,
+                        choices=[None, "median", "atrous"])
+    p_bake.add_argument("--output", type=str, default="lightmap.png")
+    p_bake.add_argument("--progress", action="store_true", default=True)
+    _add_settings_flags(p_bake)
+    p_bake.set_defaults(fn=cmd_bake)
+
+    p_uv = sub.add_parser("uvviz", help="visualize the lightmap UV layout")
+    p_uv.add_argument("--resolution", type=int, default=1024)
+    p_uv.add_argument("--output", type=str, default="uvs.png")
+    _add_settings_flags(p_uv)
+    p_uv.set_defaults(fn=cmd_uvviz)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,7 @@ class SkyCache:
     sun_render_color: np.ndarray | None = None
     cubemap: np.ndarray | None = None
     sh9: np.ndarray | None = None
+    sg_lobes: object | None = None
     model_name: str = ""
 
     def initialized(self) -> bool:
@@ -124,4 +125,10 @@ class SkyCache:
 
             self.cubemap = build_cubemap_from_fn(radiance_fn, self.resolution)
             self.sh9 = project_cubemap_sh9(self.cubemap)
+            # 9-lobe SG fit (SolveSGs NNLS parity, Skybox.cpp:216-231)
+            try:
+                from .sg import solve_sg_from_cubemap
+                self.sg_lobes = solve_sg_from_cubemap(self.cubemap)
+            except Exception:
+                self.sg_lobes = None
         return True

@@ -1,0 +1,35 @@
+"""Native C++ LBVH builder vs the numpy reference implementation."""
+
+import numpy as np
+import pytest
+
+from dxrpathtracer_tpu.accel import native
+from dxrpathtracer_tpu.accel.lbvh import build_bvh
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_builder_bit_identical():
+    rng = np.random.default_rng(7)
+    for t in (1, 2, 5, 100, 4097):
+        v0 = rng.uniform(-10, 10, (t, 3)).astype(np.float32)
+        v1 = v0 + rng.uniform(-0.5, 0.5, (t, 3)).astype(np.float32)
+        v2 = v0 + rng.uniform(-0.5, 0.5, (t, 3)).astype(np.float32)
+        bn = build_bvh(v0, v1, v2, use_native=True)
+        bp = build_bvh(v0, v1, v2, use_native=False)
+        assert bn.num_nodes == bp.num_nodes
+        assert bn.num_leaves == bp.num_leaves
+        # NaN bit patterns live in the bitcast link/ID columns: compare bytes.
+        assert np.asarray(bn.nodes).tobytes() == np.asarray(bp.nodes).tobytes()
+        assert np.asarray(bn.leaves).tobytes() == np.asarray(bp.leaves).tobytes()
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_count_nodes():
+    packed = native.build_packed(
+        np.zeros((10, 3), np.float32) + np.arange(10, dtype=np.float32)[:, None],
+        np.ones((10, 3), np.float32) + np.arange(10, dtype=np.float32)[:, None],
+        np.full((10, 3), 0.5, np.float32) + np.arange(10, dtype=np.float32)[:, None])
+    assert packed is not None
+    nodes, leaves, n_nodes, n_leaves = packed
+    assert nodes.shape == (n_nodes, 8)
+    assert leaves.shape == (n_leaves, 48)
