@@ -1,23 +1,28 @@
-"""LBVH construction (host-side, vectorized numpy) with a TPU-packed layout.
+"""Wide-BVH construction (host-side) with a TPU-tuned unified record layout.
 
 TPU-native replacement for the reference's driver-built DXR acceleration
 structures (BuildRTAccelerationStructure, DXRPathTracer.cpp:2331-2488): the
-reference hands one BLAS's geometry descs to the D3D12 driver and gets an opaque
-hardware BVH; here we own the build. Morton-ordered median-split LBVH, built
-level-by-level with fully vectorized numpy (np.minimum.reduceat per level), laid
-out in BFS order with *skip links* so traversal is stackless and uniform —
-the property that matters on TPU, where every ray must execute the same
-instruction stream (`hit -> left child, miss/leaf-done -> skip link`).
+reference hands one BLAS's geometry descs to the D3D12 driver and gets an
+opaque hardware BVH; here we own the build.
 
-Memory layout is tuned for wavefront traversal on TPU, where every gather is a
-separate kernel and kernel-launch overhead dominates:
-  - `nodes` (n, 8) f32   — [lo.xyz, hi.xyz, bitcast(next_if_hit), bitcast(skip)]
-    ONE gather fetches a node's AABB and both links. `next_if_hit` is the left
-    child for internal nodes and `~leaf_idx` (negative) for leaves.
-  - `leaves` (n_leaves, leaf_size*12) f32 — per-leaf packed triangles
-    [v0.xyz, e1.xyz, e2.xyz, bitcast(tri_id), pad, pad] x leaf_size; ONE gather
-    fetches all of a leaf's triangles (padded slots have tri_id == -1 and
-    degenerate zero edges that can never report a hit).
+Design is driven by measured TPU gather behavior: gathers are ROW-count bound
+(~constant cost per row up to 512B rows), so traversal wants FEW, WIDE rows.
+Hence an 8-ary BVH over the morton-sorted triangle order whose every node —
+internal or leaf — is ONE 128-float (512B) record in a single unified table:
+
+  internal record (SoA over the 8 children):
+    [0:8)   loX   [8:16)  loY   [16:24) loZ
+    [24:32) hiX   [32:40) hiY   [40:48) hiZ
+    [48:56) bitcast(child codes)   [56:128) zero
+    child code: >= 0 -> internal row index; < 0 -> ~leaf row index;
+    empty slots have inverted bounds (never hit) and code 0.
+  leaf record (up to LEAF_SIZE=10 packed triangles):
+     [t*12 : t*12+12) = [v0.xyz, e1.xyz, e2.xyz, bitcast(tri_id), pad, pad]
+    padded slots have tri_id == -1 and degenerate zero edges (never hit).
+
+One gather per traversal step fetches everything the step needs; 8-ary
+branching keeps the tree ~6 levels deep for Sponza-class scenes, so the
+lockstep wavefront loop runs tens of iterations instead of hundreds.
 """
 
 import dataclasses
@@ -27,7 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TRI_STRIDE = 12  # f32 slots per packed triangle
+WIDTH = 8          # children per internal node
+LEAF_SIZE = 10     # triangles per leaf record
+TRI_STRIDE = 12    # f32 slots per packed triangle
+RECORD = 128       # f32 slots per unified record (512 B)
 
 
 def _register(cls, meta=()):
@@ -36,19 +44,17 @@ def _register(cls, meta=()):
     return cls
 
 
-@partial(_register, meta=("num_nodes", "num_tris", "num_leaves", "leaf_size"))
+@partial(_register, meta=("num_rows", "num_tris", "num_leaves", "leaf_size",
+                          "max_depth", "root_code"))
 @dataclasses.dataclass(frozen=True)
 class FlatBVH:
-    nodes: jax.Array    # (n, 8) f32 packed node records (see module doc)
-    leaves: jax.Array   # (n_leaves, leaf_size * TRI_STRIDE) f32 packed triangles
-    num_nodes: int = 0
+    table: jax.Array  # (num_rows, RECORD) f32 unified records
+    num_rows: int = 0
     num_tris: int = 0
     num_leaves: int = 0
-    leaf_size: int = 4
-
-    @property
-    def end_sentinel(self) -> int:
-        return self.num_nodes
+    leaf_size: int = LEAF_SIZE
+    max_depth: int = 16   # tree depth (stack sizing: (WIDTH-1) * max_depth)
+    root_code: int = 0    # >= 0 internal row; < 0 ~leaf row (single-leaf scene)
 
 
 def morton_codes_30(centroids: np.ndarray) -> np.ndarray:
@@ -68,151 +74,150 @@ def morton_codes_30(centroids: np.ndarray) -> np.ndarray:
     return (expand_bits(q[:, 0]) * 4 + expand_bits(q[:, 1]) * 2 + expand_bits(q[:, 2])).astype(np.uint32)
 
 
-def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4,
-              use_native: bool = True) -> FlatBVH:
+def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+              leaf_size: int = LEAF_SIZE, use_native: bool = True) -> FlatBVH:
     """Build a FlatBVH from (T, 3) triangle vertices (host numpy -> device).
 
     Uses the native C++ builder (native/lbvh_builder.cpp via ctypes) when
-    available; the numpy path below is the bit-identical reference
-    implementation and fallback.
+    available; the numpy path is the bit-identical reference implementation.
     """
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
     num_tris = v0.shape[0]
     assert num_tris > 0
+    assert leaf_size <= LEAF_SIZE
 
     if use_native:
         from . import native
         packed = native.build_packed(v0, v1, v2, leaf_size)
         if packed is not None:
-            nodes_n, leaves_n, n_nodes, n_leaves = packed
-            return FlatBVH(
-                nodes=jnp.asarray(nodes_n),
-                leaves=jnp.asarray(leaves_n),
-                num_nodes=n_nodes, num_tris=int(num_tris),
-                num_leaves=n_leaves, leaf_size=int(leaf_size))
+            table, num_rows, num_leaves, depth, root_code = packed
+            return FlatBVH(table=jnp.asarray(table), num_rows=num_rows,
+                           num_tris=int(num_tris), num_leaves=num_leaves,
+                           leaf_size=int(leaf_size), max_depth=depth + 2,
+                           root_code=root_code)
 
+    table, num_rows, num_leaves, depth, root_code = build_table_numpy(
+        v0, v1, v2, leaf_size)
+    return FlatBVH(table=jnp.asarray(table),
+                   num_rows=num_rows,
+                   num_tris=int(num_tris), num_leaves=num_leaves,
+                   leaf_size=int(leaf_size), max_depth=depth + 2,
+                   root_code=root_code)
+
+
+def build_table_numpy(v0, v1, v2, leaf_size: int = LEAF_SIZE):
+    """Reference host build. Returns (table, num_rows, num_leaves, depth,
+    root_code)."""
+    num_tris = v0.shape[0]
     centroids = (v0 + v1 + v2) / 3.0
     order = np.argsort(morton_codes_30(centroids), kind="stable").astype(np.int64)
     sv0, sv1, sv2 = v0[order], v1[order], v2[order]
     tri_lo = np.minimum(np.minimum(sv0, sv1), sv2)
     tri_hi = np.maximum(np.maximum(sv0, sv1), sv2)
+    # Prefix min/max over the sorted order enable O(1) range AABBs via
+    # cummin arrays (numpy: use np.minimum.accumulate both directions is not
+    # enough for arbitrary ranges; we compute per-node AABBs bottom-up below).
 
-    # --- Level-by-level BFS construction over contiguous morton ranges ---
+    # --- BFS 8-ary construction over contiguous morton ranges ---
+    nodes = []         # per row: dict(lo, hi (range), children list or None)
     levels = []
-    ranges = np.array([[0, num_tris]], np.int64)
-    node_base = 0
-    all_l, all_r = [], []
-    while ranges.size:
-        k = ranges.shape[0]
-        all_l.append(ranges[:, 0])
-        all_r.append(ranges[:, 1])
-        counts = ranges[:, 1] - ranges[:, 0]
-        internal = counts > leaf_size
-        li, ri = ranges[internal, 0], ranges[internal, 1]
-        mid = (li + ri) // 2
-        child_ranges = np.empty((int(internal.sum()) * 2, 2), np.int64)
-        child_ranges[0::2, 0] = li
-        child_ranges[0::2, 1] = mid
-        child_ranges[1::2, 0] = mid
-        child_ranges[1::2, 1] = ri
-        levels.append({"internal": internal, "base": node_base,
-                       "l": ranges[:, 0], "r": ranges[:, 1]})
-        node_base += k
-        ranges = child_ranges
+    ranges = [(0, num_tris)]
+    rows = [(0, num_tris)]
+    # First pass: assign rows in BFS order
+    row_ranges = []
+    row_is_leaf = []
+    level_slices = []
+    cur = ranges
+    while cur:
+        start_row = len(row_ranges)
+        nxt = []
+        for (lo, hi) in cur:
+            row_ranges.append((lo, hi))
+            if hi - lo > leaf_size:
+                row_is_leaf.append(False)
+                cnt = hi - lo
+                bounds = [lo + (cnt * k) // WIDTH for k in range(WIDTH + 1)]
+                for k in range(WIDTH):
+                    nxt.append((bounds[k], bounds[k + 1]))
+            else:
+                row_is_leaf.append(True)
+        level_slices.append((start_row, len(row_ranges)))
+        cur = nxt
+    depth = len(level_slices)
+    n_rows = len(row_ranges)
+    row_is_leaf = np.asarray(row_is_leaf)
+    row_ranges = np.asarray(row_ranges, np.int64)
+    num_leaves = int(row_is_leaf.sum())
 
-    n = node_base
-    l_arr = np.concatenate(all_l)
-    r_arr = np.concatenate(all_r)
-    left = np.full(n, -1, np.int64)
-    skip = np.full(n, n, np.int64)
-    tri_count = np.zeros(n, np.int64)
+    # children row ids: BFS order means each level's children are laid out
+    # consecutively after it, WIDTH per internal node in order.
+    child_row = np.full((n_rows, WIDTH), -1, np.int64)
+    for li, (s, e) in enumerate(level_slices[:-1]):
+        base = level_slices[li + 1][0]
+        internal_ids = np.arange(s, e)[~row_is_leaf[s:e]]
+        for j, rid in enumerate(internal_ids):
+            child_row[rid] = base + j * WIDTH + np.arange(WIDTH)
 
-    for lev in levels:
-        base = lev["base"]
-        internal = lev["internal"]
-        k = internal.shape[0]
-        node_ids = base + np.arange(k)
-        counts = lev["r"] - lev["l"]
-        tri_count[node_ids[~internal]] = counts[~internal]
-        if internal.any():
-            child_base = base + k
-            first_child = child_base + np.cumsum(internal) * 2 - 2
-            fc = first_child[internal]
-            ids = node_ids[internal]
-            left[ids] = fc
-            skip[fc] = fc + 1  # left child's skip = right sibling
-    # Right-child skip = parent's skip; parents are final when processed top-down.
-    for lev in levels:
-        base = lev["base"]
-        internal = lev["internal"]
-        ids = (base + np.arange(internal.shape[0]))[internal]
-        if ids.size:
-            fc = left[ids]
-            skip[fc + 1] = skip[ids]
+    # AABBs bottom-up
+    lo_arr = np.empty((n_rows, 3), np.float32)
+    hi_arr = np.empty((n_rows, 3), np.float32)
+    for li in range(depth - 1, -1, -1):
+        s, e = level_slices[li]
+        for rid in range(s, e):
+            l, h = row_ranges[rid]
+            if row_is_leaf[rid]:
+                lo_arr[rid] = tri_lo[l:h].min(axis=0)
+                hi_arr[rid] = tri_hi[l:h].max(axis=0)
+            else:
+                ch = child_row[rid]
+                lo_arr[rid] = lo_arr[ch].min(axis=0)
+                hi_arr[rid] = hi_arr[ch].max(axis=0)
 
-    # --- AABBs, bottom-up ---
-    lo = np.empty((n, 3), np.float32)
-    hi = np.empty((n, 3), np.float32)
-    for lev in reversed(levels):
-        base = lev["base"]
-        internal = lev["internal"]
-        node_ids = base + np.arange(internal.shape[0])
-        leaf_ids = node_ids[~internal]
-        if leaf_ids.size:
-            bounds = np.stack([l_arr[leaf_ids], r_arr[leaf_ids]], -1).reshape(-1)
-            if bounds[-1] == num_tris:
-                bounds = bounds[:-1]
-            lo[leaf_ids] = np.minimum.reduceat(tri_lo, bounds, axis=0)[0::2]
-            hi[leaf_ids] = np.maximum.reduceat(tri_hi, bounds, axis=0)[0::2]
-        int_ids = node_ids[internal]
-        if int_ids.size:
-            fc = left[int_ids]
-            lo[int_ids] = np.minimum(lo[fc], lo[fc + 1])
-            hi[int_ids] = np.maximum(hi[fc], hi[fc + 1])
+    # codes: unified row index; leaves encoded as ~row
+    code_of = np.where(row_is_leaf, ~np.arange(n_rows), np.arange(n_rows)).astype(np.int32)
 
-    # --- Packed layouts ---
-    is_leaf = tri_count > 0
-    leaf_ids = np.where(is_leaf)[0]
-    n_leaves = leaf_ids.size
-    leaf_index_of_node = np.zeros(n, np.int64)
-    leaf_index_of_node[leaf_ids] = np.arange(n_leaves)
-
-    # next_if_hit: left child for internal; ~leaf_idx (negative) for leaves
-    next_if_hit = np.where(is_leaf, ~leaf_index_of_node, left).astype(np.int32)
-
-    nodes = np.zeros((n, 8), np.float32)
-    nodes[:, 0:3] = lo
-    nodes[:, 3:6] = hi
-    nodes[:, 6] = next_if_hit.view(np.float32)
-    nodes[:, 7] = skip.astype(np.int32).view(np.float32)
-
-    leaves = np.zeros((max(n_leaves, 1), leaf_size, TRI_STRIDE), np.float32)
-    # Padded slots: tri_id = -1, zero edges (Möller–Trumbore det == 0 -> miss).
-    leaves[:, :, 9] = np.float32(np.int32(-1).view(np.float32))
+    table = np.zeros((n_rows, RECORD), np.float32)
+    # leaf records
+    leaf_ids = np.where(row_is_leaf)[0]
+    sorted_tri_id = order.astype(np.int32)
     e1 = sv1 - sv0
     e2 = sv2 - sv0
-    sorted_tri_id = order.astype(np.int32)
-    starts = l_arr[leaf_ids]
-    counts = tri_count[leaf_ids]
+    neg1 = np.float32(np.int32(-1).view(np.float32))
     for k in range(leaf_size):
-        sel = counts > k
-        src = starts[sel] + k
-        dst = np.where(sel)[0]
-        leaves[dst, k, 0:3] = sv0[src]
-        leaves[dst, k, 3:6] = e1[src]
-        leaves[dst, k, 6:9] = e2[src]
-        leaves[dst, k, 9] = sorted_tri_id[src].view(np.float32)
+        table[leaf_ids, k * TRI_STRIDE + 9] = neg1
+    for k in range(LEAF_SIZE):
+        if k >= leaf_size:
+            break
+        sel = (row_ranges[leaf_ids, 1] - row_ranges[leaf_ids, 0]) > k
+        rid = leaf_ids[sel]
+        src = row_ranges[rid, 0] + k
+        base = k * TRI_STRIDE
+        table[rid, base:base + 3] = sv0[src]
+        table[rid, base + 3:base + 6] = e1[src]
+        table[rid, base + 6:base + 9] = e2[src]
+        table[rid, base + 9] = sorted_tri_id[src].view(np.float32)
 
-    return FlatBVH(
-        nodes=jnp.asarray(nodes),
-        leaves=jnp.asarray(leaves.reshape(max(n_leaves, 1), leaf_size * TRI_STRIDE)),
-        num_nodes=int(n),
-        num_tris=int(num_tris),
-        num_leaves=int(n_leaves),
-        leaf_size=int(leaf_size),
-    )
+    # internal records
+    int_ids = np.where(~row_is_leaf)[0]
+    if int_ids.size:
+        ch = child_row[int_ids]  # (I, 8)
+        # empty-child handling not needed: count > leaf_size >= 8 guarantees
+        # nonempty children; still guard against degenerate leaf_size < 8.
+        valid = ch >= 0
+        ch_safe = np.maximum(ch, 0)
+        inf = np.float32(3e38)
+        for ax in range(3):
+            lo_c = np.where(valid, lo_arr[ch_safe, ax], inf)
+            hi_c = np.where(valid, hi_arr[ch_safe, ax], -inf)
+            table[int_ids, 0 + ax * WIDTH + 0:0 + ax * WIDTH + WIDTH] = lo_c
+            table[int_ids, 24 + ax * WIDTH + 0:24 + ax * WIDTH + WIDTH] = hi_c
+        codes = np.where(valid, code_of[ch_safe], 0).astype(np.int32)
+        table[int_ids, 48:56] = codes.view(np.float32)
+
+    root_code = int(code_of[0])
+    return table, int(n_rows), num_leaves, depth, root_code
 
 
 def build_bvh_for_scene(scene, positions=None, tri_idx=None) -> FlatBVH:

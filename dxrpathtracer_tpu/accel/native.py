@@ -33,14 +33,16 @@ def _load():
                  str(_SRC), "-o", str(_LIB)],
                 check=True, capture_output=True, timeout=300)
         lib = ctypes.CDLL(str(_LIB))
-        lib.lbvh_count_nodes.restype = ctypes.c_int64
-        lib.lbvh_count_nodes.argtypes = [ctypes.c_int64, ctypes.c_int64,
-                                         ctypes.POINTER(ctypes.c_int64)]
+        lib.lbvh_count3.restype = ctypes.c_int64
+        lib.lbvh_count3.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.POINTER(ctypes.c_int64)]
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        lib.lbvh_build.restype = ctypes.c_int
-        lib.lbvh_build.argtypes = [f32p, f32p, f32p,
-                                   ctypes.c_int64, ctypes.c_int64,
-                                   f32p, ctypes.c_int64, f32p, ctypes.c_int64]
+        lib.lbvh_build3.restype = ctypes.c_int
+        lib.lbvh_build3.argtypes = [f32p, f32p, f32p,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    f32p, ctypes.c_int64]
         _lib = lib
     except Exception:
         _lib = None
@@ -51,9 +53,9 @@ def available() -> bool:
     return _load() is not None
 
 
-def build_packed(v0, v1, v2, leaf_size: int = 4):
-    """Native build -> (nodes (n,8) f32, leaves (n_leaves, ls*12) f32,
-    num_nodes, num_leaves) or None when the native library is unavailable."""
+def build_packed(v0, v1, v2, leaf_size: int = 10):
+    """Native build -> (table (rows,128) f32, num_rows, num_leaves, depth,
+    root_code) or None when unavailable."""
     lib = _load()
     if lib is None:
         return None
@@ -62,11 +64,12 @@ def build_packed(v0, v1, v2, leaf_size: int = 4):
     v2 = np.ascontiguousarray(v2, np.float32)
     t = v0.shape[0]
     n_leaves = ctypes.c_int64(0)
-    n_nodes = lib.lbvh_count_nodes(t, leaf_size, ctypes.byref(n_leaves))
-    nodes = np.zeros((n_nodes, 8), np.float32)
-    leaves = np.zeros((max(n_leaves.value, 1), leaf_size * 12), np.float32)
-    rc = lib.lbvh_build(v0, v1, v2, t, leaf_size, nodes, n_nodes,
-                        leaves, max(n_leaves.value, 1))
+    depth = ctypes.c_int64(0)
+    root_code = ctypes.c_int64(0)
+    n_rows = lib.lbvh_count3(t, leaf_size, ctypes.byref(n_leaves),
+                             ctypes.byref(depth), ctypes.byref(root_code))
+    table = np.zeros((max(n_rows, 1), 128), np.float32)
+    rc = lib.lbvh_build3(v0, v1, v2, t, leaf_size, table, n_rows)
     if rc != 0:
         return None
-    return nodes, leaves, int(n_nodes), int(n_leaves.value)
+    return table, int(n_rows), int(n_leaves.value), int(depth.value), int(root_code.value)

@@ -1,20 +1,27 @@
-"""Vectorized stackless BVH traversal — the TPU replacement for DXR TraceRay.
+"""Ordered wide-BVH traversal — the TPU replacement for DXR TraceRay.
 
 The reference's per-ray MIMD hardware traversal (RayTrace.hlsl:138,258,407
-`TraceRay`, max recursion 8) becomes a wavefront: every ray in a flat batch steps
-through the threaded BVH in lockstep inside one `lax.while_loop`. Control flow is
-uniform — divergence is data (masks), which is exactly what the VPU wants.
+`TraceRay`, max recursion 8) becomes a wavefront: every ray in a flat batch
+walks the 8-ary BVH in lockstep inside one `lax.while_loop`, with divergence as
+data (masks) — the shape the VPU wants.
 
-TPU performance structure (kernel-launch overhead dominates on this platform,
-so the loop body is organized to minimize kernel count per node visited):
-  - one packed (N, 8) gather per node step fetches AABB + both links
-    (see accel/lbvh.py layout);
-  - `UNROLL` node steps run per while-loop iteration, amortizing the loop's
-    fixed overhead;
-  - leaf intersection is *deferred*: a lane that enters a leaf parks its leaf
-    index and stops stepping; once per iteration all parked lanes intersect
-    their whole leaf with ONE (N, leaf_size*12) gather and a statically
-    unrolled Möller–Trumbore over slices (no per-triangle gathers).
+The loop is built around two measured TPU facts:
+  1. gathers cost ~constant per ROW (latency-bound) up to 512B rows, so each
+     iteration fetches exactly ONE unified 512B record per ray (accel/lbvh.py)
+     and does everything with it;
+  2. column-slicing a wide (N, 128) buffer re-streams the full 512B rows per
+     slice, so the record is transposed ONCE to (128, N) and every consumer
+     reads contiguous (N,) component rows.
+
+Per iteration each lane either
+  - slab-tests all 8 children of an internal record component-wise, orders the
+    hits with an 8-lane sorting network, descends the nearest and pushes the
+    rest (far-first) on a per-ray stack held as a dense (depth, N) one-hot-
+    updated array (TPU has no fast per-lane scatter), or
+  - intersects the 10 inline triangles of a leaf record (statically unrolled
+    component-wise Möller–Trumbore).
+`t_best` prunes subtrees; the 8-ary depth (~6 levels for Sponza-class scenes)
+keeps the lockstep iteration count in the low hundreds.
 
 Two entry points mirror the reference's two hit groups:
   closest_hit — radiance rays (ClosestHitShader path)
@@ -31,9 +38,9 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .lbvh import FlatBVH, TRI_STRIDE
+from .lbvh import FlatBVH, RECORD, TRI_STRIDE, WIDTH
 
-UNROLL = 4  # node steps per while-loop iteration
+_BIG = jnp.float32(3e38)
 
 
 def _register(cls, meta=()):
@@ -61,38 +68,52 @@ def _safe_inv(d):
     return 1.0 / jnp.where(jnp.abs(d) < eps, jnp.where(d < 0.0, -eps, eps), d)
 
 
-def _gather(arr, idx):
-    return jnp.take(arr, idx, axis=0, mode="clip")
-
-
 def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _intersect_pending_leaf(bvh: FlatBVH, o, d, t_min, state, accept_fn, first_hit):
-    """Intersect every parked lane's whole leaf; clears `pending`."""
-    node, pending, best_t, best_tri, best_u, best_v = state
-    has_leaf = pending >= 0
-    leaf = _gather(bvh.leaves, jnp.maximum(pending, 0))  # (N, leaf_size*12)
+# Batcher odd-even merge sort network for 8 elements.
+_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
+          (0, 2), (1, 3), (4, 6), (5, 7),
+          (1, 2), (5, 6), (0, 4), (3, 7),
+          (1, 5), (2, 6),
+          (1, 4), (3, 6),
+          (2, 4), (3, 5),
+          (3, 4)]
 
+
+def _intersect_leaf(bvh, rec, o, d, t_min, is_leaf, best, accept_fn):
+    """Component-wise MT over the leaf record's inline triangles.
+
+    rec: (N, RECORD) gathered records; o/d: tuples of (N,) xyz.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    best_t, best_tri, best_u, best_v = best
     for k in range(bvh.leaf_size):
-        base = k * TRI_STRIDE
-        v0 = leaf[:, base:base + 3]
-        e1 = leaf[:, base + 3:base + 6]
-        e2 = leaf[:, base + 6:base + 9]
-        tid = _bitcast_i32(leaf[:, base + 9])
+        b = k * TRI_STRIDE
+        v0x, v0y, v0z = rec[:, b + 0], rec[:, b + 1], rec[:, b + 2]
+        e1x, e1y, e1z = rec[:, b + 3], rec[:, b + 4], rec[:, b + 5]
+        e2x, e2y, e2z = rec[:, b + 6], rec[:, b + 7], rec[:, b + 8]
+        tid = _bitcast_i32(rec[:, b + 9])
         # Möller–Trumbore, no backface culling (the reference disables culling:
         # Timing.txt:3 "No back-face cull" is the shipped configuration).
-        pvec = jnp.cross(d, e2)
-        det = jnp.sum(e1 * pvec, axis=-1)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
         inv_det = jnp.where(jnp.abs(det) > 1e-12,
                             1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-        tvec = o - v0
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, e1)
-        v = jnp.sum(d * qvec, axis=-1) * inv_det
-        t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-        ok = (has_leaf & (tid >= 0) & (jnp.abs(det) > 1e-12)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (is_leaf & (tid >= 0) & (jnp.abs(det) > 1e-12)
               & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
               & (t >= t_min) & (t < best_t))
         if accept_fn is not None:
@@ -101,67 +122,112 @@ def _intersect_pending_leaf(bvh: FlatBVH, o, d, t_min, state, accept_fn, first_h
         best_u = jnp.where(ok, u, best_u)
         best_v = jnp.where(ok, v, best_v)
         best_t = jnp.where(ok, t, best_t)
-
-    pending = jnp.full_like(pending, -1)
-    if first_hit:
-        # ACCEPT_FIRST_HIT_AND_END_SEARCH: stop the lane once anything hit.
-        node = jnp.where(best_tri >= 0, bvh.end_sentinel, node)
-    return (node, pending, best_t, best_tri, best_u, best_v)
+    return best_t, best_tri, best_u, best_v
 
 
 def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
               first_hit: bool):
-    n_end = bvh.end_sentinel
-    inv_d = _safe_inv(ray_d)
     n = ray_o.shape[0]
+    inv_d = _safe_inv(ray_d)
+    done_code = jnp.int32(bvh.num_rows)  # cur == done_code => lane finished
+    stack_depth = min(bvh.max_depth * (WIDTH - 1) + 2, 64)
+    levels = jnp.arange(stack_depth, dtype=jnp.int32)[:, None]
 
+    root = jnp.int32(bvh.root_code)
     state = (
-        jnp.where(active, 0, n_end).astype(jnp.int32),  # node cursor
-        jnp.full((n,), -1, jnp.int32),                  # parked leaf index
-        t_max.astype(jnp.float32),                      # best t so far
-        jnp.full((n,), -1, jnp.int32),                  # best triangle
-        jnp.zeros((n,), jnp.float32),                   # u
-        jnp.zeros((n,), jnp.float32),                   # v
-        jnp.zeros((), jnp.int32),                       # iteration counter
+        jnp.where(active, root, done_code).astype(jnp.int32),  # cur code
+        jnp.zeros((stack_depth, n), jnp.int32),                # far stack
+        jnp.zeros((n,), jnp.int32),                            # stack pointer
+        t_max.astype(jnp.float32),                             # best t
+        jnp.full((n,), -1, jnp.int32),                         # best tri
+        jnp.zeros((n,), jnp.float32),                          # u
+        jnp.zeros((n,), jnp.float32),                          # v
+        jnp.zeros((), jnp.int32),                              # iteration count
     )
 
-    # Hard safety bound: a ray visits each node at most once, and each leaf
-    # visit stalls one loop iteration (stepping pauses while a leaf is parked),
-    # so num_nodes + num_leaves iterations always suffice. The cap only exists
-    # to turn a link-corruption bug into a wrong image instead of a hung TPU.
-    max_iters = n_end + bvh.num_leaves + 2
+    # Safety bound only (turns a corrupt tree into a wrong image, not a hang):
+    # every row can be visited at most once per ray.
+    max_iters = bvh.num_rows + stack_depth + 4
+
+    o = (ray_o[:, 0], ray_o[:, 1], ray_o[:, 2])
+    d = (ray_d[:, 0], ray_d[:, 1], ray_d[:, 2])
+    iv = (inv_d[:, 0], inv_d[:, 1], inv_d[:, 2])
 
     def cond(s):
-        return jnp.any((s[0] < n_end) | (s[1] >= 0)) & (s[6] < max_iters)
+        return jnp.any(s[0] != done_code) & (s[7] < max_iters)
 
     def body(s):
-        node, pending, best_t, best_tri, best_u, best_v, it = s
+        cur, stack, sp, best_t, best_tri, best_u, best_v, it = s
 
-        for _ in range(UNROLL):
-            can = (pending < 0) & (node < n_end)
-            rec = _gather(bvh.nodes, jnp.where(can, node, 0))  # (N, 8)
-            t0 = (rec[:, 0:3] - ray_o) * inv_d
-            t1 = (rec[:, 3:6] - ray_o) * inv_d
-            tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-            tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-            aabb_hit = can & (jnp.maximum(tn, t_min) <= jnp.minimum(tf, best_t))
+        alive = cur != done_code
+        is_leaf = alive & (cur < 0)
+        is_int = alive & (cur >= 0)
+        row = jnp.where(is_leaf, ~cur, jnp.where(is_int, cur, 0))
+        # The only gather. NOTE: accessing the wide record via block slices
+        # costs extra row re-streaming; faster component-major/transposed
+        # variants measured ~2.7x better trip a Mosaic/axon compiler kernel
+        # fault on the tunneled device (see PERF_NOTES.md), so this proven
+        # form is kept for now.
+        rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (N, RECORD)
 
-            next_if_hit = _bitcast_i32(rec[:, 6])
-            skip = _bitcast_i32(rec[:, 7])
-            is_leaf = next_if_hit < 0
+        # ---- internal: slab-test all 8 children ((N, 8) SoA blocks) ----
+        ox, oy, oz = o[0][:, None], o[1][:, None], o[2][:, None]
+        ivx, ivy, ivz = iv[0][:, None], iv[1][:, None], iv[2][:, None]
+        tx0 = (rec[:, 0:8] - ox) * ivx
+        tx1 = (rec[:, 24:32] - ox) * ivx
+        ty0 = (rec[:, 8:16] - oy) * ivy
+        ty1 = (rec[:, 32:40] - oy) * ivy
+        tz0 = (rec[:, 16:24] - oz) * ivz
+        tz1 = (rec[:, 40:48] - oz) * ivz
+        tn8 = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                          jnp.maximum(jnp.minimum(tz0, tz1), t_min[:, None]))
+        tf8 = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                          jnp.minimum(jnp.maximum(tz0, tz1), best_t[:, None]))
+        hit8 = is_int[:, None] & (tn8 <= tf8)
+        codes8 = _bitcast_i32(rec[:, 48:56])
 
-            take_leaf = aabb_hit & is_leaf
-            pending = jnp.where(take_leaf, ~next_if_hit, pending)
-            nxt = jnp.where(aabb_hit & ~is_leaf, next_if_hit, skip)
-            node = jnp.where(can, nxt, node)
+        keys = [jnp.where(hit8[:, k], tn8[:, k], _BIG) for k in range(WIDTH)]
+        vals = [codes8[:, k] for k in range(WIDTH)]
+        for a, b in _SORT8:
+            swap = keys[a] > keys[b]
+            ka = jnp.where(swap, keys[b], keys[a])
+            kb = jnp.where(swap, keys[a], keys[b])
+            va = jnp.where(swap, vals[b], vals[a])
+            vb = jnp.where(swap, vals[a], vals[b])
+            keys[a], keys[b], vals[a], vals[b] = ka, kb, va, vb
+        any_child = keys[0] < _BIG
 
-        out = _intersect_pending_leaf(
-            bvh, ray_o, ray_d, t_min,
-            (node, pending, best_t, best_tri, best_u, best_v),
-            accept_fn, first_hit)
-        return out + (it + 1,)
+        # ---- leaf: inline triangle intersection ----
+        best_t, best_tri, best_u, best_v = _intersect_leaf(
+            bvh, rec, o, d, t_min, is_leaf,
+            (best_t, best_tri, best_u, best_v), accept_fn)
 
-    _, _, t, tri, u, v, _ = jax.lax.while_loop(cond, body, state)
+        # ---- stack pushes: children 7..1 (far first), hits only ----
+        for k in range(WIDTH - 1, 0, -1):
+            do_push = keys[k] < _BIG
+            stack = jnp.where((levels == sp[None, :]) & do_push[None, :],
+                              vals[k][None, :], stack)
+            sp = jnp.minimum(sp + do_push.astype(jnp.int32), stack_depth - 1)
+
+        # ---- next cursor ----
+        need_pop = is_leaf | (is_int & ~any_child)
+        top = jnp.sum(jnp.where(levels == (sp - 1)[None, :], stack, 0), axis=0)
+        popped = jnp.where(sp > 0, top, done_code)
+        cur_next = jnp.where(is_int & any_child, vals[0],
+                             jnp.where(need_pop, popped, done_code))
+        cur_next = jnp.where(alive, cur_next, done_code)
+        sp = jnp.where(need_pop & (sp > 0), sp - 1, sp)
+
+        if first_hit:
+            # ACCEPT_FIRST_HIT_AND_END_SEARCH: stop the lane once anything hit.
+            found = best_tri >= 0
+            cur_next = jnp.where(found, done_code, cur_next)
+            sp = jnp.where(found, 0, sp)
+
+        return (cur_next, stack, sp, best_t, best_tri, best_u, best_v, it + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    _, _, _, t, tri, u, v, _ = out
     return HitRecord(t=t, tri_id=tri, u=u, v=v)
 
 

@@ -71,7 +71,7 @@ def cmd_render(args):
     t0 = time.time()
     sess = RenderSession(settings=settings, width=args.width, height=args.height)
     print(f"# scene={sess.preset.name} tris={sess.scene_host.num_triangles} "
-          f"bvh_nodes={sess.bvh.num_nodes} init={time.time() - t0:.1f}s",
+          f"bvh_rows={sess.bvh.num_rows} init={time.time() - t0:.1f}s",
           file=sys.stderr)
 
     if args.raster:

@@ -85,11 +85,42 @@ class RenderSession:
             self._sky_cube_dev = jnp.asarray(self.sky.cubemap)
         return changed
 
+    # Rays per jitted slab. Empirically the tunneled TPU device-faults on
+    # programs whose internal ray-tile map exceeds ~4 tiles of ~128k rays
+    # (integrator.TILE_RAYS); frames larger than that are split into row
+    # slabs dispatched as separate jit calls.
+    MAX_SLAB_RAYS = 4 * 131072
+
+    def _slab_rows(self):
+        n = self.width * self.height
+        n_slabs = max(1, -(-n // self.MAX_SLAB_RAYS))
+        while n_slabs > 1 and self.height % n_slabs != 0:
+            n_slabs += 1
+        return self.height // n_slabs if n_slabs <= self.height else self.height
+
     def _build_step(self):
+        slab_h = self._slab_rows()
+        width, height = self.width, self.height
+
         @partial(jax.jit, static_argnames=("settings",), donate_argnums=(2,))
-        def step(scene, bvh, accum, sky_cube, frame, settings):
+        def step_slab(scene, bvh, accum_slab, sky_cube, frame, row0, settings):
             return render_sample(scene, bvh, sky_cube, settings, frame,
-                                 self.width, self.height, accum)
+                                 width, slab_h, accum_slab,
+                                 row_offset=row0, total_height=height)
+
+        if slab_h == height:
+            def step(scene, bvh, accum, sky_cube, frame, settings):
+                return step_slab(scene, bvh, accum, sky_cube, frame,
+                                 jnp.int32(0), settings)
+            return step
+
+        def step(scene, bvh, accum, sky_cube, frame, settings):
+            slabs = []
+            for r0 in range(0, height, slab_h):
+                slabs.append(step_slab(scene, bvh, accum[r0:r0 + slab_h],
+                                       sky_cube, frame, jnp.int32(r0), settings))
+            return jnp.concatenate(slabs, axis=0)
+
         return step
 
     def frame_constants(self, sample_idx: int) -> FrameConstants:
@@ -182,7 +213,8 @@ class RenderSession:
 
     def checkpoint_state(self):
         """Progressive-render checkpoint: {accum, sample_idx} (SURVEY.md §5.4)."""
-        return {"accum": np.asarray(self.accum), "sample_idx": self.sample_idx}
+        from ..utils.transfer import device_to_host
+        return {"accum": device_to_host(self.accum), "sample_idx": self.sample_idx}
 
     def restore_state(self, state):
         self.accum = jnp.asarray(state["accum"])

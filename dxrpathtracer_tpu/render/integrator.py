@@ -411,7 +411,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
 # sidesteps TPU kernel faults observed on multi-hundred-k-lane integrator
 # programs, and lets each tile's traversal while_loop exit as soon as *its*
 # rays finish instead of waiting on the frame's single worst ray.
-TILE_RAYS = 131072
+TILE_RAYS = 524288
 
 
 def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,

@@ -4,11 +4,11 @@
 // (BuildRTAccelerationStructure hands geometry to D3D12,
 // DXRPathTracer.cpp:2331-2488); our equivalent owns the build. This module
 // produces EXACTLY the same packed arrays as the numpy builder in
-// dxrpathtracer_tpu/accel/lbvh.py (morton-ordered median-split BFS layout,
-// skip links, per-leaf packed triangles) so the two are interchangeable and
-// cross-checked by tests. C API only — bound from Python with ctypes.
+// dxrpathtracer_tpu/accel/lbvh.py (morton-ordered median-split layout,
+// paired-children internal records, per-leaf packed triangles) so the two are
+// interchangeable and cross-checked by tests. C API only — bound with ctypes.
 //
-// Build: g++ -O3 -march=native -shared -fPIC lbvh_builder.cpp -o liblbvh.so
+// Build: g++ -O3 -shared -fPIC -std=c++17 lbvh_builder.cpp -o liblbvh.so
 
 #include <algorithm>
 #include <cmath>
@@ -46,18 +46,17 @@ struct Range {
 
 extern "C" {
 
-// Returns the node count for num_tris/leaf_size (call first to size buffers);
-// also writes the leaf count through *out_num_leaves.
-int64_t lbvh_count_nodes(int64_t num_tris, int64_t leaf_size,
-                         int64_t* out_num_leaves) {
+// Returns the INTERNAL node count; writes leaf count and tree depth (levels).
+int64_t lbvh_count2(int64_t num_tris, int64_t leaf_size,
+                    int64_t* out_num_leaves, int64_t* out_depth) {
     std::vector<Range> level = {{0, num_tris}};
-    int64_t nodes = 0, leaves = 0;
+    int64_t internal = 0, leaves = 0, depth = 0;
     while (!level.empty()) {
+        ++depth;
         std::vector<Range> next;
         for (const Range& r : level) {
-            ++nodes;
-            int64_t count = r.hi - r.lo;
-            if (count > leaf_size) {
+            if (r.hi - r.lo > leaf_size) {
+                ++internal;
                 int64_t mid = (r.lo + r.hi) / 2;
                 next.push_back({r.lo, mid});
                 next.push_back({mid, r.hi});
@@ -68,18 +67,21 @@ int64_t lbvh_count_nodes(int64_t num_tris, int64_t leaf_size,
         level.swap(next);
     }
     if (out_num_leaves) *out_num_leaves = leaves;
-    return nodes;
+    if (out_depth) *out_depth = depth;
+    return internal;
 }
 
-// Build the packed LBVH.
+// Build the packed paired-children LBVH.
 //   v0/v1/v2: (num_tris, 3) float32 triangle vertices
-//   nodes_out: (num_nodes, 8) float32  [lo.xyz, hi.xyz, bits(next_if_hit), bits(skip)]
+//   nodes_out: (num_internal, 16) float32
+//     [loL.xyz, hiL.xyz, loR.xyz, hiR.xyz, bits(codeL), bits(codeR), 0, 0]
+//     code >= 0: internal index; code < 0: ~leaf_index
 //   leaves_out: (num_leaves, leaf_size*12) float32 packed triangles
 // Returns 0 on success.
-int lbvh_build(const float* v0, const float* v1, const float* v2,
-               int64_t num_tris, int64_t leaf_size,
-               float* nodes_out, int64_t num_nodes,
-               float* leaves_out, int64_t num_leaves) {
+int lbvh_build2(const float* v0, const float* v1, const float* v2,
+                int64_t num_tris, int64_t leaf_size,
+                float* nodes_out, int64_t num_internal,
+                float* leaves_out, int64_t num_leaves) {
     const Vec3* a = reinterpret_cast<const Vec3*>(v0);
     const Vec3* b = reinterpret_cast<const Vec3*>(v1);
     const Vec3* c = reinterpret_cast<const Vec3*>(v2);
@@ -100,7 +102,6 @@ int lbvh_build(const float* v0, const float* v1, const float* v2,
 
     std::vector<uint32_t> morton(num_tris);
     for (int64_t i = 0; i < num_tris; ++i) {
-        // Match numpy: q = clip((c - lo)/ext * 1023, 0, 1023) (f32 math)
         auto q = [](float v, float l, float e) {
             float t = (v - l) / e * 1023.0f;
             t = std::min(std::max(t, 0.0f), 1023.0f);
@@ -128,9 +129,9 @@ int lbvh_build(const float* v0, const float* v1, const float* v2,
 
     // --- BFS level construction (identical ranges to the numpy builder) ---
     std::vector<Range> ranges = {{0, num_tris}};
+    std::vector<std::vector<Range>> levels;
     std::vector<int64_t> level_base;
     int64_t base = 0;
-    std::vector<std::vector<Range>> levels;
     while (!ranges.empty()) {
         levels.push_back(ranges);
         level_base.push_back(base);
@@ -146,30 +147,22 @@ int lbvh_build(const float* v0, const float* v1, const float* v2,
         ranges.swap(next);
     }
     const int64_t n = base;
-    if (n != num_nodes) return 1;
 
-    std::vector<int64_t> left(n, -1), skip(n, n), tri_lo_idx(n), tri_hi_idx(n);
+    std::vector<int64_t> left(n, -1), range_lo(n), range_hi(n);
     std::vector<bool> is_leaf(n, false);
     for (size_t li = 0; li < levels.size(); ++li) {
         const auto& lev = levels[li];
         int64_t child = level_base[li] + static_cast<int64_t>(lev.size());
         for (size_t k = 0; k < lev.size(); ++k) {
             const int64_t id = level_base[li] + static_cast<int64_t>(k);
-            tri_lo_idx[id] = lev[k].lo;
-            tri_hi_idx[id] = lev[k].hi;
+            range_lo[id] = lev[k].lo;
+            range_hi[id] = lev[k].hi;
             if (lev[k].hi - lev[k].lo > leaf_size) {
                 left[id] = child;
-                skip[child] = child + 1;      // left child's skip = right sibling
                 child += 2;
             } else {
                 is_leaf[id] = true;
             }
-        }
-    }
-    for (size_t li = 0; li < levels.size(); ++li) {  // top-down: parents final
-        for (size_t k = 0; k < levels[li].size(); ++k) {
-            const int64_t id = level_base[li] + static_cast<int64_t>(k);
-            if (!is_leaf[id]) skip[left[id] + 1] = skip[id];
         }
     }
 
@@ -180,7 +173,7 @@ int lbvh_build(const float* v0, const float* v1, const float* v2,
             const int64_t id = level_base[li] + static_cast<int64_t>(k);
             if (is_leaf[id]) {
                 Vec3 l = {1e30f, 1e30f, 1e30f}, h = {-1e30f, -1e30f, -1e30f};
-                for (int64_t t = tri_lo_idx[id]; t < tri_hi_idx[id]; ++t) {
+                for (int64_t t = range_lo[id]; t < range_hi[id]; ++t) {
                     l = vmin(l, tlo[t]);
                     h = vmax(h, thi[t]);
                 }
@@ -193,39 +186,56 @@ int lbvh_build(const float* v0, const float* v1, const float* v2,
         }
     }
 
-    // --- emit packed arrays ---
-    int64_t leaf_counter = 0;
-    const int64_t stride = leaf_size * 12;
-    std::memset(leaves_out, 0, sizeof(float) * static_cast<size_t>(num_leaves * stride));
+    // --- compact internal/leaf indices (BFS order, matches numpy np.where) ---
+    std::vector<int64_t> int_index(n, 0), leaf_index(n, 0);
+    int64_t ni = 0, nl = 0;
     for (int64_t id = 0; id < n; ++id) {
-        float* rec = nodes_out + id * 8;
-        rec[0] = nlo[id].x; rec[1] = nlo[id].y; rec[2] = nlo[id].z;
-        rec[3] = nhi[id].x; rec[4] = nhi[id].y; rec[5] = nhi[id].z;
-        int32_t next_if_hit, skp = static_cast<int32_t>(skip[id]);
-        if (is_leaf[id]) {
-            const int64_t leaf_idx = leaf_counter++;
-            next_if_hit = static_cast<int32_t>(~leaf_idx);
-            float* lrec = leaves_out + leaf_idx * stride;
-            int64_t slot = 0;
-            for (int64_t t = tri_lo_idx[id]; t < tri_hi_idx[id]; ++t, ++slot) {
-                float* p = lrec + slot * 12;
-                p[0] = sv0[t].x; p[1] = sv0[t].y; p[2] = sv0[t].z;
-                p[3] = se1[t].x; p[4] = se1[t].y; p[5] = se1[t].z;
-                p[6] = se2[t].x; p[7] = se2[t].y; p[8] = se2[t].z;
-                const int32_t tid = static_cast<int32_t>(order[t]);
-                std::memcpy(p + 9, &tid, 4);
-            }
-            for (; slot < leaf_size; ++slot) {
-                const int32_t none = -1;
-                std::memcpy(lrec + slot * 12 + 9, &none, 4);
-            }
-        } else {
-            next_if_hit = static_cast<int32_t>(left[id]);
-        }
-        std::memcpy(rec + 6, &next_if_hit, 4);
-        std::memcpy(rec + 7, &skp, 4);
+        if (is_leaf[id]) leaf_index[id] = nl++;
+        else int_index[id] = ni++;
     }
-    if (leaf_counter != num_leaves) return 2;
+    if (ni != num_internal || nl != num_leaves) {
+        if (!(ni == 0 && num_internal == 1)) return 1;  // single-leaf case pads
+    }
+
+    // --- emit leaves ---
+    const int64_t stride = leaf_size * 12;
+    std::memset(leaves_out, 0,
+                sizeof(float) * static_cast<size_t>(std::max<int64_t>(nl, 1) * stride));
+    const int32_t none = -1;
+    for (int64_t id = 0; id < n; ++id) {
+        if (!is_leaf[id]) continue;
+        float* lrec = leaves_out + leaf_index[id] * stride;
+        int64_t slot = 0;
+        for (int64_t t = range_lo[id]; t < range_hi[id]; ++t, ++slot) {
+            float* p = lrec + slot * 12;
+            p[0] = sv0[t].x; p[1] = sv0[t].y; p[2] = sv0[t].z;
+            p[3] = se1[t].x; p[4] = se1[t].y; p[5] = se1[t].z;
+            p[6] = se2[t].x; p[7] = se2[t].y; p[8] = se2[t].z;
+            const int32_t tid = static_cast<int32_t>(order[t]);
+            std::memcpy(p + 9, &tid, 4);
+        }
+        for (; slot < leaf_size; ++slot)
+            std::memcpy(lrec + slot * 12 + 9, &none, 4);
+    }
+
+    // --- emit paired-children internal records ---
+    std::memset(nodes_out, 0,
+                sizeof(float) * static_cast<size_t>(std::max<int64_t>(ni, 1) * 16));
+    for (int64_t id = 0; id < n; ++id) {
+        if (is_leaf[id]) continue;
+        float* rec = nodes_out + int_index[id] * 16;
+        const int64_t cl = left[id], cr = left[id] + 1;
+        rec[0] = nlo[cl].x; rec[1] = nlo[cl].y; rec[2] = nlo[cl].z;
+        rec[3] = nhi[cl].x; rec[4] = nhi[cl].y; rec[5] = nhi[cl].z;
+        rec[6] = nlo[cr].x; rec[7] = nlo[cr].y; rec[8] = nlo[cr].z;
+        rec[9] = nhi[cr].x; rec[10] = nhi[cr].y; rec[11] = nhi[cr].z;
+        const int32_t code_l = is_leaf[cl]
+            ? static_cast<int32_t>(~leaf_index[cl]) : static_cast<int32_t>(int_index[cl]);
+        const int32_t code_r = is_leaf[cr]
+            ? static_cast<int32_t>(~leaf_index[cr]) : static_cast<int32_t>(int_index[cr]);
+        std::memcpy(rec + 12, &code_l, 4);
+        std::memcpy(rec + 13, &code_r, 4);
+    }
     return 0;
 }
 

@@ -25,54 +25,59 @@ def _rays(rng, n, spread=3.0):
 
 
 def test_bvh_structure():
+    """Unified 8-ary record layout invariants (accel/lbvh.py)."""
     rng = np.random.default_rng(3)
     t_count = 300
     v0, v1, v2 = _soup(rng, t_count)
     bvh = build_bvh(v0, v1, v2)
-    n = bvh.num_nodes
-    nodes = np.asarray(bvh.nodes)
-    lo, hi = nodes[:, 0:3], nodes[:, 3:6]
+    table = np.asarray(bvh.table)
+    assert table.shape == (bvh.num_rows, 128)
+
     def as_i32(col):
         return np.ascontiguousarray(col).view(np.int32)
 
-    next_if_hit = as_i32(nodes[:, 6])
-    skip = as_i32(nodes[:, 7])
-    leaves = np.asarray(bvh.leaves).reshape(bvh.num_leaves, bvh.leaf_size, -1)
-    tri_ids = as_i32(leaves[:, :, 9])
-
-    # Every triangle appears in exactly one packed leaf slot
-    valid = tri_ids[tri_ids >= 0]
-    assert sorted(valid.tolist()) == list(range(t_count))
-    # Padded slots are degenerate (zero edges)
-    pad = tri_ids < 0
-    assert (leaves[pad][:, 3:9] == 0).all()
-
-    # Skip-link walk visits every node exactly once
-    node, steps = 0, 0
-    visited = np.zeros(n, bool)
-    while node < n and steps <= n:
-        visited[node] = True
-        node = next_if_hit[node] if next_if_hit[node] >= 0 else skip[node]
-        steps += 1
-    assert visited.all() and steps == n
-
-    # Parent AABBs contain children; leaf AABBs contain their triangles
-    for i in range(n):
-        c = next_if_hit[i]
-        if c >= 0:
-            for ch in (c, c + 1):
-                assert (lo[i] <= lo[ch] + 1e-6).all()
-                assert (hi[i] >= hi[ch] - 1e-6).all()
-        else:
-            leaf = leaves[~c]
+    # Walk from the root: every row visited exactly once; child bounds nest.
+    seen = np.zeros(bvh.num_rows, bool)
+    tri_seen = []
+    stack = [bvh.root_code]
+    while stack:
+        code = stack.pop()
+        row = ~code if code < 0 else code
+        assert 0 <= row < bvh.num_rows
+        assert not seen[row]
+        seen[row] = True
+        rec = table[row]
+        if code < 0:
+            # leaf: collect triangle ids; padded slots degenerate
             for k in range(bvh.leaf_size):
-                if tri_ids[~c, k] >= 0:
-                    p0 = leaf[k, 0:3]
-                    p1 = p0 + leaf[k, 3:6]
-                    p2 = p0 + leaf[k, 6:9]
-                    for p in (p0, p1, p2):
-                        assert (p >= lo[i] - 1e-5).all()
-                        assert (p <= hi[i] + 1e-5).all()
+                tid = as_i32(rec[k * 12 + 9:k * 12 + 10])[0]
+                if tid >= 0:
+                    tri_seen.append(tid)
+                else:
+                    assert (rec[k * 12 + 3:k * 12 + 9] == 0).all()
+        else:
+            codes = as_i32(rec[48:56])
+            for k in range(8):
+                lo_c = rec[[0 + k, 8 + k, 16 + k]]
+                hi_c = rec[[24 + k, 32 + k, 40 + k]]
+                if (lo_c > hi_c).any():
+                    continue  # empty child slot
+                child = codes[k]
+                crow = ~child if child < 0 else child
+                if child < 0:
+                    # leaf child: its triangles are inside the stored bounds
+                    lrec = table[crow]
+                    for j in range(bvh.leaf_size):
+                        if as_i32(lrec[j * 12 + 9:j * 12 + 10])[0] >= 0:
+                            p0 = lrec[j * 12:j * 12 + 3]
+                            for p in (p0, p0 + lrec[j * 12 + 3:j * 12 + 6],
+                                      p0 + lrec[j * 12 + 6:j * 12 + 9]):
+                                assert (p >= lo_c - 1e-5).all()
+                                assert (p <= hi_c + 1e-5).all()
+                stack.append(int(child))
+    assert seen.all()
+    # Every triangle appears in exactly one leaf slot
+    assert sorted(tri_seen) == list(range(t_count))
 
 
 def test_closest_hit_matches_brute_force():
