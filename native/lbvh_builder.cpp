@@ -1,12 +1,12 @@
-// Native LBVH builder — the scene-build hot path as C++.
+// Native wide-BVH builder — the scene-build hot path as C++.
 //
 // The reference's acceleration-structure build is driver-side native code
 // (BuildRTAccelerationStructure hands geometry to D3D12,
 // DXRPathTracer.cpp:2331-2488); our equivalent owns the build. This module
-// produces EXACTLY the same packed arrays as the numpy builder in
-// dxrpathtracer_tpu/accel/lbvh.py (morton-ordered median-split layout,
-// paired-children internal records, per-leaf packed triangles) so the two are
-// interchangeable and cross-checked by tests. C API only — bound with ctypes.
+// produces EXACTLY the same packed table as the numpy builder in
+// dxrpathtracer_tpu/accel/lbvh.py (morton-ordered 8-ary eighth-splits, BFS
+// rows, unified 128-float records) so the two are interchangeable and
+// cross-checked by tests. C API only — bound from Python with ctypes.
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 lbvh_builder.cpp -o liblbvh.so
 
@@ -18,6 +18,10 @@
 #include <vector>
 
 namespace {
+
+constexpr int kWidth = 8;
+constexpr int kRecord = 128;
+constexpr int kTriStride = 12;
 
 struct Vec3 {
     float x, y, z;
@@ -42,63 +46,69 @@ struct Range {
     int64_t lo, hi;
 };
 
+void levelize(int64_t num_tris, int64_t leaf_size,
+              std::vector<std::vector<Range>>* levels) {
+    std::vector<Range> cur = {{0, num_tris}};
+    while (!cur.empty()) {
+        levels->push_back(cur);
+        std::vector<Range> next;
+        for (const Range& r : cur) {
+            const int64_t cnt = r.hi - r.lo;
+            if (cnt > leaf_size) {
+                for (int k = 0; k < kWidth; ++k) {
+                    next.push_back({r.lo + (cnt * k) / kWidth,
+                                    r.lo + (cnt * (k + 1)) / kWidth});
+                }
+            }
+        }
+        cur.swap(next);
+    }
+}
+
 }  // namespace
 
 extern "C" {
 
-// Returns the INTERNAL node count; writes leaf count and tree depth (levels).
-int64_t lbvh_count2(int64_t num_tris, int64_t leaf_size,
-                    int64_t* out_num_leaves, int64_t* out_depth) {
-    std::vector<Range> level = {{0, num_tris}};
-    int64_t internal = 0, leaves = 0, depth = 0;
-    while (!level.empty()) {
-        ++depth;
-        std::vector<Range> next;
-        for (const Range& r : level) {
-            if (r.hi - r.lo > leaf_size) {
-                ++internal;
-                int64_t mid = (r.lo + r.hi) / 2;
-                next.push_back({r.lo, mid});
-                next.push_back({mid, r.hi});
-            } else {
-                ++leaves;
-            }
-        }
-        level.swap(next);
+// Returns the total row count; writes leaf count, depth (levels), root code.
+int64_t lbvh_count3(int64_t num_tris, int64_t leaf_size,
+                    int64_t* out_num_leaves, int64_t* out_depth,
+                    int64_t* out_root_code) {
+    std::vector<std::vector<Range>> levels;
+    levelize(num_tris, leaf_size, &levels);
+    int64_t rows = 0, leaves = 0;
+    for (const auto& lev : levels) {
+        rows += static_cast<int64_t>(lev.size());
+        for (const Range& r : lev)
+            if (r.hi - r.lo <= leaf_size) ++leaves;
     }
     if (out_num_leaves) *out_num_leaves = leaves;
-    if (out_depth) *out_depth = depth;
-    return internal;
+    if (out_depth) *out_depth = static_cast<int64_t>(levels.size());
+    if (out_root_code) *out_root_code = (num_tris <= leaf_size) ? ~int64_t(0) : 0;
+    return rows;
 }
 
-// Build the packed paired-children LBVH.
-//   v0/v1/v2: (num_tris, 3) float32 triangle vertices
-//   nodes_out: (num_internal, 16) float32
-//     [loL.xyz, hiL.xyz, loR.xyz, hiR.xyz, bits(codeL), bits(codeR), 0, 0]
-//     code >= 0: internal index; code < 0: ~leaf_index
-//   leaves_out: (num_leaves, leaf_size*12) float32 packed triangles
-// Returns 0 on success.
-int lbvh_build2(const float* v0, const float* v1, const float* v2,
+// Build the unified 8-ary table: (num_rows, 128) float32 records
+// (layout documented in dxrpathtracer_tpu/accel/lbvh.py). Returns 0 on success.
+int lbvh_build3(const float* v0, const float* v1, const float* v2,
                 int64_t num_tris, int64_t leaf_size,
-                float* nodes_out, int64_t num_internal,
-                float* leaves_out, int64_t num_leaves) {
+                float* table, int64_t num_rows) {
     const Vec3* a = reinterpret_cast<const Vec3*>(v0);
     const Vec3* b = reinterpret_cast<const Vec3*>(v1);
     const Vec3* c = reinterpret_cast<const Vec3*>(v2);
 
     // --- morton order over centroids ---
     std::vector<Vec3> centroid(num_tris);
-    Vec3 lo = {1e30f, 1e30f, 1e30f}, hi = {-1e30f, -1e30f, -1e30f};
+    Vec3 clo = {1e30f, 1e30f, 1e30f}, chi = {-1e30f, -1e30f, -1e30f};
     for (int64_t i = 0; i < num_tris; ++i) {
         centroid[i] = {(a[i].x + b[i].x + c[i].x) / 3.0f,
                        (a[i].y + b[i].y + c[i].y) / 3.0f,
                        (a[i].z + b[i].z + c[i].z) / 3.0f};
-        lo = vmin(lo, centroid[i]);
-        hi = vmax(hi, centroid[i]);
+        clo = vmin(clo, centroid[i]);
+        chi = vmax(chi, centroid[i]);
     }
-    const float ex = std::max(hi.x - lo.x, 1e-9f);
-    const float ey = std::max(hi.y - lo.y, 1e-9f);
-    const float ez = std::max(hi.z - lo.z, 1e-9f);
+    const float ex = std::max(chi.x - clo.x, 1e-9f);
+    const float ey = std::max(chi.y - clo.y, 1e-9f);
+    const float ez = std::max(chi.z - clo.z, 1e-9f);
 
     std::vector<uint32_t> morton(num_tris);
     for (int64_t i = 0; i < num_tris; ++i) {
@@ -107,9 +117,9 @@ int lbvh_build2(const float* v0, const float* v1, const float* v2,
             t = std::min(std::max(t, 0.0f), 1023.0f);
             return static_cast<uint32_t>(t);
         };
-        morton[i] = expand_bits(q(centroid[i].x, lo.x, ex)) * 4u +
-                    expand_bits(q(centroid[i].y, lo.y, ey)) * 2u +
-                    expand_bits(q(centroid[i].z, lo.z, ez));
+        morton[i] = expand_bits(q(centroid[i].x, clo.x, ex)) * 4u +
+                    expand_bits(q(centroid[i].y, clo.y, ey)) * 2u +
+                    expand_bits(q(centroid[i].z, clo.z, ez));
     }
     std::vector<int64_t> order(num_tris);
     std::iota(order.begin(), order.end(), 0);
@@ -127,114 +137,91 @@ int lbvh_build2(const float* v0, const float* v1, const float* v2,
         thi[i] = vmax(vmax(a[s], b[s]), c[s]);
     }
 
-    // --- BFS level construction (identical ranges to the numpy builder) ---
-    std::vector<Range> ranges = {{0, num_tris}};
+    // --- BFS rows (identical structure to the numpy builder) ---
     std::vector<std::vector<Range>> levels;
-    std::vector<int64_t> level_base;
-    int64_t base = 0;
-    while (!ranges.empty()) {
-        levels.push_back(ranges);
-        level_base.push_back(base);
-        std::vector<Range> next;
-        for (const Range& r : ranges) {
-            if (r.hi - r.lo > leaf_size) {
-                int64_t mid = (r.lo + r.hi) / 2;
-                next.push_back({r.lo, mid});
-                next.push_back({mid, r.hi});
-            }
-        }
-        base += static_cast<int64_t>(ranges.size());
-        ranges.swap(next);
+    levelize(num_tris, leaf_size, &levels);
+    const int64_t depth = static_cast<int64_t>(levels.size());
+    std::vector<int64_t> level_base(depth);
+    int64_t rows = 0;
+    for (int64_t li = 0; li < depth; ++li) {
+        level_base[li] = rows;
+        rows += static_cast<int64_t>(levels[li].size());
     }
-    const int64_t n = base;
+    if (rows != num_rows) return 1;
 
-    std::vector<int64_t> left(n, -1), range_lo(n), range_hi(n);
-    std::vector<bool> is_leaf(n, false);
-    for (size_t li = 0; li < levels.size(); ++li) {
-        const auto& lev = levels[li];
-        int64_t child = level_base[li] + static_cast<int64_t>(lev.size());
-        for (size_t k = 0; k < lev.size(); ++k) {
-            const int64_t id = level_base[li] + static_cast<int64_t>(k);
-            range_lo[id] = lev[k].lo;
-            range_hi[id] = lev[k].hi;
-            if (lev[k].hi - lev[k].lo > leaf_size) {
-                left[id] = child;
-                child += 2;
-            } else {
-                is_leaf[id] = true;
+    std::vector<Range> row_range(rows);
+    std::vector<bool> is_leaf(rows);
+    std::vector<int64_t> first_child(rows, -1);
+    for (int64_t li = 0; li < depth; ++li) {
+        int64_t child = (li + 1 < depth) ? level_base[li + 1] : rows;
+        for (size_t k = 0; k < levels[li].size(); ++k) {
+            const int64_t rid = level_base[li] + static_cast<int64_t>(k);
+            row_range[rid] = levels[li][k];
+            const bool leaf = (levels[li][k].hi - levels[li][k].lo) <= leaf_size;
+            is_leaf[rid] = leaf;
+            if (!leaf) {
+                first_child[rid] = child;
+                child += kWidth;
             }
         }
     }
 
     // --- AABBs bottom-up ---
-    std::vector<Vec3> nlo(n), nhi(n);
-    for (int64_t li = static_cast<int64_t>(levels.size()) - 1; li >= 0; --li) {
+    std::vector<Vec3> nlo(rows), nhi(rows);
+    for (int64_t li = depth - 1; li >= 0; --li) {
         for (size_t k = 0; k < levels[li].size(); ++k) {
-            const int64_t id = level_base[li] + static_cast<int64_t>(k);
-            if (is_leaf[id]) {
+            const int64_t rid = level_base[li] + static_cast<int64_t>(k);
+            if (is_leaf[rid]) {
                 Vec3 l = {1e30f, 1e30f, 1e30f}, h = {-1e30f, -1e30f, -1e30f};
-                for (int64_t t = range_lo[id]; t < range_hi[id]; ++t) {
+                for (int64_t t = row_range[rid].lo; t < row_range[rid].hi; ++t) {
                     l = vmin(l, tlo[t]);
                     h = vmax(h, thi[t]);
                 }
-                nlo[id] = l;
-                nhi[id] = h;
+                nlo[rid] = l;
+                nhi[rid] = h;
             } else {
-                nlo[id] = vmin(nlo[left[id]], nlo[left[id] + 1]);
-                nhi[id] = vmax(nhi[left[id]], nhi[left[id] + 1]);
+                Vec3 l = {1e30f, 1e30f, 1e30f}, h = {-1e30f, -1e30f, -1e30f};
+                for (int k2 = 0; k2 < kWidth; ++k2) {
+                    l = vmin(l, nlo[first_child[rid] + k2]);
+                    h = vmax(h, nhi[first_child[rid] + k2]);
+                }
+                nlo[rid] = l;
+                nhi[rid] = h;
             }
         }
     }
 
-    // --- compact internal/leaf indices (BFS order, matches numpy np.where) ---
-    std::vector<int64_t> int_index(n, 0), leaf_index(n, 0);
-    int64_t ni = 0, nl = 0;
-    for (int64_t id = 0; id < n; ++id) {
-        if (is_leaf[id]) leaf_index[id] = nl++;
-        else int_index[id] = ni++;
-    }
-    if (ni != num_internal || nl != num_leaves) {
-        if (!(ni == 0 && num_internal == 1)) return 1;  // single-leaf case pads
-    }
-
-    // --- emit leaves ---
-    const int64_t stride = leaf_size * 12;
-    std::memset(leaves_out, 0,
-                sizeof(float) * static_cast<size_t>(std::max<int64_t>(nl, 1) * stride));
+    // --- emit unified records ---
+    std::memset(table, 0, sizeof(float) * static_cast<size_t>(rows * kRecord));
     const int32_t none = -1;
-    for (int64_t id = 0; id < n; ++id) {
-        if (!is_leaf[id]) continue;
-        float* lrec = leaves_out + leaf_index[id] * stride;
-        int64_t slot = 0;
-        for (int64_t t = range_lo[id]; t < range_hi[id]; ++t, ++slot) {
-            float* p = lrec + slot * 12;
-            p[0] = sv0[t].x; p[1] = sv0[t].y; p[2] = sv0[t].z;
-            p[3] = se1[t].x; p[4] = se1[t].y; p[5] = se1[t].z;
-            p[6] = se2[t].x; p[7] = se2[t].y; p[8] = se2[t].z;
-            const int32_t tid = static_cast<int32_t>(order[t]);
-            std::memcpy(p + 9, &tid, 4);
+    for (int64_t rid = 0; rid < rows; ++rid) {
+        float* rec = table + rid * kRecord;
+        if (is_leaf[rid]) {
+            int64_t slot = 0;
+            for (int64_t t = row_range[rid].lo; t < row_range[rid].hi; ++t, ++slot) {
+                float* p = rec + slot * kTriStride;
+                p[0] = sv0[t].x; p[1] = sv0[t].y; p[2] = sv0[t].z;
+                p[3] = se1[t].x; p[4] = se1[t].y; p[5] = se1[t].z;
+                p[6] = se2[t].x; p[7] = se2[t].y; p[8] = se2[t].z;
+                const int32_t tid = static_cast<int32_t>(order[t]);
+                std::memcpy(p + 9, &tid, 4);
+            }
+            for (; slot < leaf_size; ++slot)
+                std::memcpy(rec + slot * kTriStride + 9, &none, 4);
+        } else {
+            for (int k = 0; k < kWidth; ++k) {
+                const int64_t ch = first_child[rid] + k;
+                rec[0 + k] = nlo[ch].x;
+                rec[8 + k] = nlo[ch].y;
+                rec[16 + k] = nlo[ch].z;
+                rec[24 + k] = nhi[ch].x;
+                rec[32 + k] = nhi[ch].y;
+                rec[40 + k] = nhi[ch].z;
+                const int32_t code = is_leaf[ch]
+                    ? static_cast<int32_t>(~ch) : static_cast<int32_t>(ch);
+                std::memcpy(rec + 48 + k, &code, 4);
+            }
         }
-        for (; slot < leaf_size; ++slot)
-            std::memcpy(lrec + slot * 12 + 9, &none, 4);
-    }
-
-    // --- emit paired-children internal records ---
-    std::memset(nodes_out, 0,
-                sizeof(float) * static_cast<size_t>(std::max<int64_t>(ni, 1) * 16));
-    for (int64_t id = 0; id < n; ++id) {
-        if (is_leaf[id]) continue;
-        float* rec = nodes_out + int_index[id] * 16;
-        const int64_t cl = left[id], cr = left[id] + 1;
-        rec[0] = nlo[cl].x; rec[1] = nlo[cl].y; rec[2] = nlo[cl].z;
-        rec[3] = nhi[cl].x; rec[4] = nhi[cl].y; rec[5] = nhi[cl].z;
-        rec[6] = nlo[cr].x; rec[7] = nlo[cr].y; rec[8] = nlo[cr].z;
-        rec[9] = nhi[cr].x; rec[10] = nhi[cr].y; rec[11] = nhi[cr].z;
-        const int32_t code_l = is_leaf[cl]
-            ? static_cast<int32_t>(~leaf_index[cl]) : static_cast<int32_t>(int_index[cl]);
-        const int32_t code_r = is_leaf[cr]
-            ? static_cast<int32_t>(~leaf_index[cr]) : static_cast<int32_t>(int_index[cr]);
-        std::memcpy(rec + 12, &code_l, 4);
-        std::memcpy(rec + 13, &code_r, 4);
     }
     return 0;
 }

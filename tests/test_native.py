@@ -16,11 +16,11 @@ def test_native_builder_bit_identical():
         v2 = v0 + rng.uniform(-0.5, 0.5, (t, 3)).astype(np.float32)
         bn = build_bvh(v0, v1, v2, use_native=True)
         bp = build_bvh(v0, v1, v2, use_native=False)
-        assert bn.num_internal == bp.num_internal
+        assert bn.num_rows == bp.num_rows
         assert bn.num_leaves == bp.num_leaves
-        # NaN bit patterns live in the bitcast link/ID columns: compare bytes.
-        assert np.asarray(bn.nodes).tobytes() == np.asarray(bp.nodes).tobytes()
-        assert np.asarray(bn.leaves).tobytes() == np.asarray(bp.leaves).tobytes()
+        assert bn.root_code == bp.root_code
+        # NaN bit patterns live in the bitcast code/ID columns: compare bytes.
+        assert np.asarray(bn.table).tobytes() == np.asarray(bp.table).tobytes()
 
 
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")
@@ -30,7 +30,6 @@ def test_native_count_nodes():
         np.ones((10, 3), np.float32) + np.arange(10, dtype=np.float32)[:, None],
         np.full((10, 3), 0.5, np.float32) + np.arange(10, dtype=np.float32)[:, None])
     assert packed is not None
-    nodes, leaves, n_int, n_leaves, depth = packed
-    assert nodes.shape == (max(n_int, 1), 16)
-    assert leaves.shape == (n_leaves, 48)
-    assert depth >= 1
+    table, n_rows, n_leaves, depth, root_code = packed
+    assert table.shape == (n_rows, 128)
+    assert n_leaves >= 1 and depth >= 1
