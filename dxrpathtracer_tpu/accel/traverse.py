@@ -9,12 +9,12 @@ The loop is built around two measured TPU facts:
   1. gathers cost ~constant per ROW (latency-bound) up to 512B rows, so each
      iteration fetches exactly ONE unified 512B record per ray (accel/lbvh.py)
      and does everything with it;
-  2. column-slicing a wide (N, 128) buffer re-streams the full 512B rows per
-     slice, so the record is transposed ONCE to (128, N) and every consumer
-     reads contiguous (N,) component rows.
+  2. wide (N, 8) block slices of the gathered record keep memory access
+     efficient (fully component-major/transposed variants measured 2.7x
+     faster per step but fault the current axon/Mosaic stack — PERF_NOTES.md).
 
 Per iteration each lane either
-  - slab-tests all 8 children of an internal record component-wise, orders the
+  - slab-tests all 8 children of an internal record (SoA blocks), orders the
     hits with an 8-lane sorting network, descends the nearest and pushes the
     rest (far-first) on a per-ray stack held as a dense (depth, N) one-hot-
     updated array (TPU has no fast per-lane scatter), or
