@@ -1,0 +1,105 @@
+"""Session-level behavior: restart logic, checkpoint/resume, spot-light NEE."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dxrpathtracer_tpu.app.session import RenderSession
+from dxrpathtracer_tpu.app.settings import AppSettings, Scenes
+
+
+def _small_session(**kw):
+    s = AppSettings(current_scene=Scenes.BoxTest, sqrt_num_samples=2, **kw)
+    return RenderSession(settings=s, width=16, height=16)
+
+
+def test_restart_on_settings_change():
+    sess = _small_session()
+    sess.render_frame()
+    assert sess.sample_idx == 1
+    # Watched setting change -> accumulation reset (DXRPathTracer.cpp:1416-1461)
+    sess.settings = sess.settings.replace(max_path_length=4)
+    sess.render_frame()
+    assert sess.sample_idx == 1  # reset to 0, then rendered one sample
+    # Unwatched setting (vsync) does NOT reset
+    sess.settings = sess.settings.replace(enable_vsync=False)
+    sess.render_frame()
+    assert sess.sample_idx == 2
+
+
+def test_restart_on_camera_move():
+    sess = _small_session()
+    sess.render_frame()
+    sess.camera.set_position((1.0, 2.5, -10.0))
+    sess.render_frame()
+    assert sess.sample_idx == 1
+
+
+def test_early_out_at_total_samples():
+    sess = _small_session()
+    for _ in range(10):
+        sess.render_frame()
+    # SqrtNumSamples=2 -> stops at 4 (DXRPathTracer.cpp:2026-2028)
+    assert sess.sample_idx == 4
+    assert sess.render_frame() is False
+
+
+def test_checkpoint_resume():
+    sess = _small_session()
+    sess.render_frame()
+    sess.render_frame()
+    state = sess.checkpoint_state()
+    ref = np.asarray(sess.render_to_completion())
+
+    sess2 = _small_session()
+    sess2.restore_state(state)
+    assert sess2.sample_idx == 2
+    out = np.asarray(sess2.render_to_completion())
+    assert np.allclose(out, ref, atol=1e-6)
+
+
+def test_spot_light_nee():
+    """A synthetic spot light illuminates the slab through the path tracer's
+    NEE loop (RayTrace.hlsl:264-313): with sun+sky off, all lighting must come
+    from the spot, fall off with its cone, and vanish when RenderLights=off."""
+    from dxrpathtracer_tpu.scene.registry import load_scene
+    from dxrpathtracer_tpu.scene.types import make_spot_lights
+    import dataclasses
+
+    scene, preset = load_scene(Scenes.BoxTest)
+    lights = make_spot_lights(
+        positions=[[3.0, 4.0, 0.0]],
+        # stored convention is the NEGATED pointing direction (surface->light
+        # axis, DXRPathTracer.cpp:976): light points down, store up.
+        directions=[[0.0, 1.0, 0.0]],
+        intensities=[[50.0, 25.0, 10.0]],
+        angular_attenuation=[[0.6, 1.2]])
+    scene = dataclasses.replace(scene, lights=lights)
+
+    settings = AppSettings(current_scene=Scenes.BoxTest, sqrt_num_samples=2,
+                           enable_sun=False, enable_sky=False,
+                           max_path_length=2)
+    sess = RenderSession(settings=settings, width=24, height=24,
+                         scene=scene, preset=preset)
+    sess.settings = settings  # preset application resets sun_direction only
+    img_on = np.asarray(sess.render_to_completion())
+    assert np.isfinite(img_on).all()
+    assert img_on.max() > 0.0  # the spot lights something
+    # Color ratio follows the light's intensity (R > G > B)
+    lit = img_on.reshape(-1, 3)[img_on.reshape(-1, 3).sum(-1) > 1e-4]
+    assert lit.size > 0
+    assert lit[:, 0].mean() > lit[:, 1].mean() > lit[:, 2].mean()
+
+    sess2 = RenderSession(settings=settings.replace(render_lights=False),
+                          width=24, height=24, scene=scene, preset=preset)
+    img_off = np.asarray(sess2.render_to_completion())
+    assert img_off.max() == 0.0
+
+
+def test_profiler_scopes():
+    from dxrpathtracer_tpu.app.profiler import Profiler
+    import time
+    p = Profiler()
+    with p.cpu_scope("work"):
+        time.sleep(0.01)
+    assert p.timing("work") >= 0.009
+    assert "work" in p.report()
