@@ -16,9 +16,17 @@ internal or leaf — is ONE 128-float (512B) record in a single unified table:
     [48:56) bitcast(child codes)   [56:128) zero
     child code: >= 0 -> internal row index; < 0 -> ~leaf row index;
     empty slots have inverted bounds (never hit) and code 0.
-  leaf record (up to LEAF_SIZE=10 packed triangles):
-     [t*12 : t*12+12) = [v0.xyz, e1.xyz, e2.xyz, bitcast(tri_id), pad, pad]
+  leaf record (up to LEAF_SIZE=8 packed triangles, SoA over the slots):
+    [0:8) v0x [8:16) v0y [16:24) v0z
+    [24:32) e1x [32:40) e1y [40:48) e1z
+    [48:56) e2x [56:64) e2y [64:72) e2z
+    [72:80) bitcast(tri_id)   [80:128) zero
     padded slots have tri_id == -1 and degenerate zero edges (never hit).
+
+Both record types are SoA so every field the traversal touches is a CONTIGUOUS
+8-wide block slice of the gathered (N, 128) buffer — scalar column slices
+re-stream the full 512B row each (measured, PERF_NOTES.md), which is why the
+leaf layout matches the internal one instead of packing triangles AoS.
 
 One gather per traversal step fetches everything the step needs; 8-ary
 branching keeps the tree ~6 levels deep for Sponza-class scenes, so the
@@ -33,8 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 WIDTH = 8          # children per internal node
-LEAF_SIZE = 10     # triangles per leaf record
-TRI_STRIDE = 12    # f32 slots per packed triangle
+LEAF_SIZE = 8      # triangles per leaf record (power of 2: tournament reduce)
 RECORD = 128       # f32 slots per unified record (512 B)
 
 
@@ -179,25 +186,22 @@ def build_table_numpy(v0, v1, v2, leaf_size: int = LEAF_SIZE):
     code_of = np.where(row_is_leaf, ~np.arange(n_rows), np.arange(n_rows)).astype(np.int32)
 
     table = np.zeros((n_rows, RECORD), np.float32)
-    # leaf records
+    # leaf records: SoA blocks [v0x v0y v0z e1x e1y e1z e2x e2y e2z tid],
+    # each LEAF_SIZE slots wide.
     leaf_ids = np.where(row_is_leaf)[0]
     sorted_tri_id = order.astype(np.int32)
     e1 = sv1 - sv0
     e2 = sv2 - sv0
     neg1 = np.float32(np.int32(-1).view(np.float32))
-    for k in range(leaf_size):
-        table[leaf_ids, k * TRI_STRIDE + 9] = neg1
-    for k in range(LEAF_SIZE):
-        if k >= leaf_size:
-            break
+    table[leaf_ids, 9 * LEAF_SIZE:10 * LEAF_SIZE] = neg1  # pad: tid = -1
+    for k in range(min(leaf_size, LEAF_SIZE)):
         sel = (row_ranges[leaf_ids, 1] - row_ranges[leaf_ids, 0]) > k
         rid = leaf_ids[sel]
         src = row_ranges[rid, 0] + k
-        base = k * TRI_STRIDE
-        table[rid, base:base + 3] = sv0[src]
-        table[rid, base + 3:base + 6] = e1[src]
-        table[rid, base + 6:base + 9] = e2[src]
-        table[rid, base + 9] = sorted_tri_id[src].view(np.float32)
+        for comp, arr in enumerate((sv0, e1, e2)):
+            for ax in range(3):
+                table[rid, (comp * 3 + ax) * LEAF_SIZE + k] = arr[src, ax]
+        table[rid, 9 * LEAF_SIZE + k] = sorted_tri_id[src].view(np.float32)
 
     # internal records
     int_ids = np.where(~row_is_leaf)[0]

@@ -38,7 +38,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .lbvh import FlatBVH, RECORD, TRI_STRIDE, WIDTH
+from .lbvh import FlatBVH, LEAF_SIZE, RECORD, WIDTH
 
 _BIG = jnp.float32(3e38)
 
@@ -83,46 +83,92 @@ _SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
 
 
 def _intersect_leaf(bvh, rec, o, d, t_min, is_leaf, best, accept_fn):
-    """Component-wise MT over the leaf record's inline triangles.
+    """Vectorized Möller–Trumbore over the leaf record's SoA triangle blocks.
 
-    rec: (N, RECORD) gathered records; o/d: tuples of (N,) xyz.
+    rec: (m, RECORD) gathered records with SoA leaf layout (accel/lbvh.py):
+    all L=8 triangles are tested with ~10 contiguous (m, 8) block slices —
+    the earlier per-triangle AoS layout needed ~100 scalar column slices, each
+    re-streaming the gathered 512B row (PERF_NOTES.md).
+    o/d: tuples of (m,) xyz. No backface culling (the reference disables it:
+    Timing.txt:3 "No back-face cull" is the shipped configuration).
     """
-    ox, oy, oz = o
-    dx, dy, dz = d
+    L = LEAF_SIZE
+    ox, oy, oz = (c[:, None] for c in o)
+    dx, dy, dz = (c[:, None] for c in d)
     best_t, best_tri, best_u, best_v = best
-    for k in range(bvh.leaf_size):
-        b = k * TRI_STRIDE
-        v0x, v0y, v0z = rec[:, b + 0], rec[:, b + 1], rec[:, b + 2]
-        e1x, e1y, e1z = rec[:, b + 3], rec[:, b + 4], rec[:, b + 5]
-        e2x, e2y, e2z = rec[:, b + 6], rec[:, b + 7], rec[:, b + 8]
-        tid = _bitcast_i32(rec[:, b + 9])
-        # Möller–Trumbore, no backface culling (the reference disables culling:
-        # Timing.txt:3 "No back-face cull" is the shipped configuration).
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv_det = jnp.where(jnp.abs(det) > 1e-12,
-                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok = (is_leaf & (tid >= 0) & (jnp.abs(det) > 1e-12)
-              & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (t >= t_min) & (t < best_t))
-        if accept_fn is not None:
-            ok = ok & accept_fn(tid, u, v)
-        best_tri = jnp.where(ok, tid, best_tri)
-        best_u = jnp.where(ok, u, best_u)
-        best_v = jnp.where(ok, v, best_v)
-        best_t = jnp.where(ok, t, best_t)
+
+    v0x, v0y, v0z = rec[:, 0:L], rec[:, L:2 * L], rec[:, 2 * L:3 * L]
+    e1x, e1y, e1z = rec[:, 3 * L:4 * L], rec[:, 4 * L:5 * L], rec[:, 5 * L:6 * L]
+    e2x, e2y, e2z = rec[:, 6 * L:7 * L], rec[:, 7 * L:8 * L], rec[:, 8 * L:9 * L]
+    tid = _bitcast_i32(rec[:, 9 * L:10 * L])
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-12,
+                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = (is_leaf[:, None] & (tid >= 0) & (jnp.abs(det) > 1e-12)
+          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t >= t_min[:, None]) & (t < best_t[:, None]))
+    if accept_fn is not None:
+        ok = ok & accept_fn(tid, u, v)
+
+    # Tournament min-reduce over the triangle axis using contiguous half
+    # slices only (axis-1 gathers inside while bodies fault this TPU stack —
+    # PERF_NOTES.md). Strict < means the earlier slot wins ties, matching the
+    # sequential-update order of the AoS loop this replaces.
+    key = jnp.where(ok, t, _BIG)
+    arrs = (key, tid, u, v)
+    h = L // 2
+    while h >= 1:
+        lo = tuple(a[:, :h] for a in arrs)
+        hi = tuple(a[:, h:2 * h] for a in arrs)
+        take_hi = hi[0] < lo[0]
+        arrs = tuple(jnp.where(take_hi, b, a) for a, b in zip(lo, hi))
+        h //= 2
+    ck, ctid, cu, cv = (a[:, 0] for a in arrs)
+    win = ck < _BIG
+    best_tri = jnp.where(win, ctid, best_tri)
+    best_u = jnp.where(win, cu, best_u)
+    best_v = jnp.where(win, cv, best_v)
+    best_t = jnp.where(win, ck, best_t)
     return best_t, best_tri, best_u, best_v
+
+
+# Ray-compaction schedule. The lockstep while_loop pays every iteration for
+# ALL lanes, but the average ray finishes in ~30 steps while the worst needs
+# ~160 (PERF_NOTES.md): each phase therefore runs only until the live-lane
+# count drops below the next (half) size, compacts survivors into a half-size
+# static-shape array, and continues — the DXR hardware's per-ray MIMD
+# termination (RayTrace.hlsl:138) recovered with static shapes. Tunables:
+# phases below MIN_COMPACT_SIZE lanes or beyond MAX_COMPACT_PHASES halvings
+# aren't worth the extra while_loop instance (compile time) or the boundary
+# permute cost.
+MIN_COMPACT_SIZE = 8192
+MAX_COMPACT_PHASES = 4
+
+
+def _compact_perm(finished, m):
+    """Stable permutation putting unfinished lanes first (cumsum, no sort)."""
+    unf = (~finished).astype(jnp.int32)
+    fin = finished.astype(jnp.int32)
+    n_unf = jnp.sum(unf)
+    dest = jnp.where(finished,
+                     n_unf + jnp.cumsum(fin) - 1,
+                     jnp.cumsum(unf) - 1)
+    perm = jnp.zeros((m,), jnp.int32).at[dest].set(
+        jnp.arange(m, dtype=jnp.int32))
+    return perm
 
 
 def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
@@ -133,31 +179,32 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
     stack_depth = min(bvh.max_depth * (WIDTH - 1) + 2, 64)
     levels = jnp.arange(stack_depth, dtype=jnp.int32)[:, None]
 
-    root = jnp.int32(bvh.root_code)
-    state = (
-        jnp.where(active, root, done_code).astype(jnp.int32),  # cur code
-        jnp.zeros((stack_depth, n), jnp.int32),                # far stack
-        jnp.zeros((n,), jnp.int32),                            # stack pointer
-        t_max.astype(jnp.float32),                             # best t
-        jnp.full((n,), -1, jnp.int32),                         # best tri
-        jnp.zeros((n,), jnp.float32),                          # u
-        jnp.zeros((n,), jnp.float32),                          # v
-        jnp.zeros((), jnp.int32),                              # iteration count
-    )
-
     # Safety bound only (turns a corrupt tree into a wrong image, not a hang):
     # every row can be visited at most once per ray.
     max_iters = bvh.num_rows + stack_depth + 4
 
-    o = (ray_o[:, 0], ray_o[:, 1], ray_o[:, 2])
-    d = (ray_d[:, 0], ray_d[:, 1], ray_d[:, 2])
-    iv = (inv_d[:, 0], inv_d[:, 1], inv_d[:, 2])
+    root = jnp.int32(bvh.root_code)
 
-    def cond(s):
-        return jnp.any(s[0] != done_code) & (s[7] < max_iters)
+    # Per-lane state, compactable. Ray components stay as (m,) lanes so the
+    # hot math never re-slices (PERF_NOTES.md: jnp.cross/stack break fusion).
+    lane = dict(
+        idx=jnp.arange(n, dtype=jnp.int32),
+        ox=ray_o[:, 0], oy=ray_o[:, 1], oz=ray_o[:, 2],
+        dx=ray_d[:, 0], dy=ray_d[:, 1], dz=ray_d[:, 2],
+        ivx=inv_d[:, 0], ivy=inv_d[:, 1], ivz=inv_d[:, 2],
+        tmin=t_min,
+        cur=jnp.where(active, root, done_code).astype(jnp.int32),
+        stack=jnp.zeros((stack_depth, n), jnp.int32),
+        sp=jnp.zeros((n,), jnp.int32),
+        bt=t_max.astype(jnp.float32),
+        btri=jnp.full((n,), -1, jnp.int32),
+        bu=jnp.zeros((n,), jnp.float32),
+        bv=jnp.zeros((n,), jnp.float32),
+    )
 
     def body(s):
-        cur, stack, sp, best_t, best_tri, best_u, best_v, it = s
+        (idx, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
+         cur, stack, sp, best_t, best_tri, best_u, best_v, it) = s
 
         alive = cur != done_code
         is_leaf = alive & (cur < 0)
@@ -168,19 +215,17 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         # variants measured ~2.7x better trip a Mosaic/axon compiler kernel
         # fault on the tunneled device (see PERF_NOTES.md), so this proven
         # form is kept for now.
-        rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (N, RECORD)
+        rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
 
-        # ---- internal: slab-test all 8 children ((N, 8) SoA blocks) ----
-        ox, oy, oz = o[0][:, None], o[1][:, None], o[2][:, None]
-        ivx, ivy, ivz = iv[0][:, None], iv[1][:, None], iv[2][:, None]
-        tx0 = (rec[:, 0:8] - ox) * ivx
-        tx1 = (rec[:, 24:32] - ox) * ivx
-        ty0 = (rec[:, 8:16] - oy) * ivy
-        ty1 = (rec[:, 32:40] - oy) * ivy
-        tz0 = (rec[:, 16:24] - oz) * ivz
-        tz1 = (rec[:, 40:48] - oz) * ivz
+        # ---- internal: slab-test all 8 children ((m, 8) SoA blocks) ----
+        tx0 = (rec[:, 0:8] - ox[:, None]) * ivx[:, None]
+        tx1 = (rec[:, 24:32] - ox[:, None]) * ivx[:, None]
+        ty0 = (rec[:, 8:16] - oy[:, None]) * ivy[:, None]
+        ty1 = (rec[:, 32:40] - oy[:, None]) * ivy[:, None]
+        tz0 = (rec[:, 16:24] - oz[:, None]) * ivz[:, None]
+        tz1 = (rec[:, 40:48] - oz[:, None]) * ivz[:, None]
         tn8 = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                          jnp.maximum(jnp.minimum(tz0, tz1), t_min[:, None]))
+                          jnp.maximum(jnp.minimum(tz0, tz1), tmin[:, None]))
         tf8 = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                           jnp.minimum(jnp.maximum(tz0, tz1), best_t[:, None]))
         hit8 = is_int[:, None] & (tn8 <= tf8)
@@ -199,7 +244,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
 
         # ---- leaf: inline triangle intersection ----
         best_t, best_tri, best_u, best_v = _intersect_leaf(
-            bvh, rec, o, d, t_min, is_leaf,
+            bvh, rec, (ox, oy, oz), (dx, dy, dz), tmin, is_leaf,
             (best_t, best_tri, best_u, best_v), accept_fn)
 
         # ---- stack pushes: children 7..1 (far first), hits only ----
@@ -224,11 +269,57 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
             cur_next = jnp.where(found, done_code, cur_next)
             sp = jnp.where(found, 0, sp)
 
-        return (cur_next, stack, sp, best_t, best_tri, best_u, best_v, it + 1)
+        return (idx, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
+                cur_next, stack, sp, best_t, best_tri, best_u, best_v, it + 1)
 
-    out = jax.lax.while_loop(cond, body, state)
-    _, _, _, t, tri, u, v, _ = out
-    return HitRecord(t=t, tri_id=tri, u=u, v=v)
+    # Full-size result buffers, scattered into at each phase boundary.
+    out_t = t_max.astype(jnp.float32)
+    out_tri = jnp.full((n,), -1, jnp.int32)
+    out_u = jnp.zeros((n,), jnp.float32)
+    out_v = jnp.zeros((n,), jnp.float32)
+
+    sizes = [n]
+    while (len(sizes) <= MAX_COMPACT_PHASES
+           and sizes[-1] // 2 >= MIN_COMPACT_SIZE):
+        sizes.append(sizes[-1] // 2)
+
+    keys_order = ("idx", "ox", "oy", "oz", "dx", "dy", "dz",
+                  "ivx", "ivy", "ivz", "tmin",
+                  "cur", "stack", "sp", "bt", "btri", "bu", "bv")
+    it = jnp.zeros((), jnp.int32)
+    for pi, size in enumerate(sizes):
+        final = pi == len(sizes) - 1
+        state = tuple(lane[k] for k in keys_order) + (it,)
+
+        if final:
+            def cond(s):
+                return jnp.any(s[11] != done_code) & (s[18] < max_iters)
+        else:
+            next_size = sizes[pi + 1]
+
+            def cond(s, _ns=next_size):
+                n_alive = jnp.sum((s[11] != done_code).astype(jnp.int32))
+                return (n_alive > _ns) & (s[18] < max_iters)
+
+        state = jax.lax.while_loop(cond, body, state)
+        lane = dict(zip(keys_order, state[:-1]))
+        it = state[-1]
+
+        # Scatter this phase's results for every lane it owned; dropped
+        # (finished) lanes keep these values, survivors get overwritten at
+        # the next boundary.
+        out_t = out_t.at[lane["idx"]].set(lane["bt"])
+        out_tri = out_tri.at[lane["idx"]].set(lane["btri"])
+        out_u = out_u.at[lane["idx"]].set(lane["bu"])
+        out_v = out_v.at[lane["idx"]].set(lane["bv"])
+
+        if not final:
+            perm = _compact_perm(lane["cur"] == done_code, size)[:sizes[pi + 1]]
+            lane = {k: (jnp.take(v, perm, axis=1) if k == "stack"
+                        else jnp.take(v, perm, axis=0))
+                    for k, v in lane.items()}
+
+    return HitRecord(t=out_t, tri_id=out_tri, u=out_u, v=out_v)
 
 
 def closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None, accept_fn=None):

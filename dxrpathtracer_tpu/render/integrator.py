@@ -113,13 +113,14 @@ def _make_alpha_test(scene, settings: AppSettings):
         return None
 
     def accept(tri_id, u, v):
+        # Shape-polymorphic: called with (m,) rays or (m, L) leaf-slot blocks.
         mat = jnp.take(scene.tri_material, jnp.maximum(tri_id, 0), axis=0)
         has_op = jnp.take(scene.materials.has_opacity, mat, axis=0)
         tri = jnp.take(scene.tri_idx, jnp.maximum(tri_id, 0), axis=0)
         w = 1.0 - u - v
-        uv0 = jnp.take(scene.uvs, tri[:, 0], axis=0)
-        uv1 = jnp.take(scene.uvs, tri[:, 1], axis=0)
-        uv2 = jnp.take(scene.uvs, tri[:, 2], axis=0)
+        uv0 = jnp.take(scene.uvs, tri[..., 0], axis=0)
+        uv1 = jnp.take(scene.uvs, tri[..., 1], axis=0)
+        uv2 = jnp.take(scene.uvs, tri[..., 2], axis=0)
         uv = uv0 * w[..., None] + uv1 * u[..., None] + uv2 * v[..., None]
         opacity = _sample_material(scene, mat, uv, "opacity")[..., 0]
         return jnp.where(has_op, opacity >= 0.35, True)

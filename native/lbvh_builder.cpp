@@ -21,7 +21,7 @@ namespace {
 
 constexpr int kWidth = 8;
 constexpr int kRecord = 128;
-constexpr int kTriStride = 12;
+constexpr int kLeafSize = 8;  // SoA leaf blocks, kLeafSize slots per field
 
 struct Vec3 {
     float x, y, z;
@@ -197,17 +197,24 @@ int lbvh_build3(const float* v0, const float* v1, const float* v2,
     for (int64_t rid = 0; rid < rows; ++rid) {
         float* rec = table + rid * kRecord;
         if (is_leaf[rid]) {
+            // SoA blocks [v0x v0y v0z e1x e1y e1z e2x e2y e2z tid], each
+            // kLeafSize slots wide (layout documented in accel/lbvh.py).
+            for (int slot = 0; slot < kLeafSize; ++slot)
+                std::memcpy(rec + 9 * kLeafSize + slot, &none, 4);
             int64_t slot = 0;
             for (int64_t t = row_range[rid].lo; t < row_range[rid].hi; ++t, ++slot) {
-                float* p = rec + slot * kTriStride;
-                p[0] = sv0[t].x; p[1] = sv0[t].y; p[2] = sv0[t].z;
-                p[3] = se1[t].x; p[4] = se1[t].y; p[5] = se1[t].z;
-                p[6] = se2[t].x; p[7] = se2[t].y; p[8] = se2[t].z;
+                rec[0 * kLeafSize + slot] = sv0[t].x;
+                rec[1 * kLeafSize + slot] = sv0[t].y;
+                rec[2 * kLeafSize + slot] = sv0[t].z;
+                rec[3 * kLeafSize + slot] = se1[t].x;
+                rec[4 * kLeafSize + slot] = se1[t].y;
+                rec[5 * kLeafSize + slot] = se1[t].z;
+                rec[6 * kLeafSize + slot] = se2[t].x;
+                rec[7 * kLeafSize + slot] = se2[t].y;
+                rec[8 * kLeafSize + slot] = se2[t].z;
                 const int32_t tid = static_cast<int32_t>(order[t]);
-                std::memcpy(p + 9, &tid, 4);
+                std::memcpy(rec + 9 * kLeafSize + slot, &tid, 4);
             }
-            for (; slot < leaf_size; ++slot)
-                std::memcpy(rec + slot * kTriStride + 9, &none, 4);
         } else {
             for (int k = 0; k < kWidth; ++k) {
                 const int64_t ch = first_child[rid] + k;

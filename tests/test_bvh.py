@@ -48,13 +48,15 @@ def test_bvh_structure():
         seen[row] = True
         rec = table[row]
         if code < 0:
-            # leaf: collect triangle ids; padded slots degenerate
+            # leaf (SoA blocks): collect triangle ids; padded slots degenerate
+            L = 8
             for k in range(bvh.leaf_size):
-                tid = as_i32(rec[k * 12 + 9:k * 12 + 10])[0]
+                tid = as_i32(rec[9 * L + k:9 * L + k + 1])[0]
                 if tid >= 0:
                     tri_seen.append(tid)
                 else:
-                    assert (rec[k * 12 + 3:k * 12 + 9] == 0).all()
+                    for comp in range(3, 9):  # e1/e2 components all zero
+                        assert rec[comp * L + k] == 0
         else:
             codes = as_i32(rec[48:56])
             for k in range(8):
@@ -67,11 +69,13 @@ def test_bvh_structure():
                 if child < 0:
                     # leaf child: its triangles are inside the stored bounds
                     lrec = table[crow]
+                    L = 8
                     for j in range(bvh.leaf_size):
-                        if as_i32(lrec[j * 12 + 9:j * 12 + 10])[0] >= 0:
-                            p0 = lrec[j * 12:j * 12 + 3]
-                            for p in (p0, p0 + lrec[j * 12 + 3:j * 12 + 6],
-                                      p0 + lrec[j * 12 + 6:j * 12 + 9]):
+                        if as_i32(lrec[9 * L + j:9 * L + j + 1])[0] >= 0:
+                            p0 = lrec[[0 * L + j, 1 * L + j, 2 * L + j]]
+                            e1 = lrec[[3 * L + j, 4 * L + j, 5 * L + j]]
+                            e2 = lrec[[6 * L + j, 7 * L + j, 8 * L + j]]
+                            for p in (p0, p0 + e1, p0 + e2):
                                 assert (p >= lo_c - 1e-5).all()
                                 assert (p <= hi_c + 1e-5).all()
                 stack.append(int(child))
@@ -166,3 +170,30 @@ def test_boxtest_scene_hits():
     rec = closest_hit(bvh, o, d, 0.0, 1e30)
     assert int(rec.tri_id[0]) >= 0
     assert abs(float(rec.t[0]) - 7.5) < 1e-4  # 10 - 2.5
+
+
+def test_compaction_phases_match_brute_force(monkeypatch):
+    """Force multiple compaction phases (accel/traverse.py phase schedule) and
+    verify closest-hit + any-hit still match the brute-force oracle."""
+    from dxrpathtracer_tpu.accel import traverse as trav
+    monkeypatch.setattr(trav, "MIN_COMPACT_SIZE", 64)
+    monkeypatch.setattr(trav, "MAX_COMPACT_PHASES", 4)
+
+    rng = np.random.default_rng(7)
+    v0, v1, v2 = _soup(rng, 700)
+    bvh = build_bvh(v0, v1, v2)
+    o, d = _rays(rng, 2000)  # 2000 -> phases of 2000/1000/500/250/125 lanes
+
+    rec = jax.jit(lambda b, oo, dd: closest_hit(b, oo, dd, 0.0, 1e30))(
+        bvh, jnp.asarray(o), jnp.asarray(d))
+    bt, btri, bu, bv = brute_force_closest_hit(v0, v1, v2, o, d, 0.0, 1e30)
+    tri = np.asarray(rec.tri_id)
+    assert ((tri >= 0) == (btri >= 0)).all()
+    m = tri >= 0
+    assert m.mean() > 0.5
+    assert np.allclose(np.asarray(rec.t)[m], bt[m], rtol=1e-4, atol=1e-5)
+    assert (tri[m] == btri[m]).mean() > 0.999
+
+    vis = np.asarray(jax.jit(lambda b, oo, dd: any_hit(b, oo, dd, 0.0, 1e30))(
+        bvh, jnp.asarray(o), jnp.asarray(d)))
+    assert ((vis == 0.0) == (btri >= 0)).all()
