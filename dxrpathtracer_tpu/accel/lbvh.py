@@ -82,11 +82,16 @@ def morton_codes_30(centroids: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-              leaf_size: int = LEAF_SIZE, use_native: bool = True) -> FlatBVH:
+              leaf_size: int = LEAF_SIZE, use_native: bool = True,
+              mode: str = "sah") -> FlatBVH:
     """Build a FlatBVH from (T, 3) triangle vertices (host numpy -> device).
 
-    Uses the native C++ builder (native/lbvh_builder.cpp via ctypes) when
-    available; the numpy path is the bit-identical reference implementation.
+    mode="sah" (default) is the quality build — binned SAH collapsed to
+    8-wide, the analog of the reference's PREFER_FAST_TRACE driver build
+    (DXRPathTracer.cpp:2428); mode="morton" is the fast-build analog
+    (eighth-splits of the morton order). Uses the native C++ builders
+    (native/{sah,lbvh}_builder.cpp via ctypes) when available; the numpy
+    paths are the bit-identical reference implementations.
     """
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
@@ -94,24 +99,24 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     num_tris = v0.shape[0]
     assert num_tris > 0
     assert leaf_size <= LEAF_SIZE
+    assert mode in ("sah", "morton")
 
+    packed = None
     if use_native:
         from . import native
-        packed = native.build_packed(v0, v1, v2, leaf_size)
-        if packed is not None:
-            table, num_rows, num_leaves, depth, root_code = packed
-            return FlatBVH(table=jnp.asarray(table), num_rows=num_rows,
-                           num_tris=int(num_tris), num_leaves=num_leaves,
-                           leaf_size=int(leaf_size), max_depth=depth + 2,
-                           root_code=root_code)
+        if mode == "sah":
+            packed = native.build_packed_sah(v0, v1, v2, leaf_size)
+        else:
+            packed = native.build_packed(v0, v1, v2, leaf_size)
+    if packed is None:
+        build = build_table_numpy_sah if mode == "sah" else build_table_numpy
+        packed = build(v0, v1, v2, leaf_size)
 
-    table, num_rows, num_leaves, depth, root_code = build_table_numpy(
-        v0, v1, v2, leaf_size)
-    return FlatBVH(table=jnp.asarray(table),
-                   num_rows=num_rows,
-                   num_tris=int(num_tris), num_leaves=num_leaves,
-                   leaf_size=int(leaf_size), max_depth=depth + 2,
-                   root_code=root_code)
+    table, num_rows, num_leaves, depth, root_code = packed
+    return FlatBVH(table=jnp.asarray(table), num_rows=int(num_rows),
+                   num_tris=int(num_tris), num_leaves=int(num_leaves),
+                   leaf_size=int(leaf_size), max_depth=int(depth) + 2,
+                   root_code=int(root_code))
 
 
 def build_table_numpy(v0, v1, v2, leaf_size: int = LEAF_SIZE):
@@ -222,6 +227,195 @@ def build_table_numpy(v0, v1, v2, leaf_size: int = LEAF_SIZE):
 
     root_code = int(code_of[0])
     return table, int(n_rows), num_leaves, depth, root_code
+
+
+def build_table_numpy_sah(v0, v1, v2, leaf_size: int = LEAF_SIZE, bins: int = 16):
+    """Reference host build, SAH mode: binned binary SAH (largest centroid
+    axis) collapsed to 8-wide by expanding the largest-surface-area child.
+    Bit-identical to native/sah_builder.cpp (all FP decisions in f32, AABB
+    unions are exact min/max, costs computed in the same expression order).
+    Returns (table, num_rows, num_leaves, depth, root_code)."""
+    import sys
+    f32 = np.float32
+    v0 = np.asarray(v0, f32)
+    v1 = np.asarray(v1, f32)
+    v2 = np.asarray(v2, f32)
+    num_tris = v0.shape[0]
+    tlo = np.minimum(np.minimum(v0, v1), v2)
+    thi = np.maximum(np.maximum(v0, v1), v2)
+    cent = ((v0 + v1 + v2) / f32(3.0)).astype(f32)
+    order = np.arange(num_tris, dtype=np.int64)
+
+    b_lo, b_hi, b_left, b_right = [], [], [], []
+    boxes_lo, boxes_hi = [], []
+
+    def half_area(lo, hi):
+        d = np.maximum(hi - lo, f32(0.0))
+        return f32(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(limit, 10000))
+
+    def build(lo, hi):
+        sel = order[lo:hi]
+        node_lo = tlo[sel].min(axis=0)
+        node_hi = thi[sel].max(axis=0)
+        idx = len(b_lo)
+        b_lo.append(lo)
+        b_hi.append(hi)
+        b_left.append(-1)
+        b_right.append(-1)
+        boxes_lo.append(node_lo)
+        boxes_hi.append(node_hi)
+        count = hi - lo
+        if count <= leaf_size:
+            return idx
+
+        clo_v = cent[sel].min(axis=0)
+        ext3 = cent[sel].max(axis=0) - clo_v
+        axis = 0
+        ext = ext3[0]
+        if ext3[1] > ext:
+            axis, ext = 1, ext3[1]
+        if ext3[2] > ext:
+            axis, ext = 2, ext3[2]
+
+        mid = None
+        if not ext > 0.0:
+            mid = lo + count // 2
+        else:
+            scale = f32(bins) / ext
+            bidx = np.clip(((cent[sel, axis] - clo_v[axis]) * scale).astype(np.int32),
+                           0, bins - 1)
+            counts = np.bincount(bidx, minlength=bins)
+            bin_lo = np.full((bins, 3), 3e38, f32)
+            bin_hi = np.full((bins, 3), -3e38, f32)
+            for bb in range(bins):
+                m = bidx == bb
+                if m.any():
+                    bin_lo[bb] = tlo[sel[m]].min(axis=0)
+                    bin_hi[bb] = thi[sel[m]].max(axis=0)
+            racc_lo = np.empty((bins, 3), f32)
+            racc_hi = np.empty((bins, 3), f32)
+            acc_lo = np.full(3, 3e38, f32)
+            acc_hi = np.full(3, -3e38, f32)
+            for bb in range(bins - 1, 0, -1):
+                acc_lo = np.minimum(acc_lo, bin_lo[bb])
+                acc_hi = np.maximum(acc_hi, bin_hi[bb])
+                racc_lo[bb] = acc_lo
+                racc_hi[bb] = acc_hi
+            best_cost = f32(3e38)
+            best_split = -1
+            lacc_lo = np.full(3, 3e38, f32)
+            lacc_hi = np.full(3, -3e38, f32)
+            lcnt = 0
+            for bb in range(bins - 1):
+                lacc_lo = np.minimum(lacc_lo, bin_lo[bb])
+                lacc_hi = np.maximum(lacc_hi, bin_hi[bb])
+                lcnt += int(counts[bb])
+                rcnt = count - lcnt
+                if lcnt == 0 or rcnt == 0:
+                    continue
+                cost = f32(half_area(lacc_lo, lacc_hi) * f32(lcnt)
+                           + half_area(racc_lo[bb + 1], racc_hi[bb + 1]) * f32(rcnt))
+                if cost < best_cost:
+                    best_cost = cost
+                    best_split = bb
+            if best_split < 0:
+                mid = lo + count // 2
+            else:
+                keep = bidx <= best_split
+                order[lo:hi] = np.concatenate([sel[keep], sel[~keep]])
+                mid = lo + int(keep.sum())
+
+        li = build(lo, mid)
+        ri = build(mid, hi)
+        b_left[idx] = li
+        b_right[idx] = ri
+        return idx
+
+    root = build(0, num_tris)
+    sys.setrecursionlimit(limit)
+
+    # --- collapse binary -> 8-wide, BFS row emission (mirrors the C++) ---
+    rows_is_leaf, rows_range, rows_child, rows_box = [], [], [], []
+
+    def make_row(bn):
+        rid = len(rows_is_leaf)
+        rows_is_leaf.append(b_left[bn] < 0)
+        rows_range.append((b_lo[bn], b_hi[bn]))
+        rows_child.append([-1] * WIDTH)
+        rows_box.append((boxes_lo[bn], boxes_hi[bn]))
+        return rid
+
+    queue = [(root, 0)]
+    row_of = [make_row(root)]
+    depth = 0
+    qi = 0
+    while qi < len(queue):
+        bn, level = queue[qi]
+        rid = row_of[qi]
+        depth = max(depth, level + 1)
+        if b_left[bn] >= 0:
+            roots = [b_left[bn], b_right[bn]]
+            while len(roots) < WIDTH:
+                pick = -1
+                best_area = f32(-1.0)
+                for i, r in enumerate(roots):
+                    if b_left[r] < 0:
+                        continue
+                    a = half_area(boxes_lo[r], boxes_hi[r])
+                    if a > best_area:
+                        best_area, pick = a, i
+                if pick < 0:
+                    break
+                ex = roots[pick]
+                roots[pick] = b_left[ex]
+                roots.insert(pick + 1, b_right[ex])
+            for k, r in enumerate(roots):
+                queue.append((r, level + 1))
+                crid = make_row(r)
+                row_of.append(crid)
+                rows_child[rid][k] = crid
+        qi += 1
+
+    # --- emit unified records ---
+    n_rows = len(rows_is_leaf)
+    num_leaves = sum(rows_is_leaf)
+    table = np.zeros((n_rows, RECORD), np.float32)
+    neg1 = np.float32(np.int32(-1).view(np.float32))
+    L = LEAF_SIZE
+    for rid in range(n_rows):
+        if rows_is_leaf[rid]:
+            lo, hi = rows_range[rid]
+            sel = order[lo:hi]
+            m = len(sel)
+            table[rid, 9 * L:10 * L] = neg1
+            table[rid, 0 * L:0 * L + m] = v0[sel, 0]
+            table[rid, 1 * L:1 * L + m] = v0[sel, 1]
+            table[rid, 2 * L:2 * L + m] = v0[sel, 2]
+            table[rid, 3 * L:3 * L + m] = v1[sel, 0] - v0[sel, 0]
+            table[rid, 4 * L:4 * L + m] = v1[sel, 1] - v0[sel, 1]
+            table[rid, 5 * L:5 * L + m] = v1[sel, 2] - v0[sel, 2]
+            table[rid, 6 * L:6 * L + m] = v2[sel, 0] - v0[sel, 0]
+            table[rid, 7 * L:7 * L + m] = v2[sel, 1] - v0[sel, 1]
+            table[rid, 8 * L:8 * L + m] = v2[sel, 2] - v0[sel, 2]
+            table[rid, 9 * L:9 * L + m] = sel.astype(np.int32).view(np.float32)
+        else:
+            for k in range(WIDTH):
+                ch = rows_child[rid][k]
+                if ch < 0:
+                    table[rid, [0 + k, 8 + k, 16 + k]] = 3e38
+                    table[rid, [24 + k, 32 + k, 40 + k]] = -3e38
+                    continue
+                clo, chi = rows_box[ch]
+                table[rid, [0 + k, 8 + k, 16 + k]] = clo
+                table[rid, [24 + k, 32 + k, 40 + k]] = chi
+                code = np.int32(~ch if rows_is_leaf[ch] else ch)
+                table[rid, 48 + k] = code.view(np.float32)
+
+    root_code = int(np.int32(~0 if rows_is_leaf[0] else 0))
+    return table, n_rows, num_leaves, depth, root_code
 
 
 def build_bvh_for_scene(scene, positions=None, tri_idx=None) -> FlatBVH:

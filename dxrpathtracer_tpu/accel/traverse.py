@@ -172,7 +172,7 @@ def _compact_perm(finished, m):
 
 
 def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
-              first_hit: bool):
+              first_hit: bool, stats: bool = False):
     n = ray_o.shape[0]
     inv_d = _safe_inv(ray_d)
     done_code = jnp.int32(bvh.num_rows)  # cur == done_code => lane finished
@@ -228,7 +228,11 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
                           jnp.maximum(jnp.minimum(tz0, tz1), tmin[:, None]))
         tf8 = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                           jnp.minimum(jnp.maximum(tz0, tz1), best_t[:, None]))
-        hit8 = is_int[:, None] & (tn8 <= tf8)
+        # Empty child slots carry inverted bounds (lo=3e38 > hi=-3e38); they
+        # must be masked from the RECORD, not the slab result — (3e38 - o) / d
+        # overflows to inf for steep rays, making the inverted box "hit".
+        valid8 = rec[:, 0:8] <= rec[:, 24:32]
+        hit8 = is_int[:, None] & valid8 & (tn8 <= tf8)
         codes8 = _bitcast_i32(rec[:, 48:56])
 
         keys = [jnp.where(hit8[:, k], tn8[:, k], _BIG) for k in range(WIDTH)]
@@ -287,6 +291,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
                   "ivx", "ivy", "ivz", "tmin",
                   "cur", "stack", "sp", "bt", "btri", "bu", "bv")
     it = jnp.zeros((), jnp.int32)
+    phase_iters = []  # cumulative step count at each phase boundary (stats)
     for pi, size in enumerate(sizes):
         final = pi == len(sizes) - 1
         state = tuple(lane[k] for k in keys_order) + (it,)
@@ -304,6 +309,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         state = jax.lax.while_loop(cond, body, state)
         lane = dict(zip(keys_order, state[:-1]))
         it = state[-1]
+        phase_iters.append(it)
 
         # Scatter this phase's results for every lane it owned; dropped
         # (finished) lanes keep these values, survivors get overwritten at
@@ -319,7 +325,11 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
                         else jnp.take(v, perm, axis=0))
                     for k, v in lane.items()}
 
-    return HitRecord(t=out_t, tri_id=out_tri, u=out_u, v=out_v)
+    rec = HitRecord(t=out_t, tri_id=out_tri, u=out_u, v=out_v)
+    if stats:
+        return rec, {"sizes": tuple(sizes),
+                     "phase_iters": jnp.stack(phase_iters)}
+    return rec
 
 
 def closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None, accept_fn=None):

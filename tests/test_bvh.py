@@ -24,12 +24,12 @@ def _rays(rng, n, spread=3.0):
     return o, d.astype(np.float32)
 
 
-def test_bvh_structure():
+def test_bvh_structure(mode="sah"):
     """Unified 8-ary record layout invariants (accel/lbvh.py)."""
     rng = np.random.default_rng(3)
     t_count = 300
     v0, v1, v2 = _soup(rng, t_count)
-    bvh = build_bvh(v0, v1, v2)
+    bvh = build_bvh(v0, v1, v2, mode=mode)
     table = np.asarray(bvh.table)
     assert table.shape == (bvh.num_rows, 128)
 
@@ -84,10 +84,14 @@ def test_bvh_structure():
     assert sorted(tri_seen) == list(range(t_count))
 
 
-def test_closest_hit_matches_brute_force():
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["morton", "sah"])
+def test_closest_hit_matches_brute_force(mode):
     rng = np.random.default_rng(0)
     v0, v1, v2 = _soup(rng, 500)
-    bvh = build_bvh(v0, v1, v2)
+    bvh = build_bvh(v0, v1, v2, mode=mode)
     o, d = _rays(rng, 500)
 
     fn = jax.jit(lambda b, oo, dd: closest_hit(b, oo, dd, 0.0, 1e30))
@@ -197,3 +201,7 @@ def test_compaction_phases_match_brute_force(monkeypatch):
     vis = np.asarray(jax.jit(lambda b, oo, dd: any_hit(b, oo, dd, 0.0, 1e30))(
         bvh, jnp.asarray(o), jnp.asarray(d)))
     assert ((vis == 0.0) == (btri >= 0)).all()
+
+
+def test_bvh_structure_morton():
+    test_bvh_structure(mode="morton")

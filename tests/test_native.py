@@ -8,14 +8,15 @@ from dxrpathtracer_tpu.accel.lbvh import build_bvh
 
 
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")
-def test_native_builder_bit_identical():
+@pytest.mark.parametrize("mode", ["morton", "sah"])
+def test_native_builder_bit_identical(mode):
     rng = np.random.default_rng(7)
     for t in (1, 2, 5, 100, 4097):
         v0 = rng.uniform(-10, 10, (t, 3)).astype(np.float32)
         v1 = v0 + rng.uniform(-0.5, 0.5, (t, 3)).astype(np.float32)
         v2 = v0 + rng.uniform(-0.5, 0.5, (t, 3)).astype(np.float32)
-        bn = build_bvh(v0, v1, v2, use_native=True)
-        bp = build_bvh(v0, v1, v2, use_native=False)
+        bn = build_bvh(v0, v1, v2, use_native=True, mode=mode)
+        bp = build_bvh(v0, v1, v2, use_native=False, mode=mode)
         assert bn.num_rows == bp.num_rows
         assert bn.num_leaves == bp.num_leaves
         assert bn.root_code == bp.root_code
