@@ -52,12 +52,14 @@ def run_one(width, height, frames, scene_name):
         t0 = time.time()
         for _ in range(frames):
             frame = sess.frame_constants(sess.sample_idx)
-            sess.accum = sess._step(sess.scene, sess.bvh, sess.accum,
-                                    sess._sky_cube_dev, frame, sess.settings)
+            sess._accum_slabs = sess._step(sess.scene, sess.bvh,
+                                           sess._accum_slabs,
+                                           sess._sky_cube_dev, frame,
+                                           sess.settings)
             sess.sample_idx += 1
         # block_until_ready does not reliably synchronize on the tunneled
         # device; a tiny readback does (PERF_NOTES.md).
-        float(sess.accum[0, 0, 0])
+        float(sess._accum_slabs[-1][0, 0, 0])
         best_dt = min(best_dt, (time.time() - t0) / frames)
 
     # Chunked readback (large single transfers hang the tunneled device);

@@ -2,15 +2,35 @@
 
 TPU equivalent of the reference's GPU timestamp-query profiler
 (Graphics/Profiler.{h,cpp}: StartProfile/EndProfile around every pass, 64-frame
-moving stats, by-name lookup `GPUProfileTiming`). JAX dispatch is async, so the
-"GPU" scope calls block_until_ready at scope exit to bound the measured work;
-CPU scopes are plain wall timers. RAII ProfileBlock/CPUProfileBlock become
-context managers.
+moving stats, by-name lookup `GPUProfileTiming`). JAX dispatch is async and on
+the tunneled device even `block_until_ready` does not reliably synchronize
+(PERF_NOTES.md), so the "GPU" scope forces a tiny readback of the pass result
+at scope exit — the timestamp-fence equivalent of the reference's
+query-heap resolve (Profiler.cpp:240,329). CPU scopes are plain wall timers.
+RAII ProfileBlock/CPUProfileBlock become context managers.
 """
 
 import contextlib
 import time
 from collections import defaultdict, deque
+
+
+def _sync(value):
+    """Force completion of the device work producing `value` via a tiny
+    readback (one element per array leaf); block_until_ready alone is not
+    reliable on the tunneled platform."""
+    import jax
+    for leaf in jax.tree_util.tree_leaves(value):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            float(jax.device_get(leaf.ravel()[0]))
+
+
+class _GpuScope:
+    """Yielded by Profiler.gpu_scope; the pass assigns its output array (or
+    pytree of arrays) to `.result` so the scope can fence on it at exit."""
+
+    def __init__(self, result=None):
+        self.result = result
 
 
 class Profiler:
@@ -29,12 +49,15 @@ class Profiler:
 
     @contextlib.contextmanager
     def gpu_scope(self, name: str, result=None):
-        """Times device work; pass `result` (array) to block on it, otherwise
-        the scope blocks on everything via a barrier-free best effort."""
+        """Times device work bounded by a readback fence. The caller assigns
+        the pass output to the yielded scope's `.result` (or passes a
+        pre-existing array as `result`); scope exit blocks on it."""
+        scope = _GpuScope(result)
         t0 = time.perf_counter()
         try:
-            yield
+            yield scope
         finally:
+            _sync(scope.result)
             self._samples[name].append(time.perf_counter() - t0)
 
     def timing(self, name: str) -> float:

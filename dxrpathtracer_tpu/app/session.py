@@ -70,9 +70,10 @@ class RenderSession:
         self._sky_cube_dev = None
         self._update_sky()
 
-        self.accum = jnp.zeros((height, width, 3), jnp.float32)
         self.sample_idx = 0
         self._last_restart_key = None
+        self._slab_h = self._slab_rows()
+        self.reset_accumulation()
         self._step = self._build_step()
 
     # ------------------------------------------------------------------
@@ -99,7 +100,12 @@ class RenderSession:
         return self.height // n_slabs if n_slabs <= self.height else self.height
 
     def _build_step(self):
-        slab_h = self._slab_rows()
+        """Returns step(scene, bvh, slabs, sky, frame, settings) -> slabs.
+
+        Accumulation lives as a LIST of row-slab arrays so every slab's
+        buffer is donated in place each sample; the old path re-sliced and
+        concatenated a full-frame array every sample, defeating donation."""
+        slab_h = self._slab_h
         width, height = self.width, self.height
 
         @partial(jax.jit, static_argnames=("settings",), donate_argnums=(2,))
@@ -108,18 +114,10 @@ class RenderSession:
                                  width, slab_h, accum_slab,
                                  row_offset=row0, total_height=height)
 
-        if slab_h == height:
-            def step(scene, bvh, accum, sky_cube, frame, settings):
-                return step_slab(scene, bvh, accum, sky_cube, frame,
-                                 jnp.int32(0), settings)
-            return step
-
-        def step(scene, bvh, accum, sky_cube, frame, settings):
-            slabs = []
-            for r0 in range(0, height, slab_h):
-                slabs.append(step_slab(scene, bvh, accum[r0:r0 + slab_h],
-                                       sky_cube, frame, jnp.int32(r0), settings))
-            return jnp.concatenate(slabs, axis=0)
+        def step(scene, bvh, slabs, sky_cube, frame, settings):
+            return [step_slab(scene, bvh, slab, sky_cube, frame,
+                              jnp.int32(r0), settings)
+                    for slab, r0 in zip(slabs, range(0, height, slab_h))]
 
         return step
 
@@ -151,8 +149,22 @@ class RenderSession:
             self.reset_accumulation()
 
     def reset_accumulation(self):
-        self.accum = jnp.zeros((self.height, self.width, 3), jnp.float32)
+        self._accum_slabs = [jnp.zeros((self._slab_h, self.width, 3), jnp.float32)
+                             for _ in range(0, self.height, self._slab_h)]
         self.sample_idx = 0
+
+    @property
+    def accum(self):
+        """Full-frame accumulation image (concatenates the row slabs)."""
+        if len(self._accum_slabs) == 1:
+            return self._accum_slabs[0]
+        return jnp.concatenate(self._accum_slabs, axis=0)
+
+    @accum.setter
+    def accum(self, img):
+        img = jnp.asarray(img)
+        self._accum_slabs = [img[r0:r0 + self._slab_h]
+                             for r0 in range(0, self.height, self._slab_h)]
 
     @property
     def done(self) -> bool:
@@ -165,9 +177,12 @@ class RenderSession:
         if self.done and not force:
             return False
         frame = self.frame_constants(self.sample_idx)
-        with self.profiler.gpu_scope("RenderRayTracing"):
-            self.accum = self._step(self.scene, self.bvh, self.accum,
-                                    self._sky_cube_dev, frame, self.settings)
+        with self.profiler.gpu_scope("RenderRayTracing") as scope:
+            self._accum_slabs = self._step(self.scene, self.bvh,
+                                           self._accum_slabs,
+                                           self._sky_cube_dev, frame,
+                                           self.settings)
+            scope.result = self._accum_slabs[-1]
         self.sample_idx += 1
         return True
 
@@ -175,10 +190,11 @@ class RenderSession:
         n = max_samples or self.settings.total_samples
         while self.sample_idx < n:
             frame = self.frame_constants(self.sample_idx)
-            self.accum = self._step(self.scene, self.bvh, self.accum,
-                                    self._sky_cube_dev, frame, self.settings)
+            self._accum_slabs = self._step(self.scene, self.bvh,
+                                           self._accum_slabs,
+                                           self._sky_cube_dev, frame,
+                                           self.settings)
             self.sample_idx += 1
-        self.accum.block_until_ready()
         return self.accum
 
     # ------------------------------------------------------------------
@@ -191,13 +207,14 @@ class RenderSession:
 
         self._update_sky()
         spheres, dims = froxel_bounding_spheres(self.width, self.height, self.camera)
-        with self.profiler.gpu_scope("RenderClusters"):
+        with self.profiler.gpu_scope("RenderClusters") as scope:
             masks = build_cluster_masks(jax.device_put(self.scene.lights),
                                         spheres)
+            scope.result = masks
         frame = self.frame_constants(self.sample_idx)
         sky_sh = jnp.asarray(self.sky.sh9) if self.sky.sh9 is not None else None
-        with self.profiler.gpu_scope("RenderForward"):
-            img = forward_render(
+        with self.profiler.gpu_scope("RenderForward") as scope:
+            img = scope.result = forward_render(
                 self.scene, self.bvh, self._sky_cube_dev, sky_sh,
                 self.settings, frame, self.width, self.height,
                 masks, dims, self.camera.forward(),

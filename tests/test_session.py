@@ -103,3 +103,35 @@ def test_profiler_scopes():
         time.sleep(0.01)
     assert p.timing("work") >= 0.009
     assert "work" in p.report()
+
+
+def test_multislab_accumulation_matches_single_slab():
+    """Slab-list accumulation (donated per-slab buffers) must produce the
+    same image as a single-slab frame; exercises session._build_step's
+    multi-slab path on a small frame by shrinking MAX_SLAB_RAYS."""
+    settings = AppSettings(current_scene=Scenes.BoxTest, sqrt_num_samples=2)
+    sess1 = RenderSession(settings=settings, width=32, height=16)
+    ref = np.asarray(sess1.render_to_completion())
+
+    class TinySlabSession(RenderSession):
+        MAX_SLAB_RAYS = 32 * 4  # force 4 slabs at 32x16
+
+    sess2 = TinySlabSession(settings=settings, width=32, height=16)
+    assert len(sess2._accum_slabs) == 4
+    img = np.asarray(sess2.render_to_completion())
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-6)
+
+    # checkpoint/restore round-trips through the property + setter
+    state = sess2.checkpoint_state()
+    sess2.restore_state(state)
+    assert len(sess2._accum_slabs) == 4
+    np.testing.assert_allclose(np.asarray(sess2.accum), img, rtol=1e-6)
+
+
+def test_gpu_scope_fences_on_result():
+    from dxrpathtracer_tpu.app.profiler import Profiler
+    import jax.numpy as jnp
+    p = Profiler()
+    with p.gpu_scope("pass") as scope:
+        scope.result = jnp.ones((8, 8)) * 2.0
+    assert p.timing("pass") > 0.0
