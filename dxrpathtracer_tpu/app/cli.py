@@ -65,7 +65,7 @@ def _progress(i, total, t0, width, height, max_path_length):
 
 def cmd_render(args):
     from .session import RenderSession
-    from ..render.film import write_npy, write_png
+    from ..render.film import write_image
 
     settings = _settings_from_args(args)
     t0 = time.time()
@@ -94,20 +94,17 @@ def cmd_render(args):
             sys.stderr.write("\n")
         disp = sess.display_image()
 
-    out = np.asarray(disp)
-    if args.output.endswith(".npy"):
-        write_npy(args.output, out)
-    else:
-        write_png(args.output, out)
+    write_image(args.output, np.asarray(disp))
     if args.save_hdr:
-        write_npy(args.save_hdr, np.asarray(sess.accum))
+        # raw HDR accumulation: .exr or .npy by extension
+        write_image(args.save_hdr, np.asarray(sess.accum))
     print(f"# wrote {args.output}", file=sys.stderr)
 
 
 def cmd_bake(args):
     from .session import RenderSession
     from ..bake.baker import Baker
-    from ..render.film import write_npy, write_png
+    from ..render.film import write_image, write_png
     from ..render.postfx import tone_map_filmic_alu
     from ..core.constants import FP16Scale
 
@@ -125,8 +122,8 @@ def cmd_bake(args):
         sys.stderr.write("\n")
     lm = baker.denoised_lightmap(args.denoise) if args.denoise else baker.lightmap()
     arr = np.asarray(lm)
-    if args.output.endswith(".npy"):
-        write_npy(args.output, arr)
+    if args.output.endswith((".npy", ".exr")):
+        write_image(args.output, arr)
     else:
         disp = tone_map_filmic_alu(arr * (2.0 ** settings.exposure) / FP16Scale)
         write_png(args.output, np.asarray(disp))
