@@ -52,7 +52,7 @@ def build_scene(meshes: list[MeshData], materials: MaterialTable | None = None,
     """
     pos, nrm, uv, tan, bit, tri, tri_mat = flatten_meshes(meshes)
     if atlas_builder is None:
-        atlas_builder = AtlasBuilder(resolution=1)
+        atlas_builder = AtlasBuilder()
     if materials is None:
         num_materials = int(tri_mat.max()) + 1 if tri_mat.size else 1
         materials = default_material_table(num_materials, atlas_builder)

@@ -97,18 +97,29 @@ def _white_furnace_standin_meshes() -> list[MeshData]:
 
 
 def _load_image_linear(path, srgb: bool) -> np.ndarray:
-    """Decode an image file to (H, W, 3/4) float32, optionally sRGB->linear."""
-    from PIL import Image
+    """Decode an image file to (H, W, C) float32, optionally sRGB->linear.
+
+    .dds goes through the from-scratch BC decoder (Textures.cpp:44-67 loads
+    DDS via DirectXTex); everything else through PIL. `srgb` mirrors the
+    reference's ForceSRGB forcing for albedo maps."""
     from .textures import srgb_to_linear
-    img = Image.open(path)
-    if img.mode not in ("RGB", "RGBA", "L"):
-        img = img.convert("RGBA")
-    arr = np.asarray(img).astype(np.float32) / 255.0
+    if str(path).lower().endswith(".dds"):
+        from .dds import load_dds
+        im = load_dds(path)
+        arr = im.data
+        srgb = srgb or im.is_srgb  # _SRGB formats store sRGB-encoded texels
+    else:
+        from PIL import Image
+        img = Image.open(path)
+        if img.mode not in ("RGB", "RGBA", "L"):
+            img = img.convert("RGBA")
+        arr = np.asarray(img).astype(np.float32) / 255.0
     if arr.ndim == 2:
         arr = arr[..., None]
-    if srgb:
-        arr = np.concatenate([srgb_to_linear(arr[..., :3]), arr[..., 3:]], -1) \
-            if arr.shape[-1] == 4 else srgb_to_linear(arr)
+    if srgb and arr.shape[-1] >= 3:
+        arr = np.concatenate([srgb_to_linear(arr[..., :3]), arr[..., 3:]], -1)
+    elif srgb:
+        arr = srgb_to_linear(arr)
     return arr
 
 
@@ -129,7 +140,7 @@ def _load_fbx_scene_full(preset: ScenePreset):
     if preset.texture_dir:
         tex_dir = (path.parent / preset.texture_dir).resolve()
 
-    builder = AtlasBuilder(resolution=256)
+    builder = AtlasBuilder()
     n_mats = len(fbx.material_textures)
     table = {k: np.zeros(n_mats, np.int32) for k in
              ("albedo", "normal", "roughness", "metallic", "opacity", "emissive")}
@@ -153,7 +164,7 @@ def _load_fbx_scene_full(preset: ScenePreset):
         for kw in keywords[slot]:
             for f in dir_files:
                 if kw in f.lower() and f.lower().endswith(
-                        (".png", ".jpg", ".jpeg", ".tga", ".bmp")):
+                        (".png", ".jpg", ".jpeg", ".tga", ".bmp", ".dds")):
                     return f
         return None
 

@@ -1,11 +1,13 @@
-"""Texture atlas + material table construction — bindless-heap emulation.
+"""Texture pool + material table construction — bindless-heap emulation.
 
 The reference binds every material texture through one shader-visible descriptor
 heap and samples by dynamic index (RayTrace.hlsl:171-221 `ResourceDescriptorHeap[
 NonUniformResourceIndex(material.X)]`, DescriptorTables.hlsl:12-18). On TPU,
-dynamic per-lane resource selection becomes a gather from a single stacked texture
-array: all textures are resampled to one resolution S and stored as
-(num_textures, S, S, 4) float32 in HBM; a texel fetch is then a flat gather.
+dynamic per-lane resource selection becomes a gather from one flat texel pool:
+every texture keeps its NATIVE resolution, texels are concatenated row-major
+into a (total, 4) float32 array, and a per-texture (base, width, height) table
+turns (texture_idx, uv) into flat texel indices — one gather per tap no matter
+how texture sizes mix.
 
 Filtering parity: every path-tracer fetch is `SampleLevel(sampler, uv, 0.0f)` with
 a wrap-addressed linear sampler, i.e. bilinear at mip 0 — reproduced by
@@ -43,14 +45,17 @@ class TextureDesc:
 
 
 class AtlasBuilder:
-    """Accumulates textures (deduplicated by name) and packs the atlas.
+    """Accumulates textures (deduplicated by name) and packs the texel pool.
 
     Mirrors LoadMaterialResources (Model.cpp:104-149): textures are shared by
     name across materials; missing names fall back to the default texel values.
+    Textures keep their native resolution up to `max_resolution` (box-filtered
+    down past that to bound HBM; the reference has no such cap because the GPU
+    keeps BC-compressed copies — raise it when memory allows).
     """
 
-    def __init__(self, resolution: int = 1):
-        self.resolution = int(resolution)
+    def __init__(self, max_resolution: int = 4096):
+        self.max_resolution = int(max_resolution)
         self._by_name: dict[str, int] = {}
         self._textures: list[TextureDesc] = []
         # Reserve default textures at fixed indices.
@@ -83,26 +88,32 @@ class AtlasBuilder:
         self._by_name[name] = idx
         return idx
 
-    def _resample(self, img: np.ndarray) -> np.ndarray:
-        """Box-filter / bilinear resample to (S, S)."""
-        s = self.resolution
+    def _cap(self, img: np.ndarray) -> np.ndarray:
+        """Box-filter down only when a side exceeds max_resolution."""
         h, w = img.shape[:2]
-        if (h, w) == (s, s):
-            return img
-        # Nearest-area resample via index mapping (adequate for v1; real scenes
-        # get proper mip-free bilinear at sample time).
-        yi = np.clip((np.arange(s) + 0.5) * h / s, 0, h - 1).astype(np.int64)
-        xi = np.clip((np.arange(s) + 0.5) * w / s, 0, w - 1).astype(np.int64)
-        return img[yi][:, xi]
+        m = self.max_resolution
+        while h > m or w > m:  # halve (exact 2x2 box) until within the cap
+            h2, w2 = h - (h % 2), w - (w % 2)
+            img = img[:h2, :w2]
+            img = (img[0::2, 0::2] + img[1::2, 0::2]
+                   + img[0::2, 1::2] + img[1::2, 1::2]) * 0.25
+            h, w = img.shape[:2]
+        return img
 
     def build(self) -> TextureAtlas:
-        s = self.resolution
+        """Pack all textures, native resolution, into one flat texel pool."""
         n = len(self._textures)
-        data = np.zeros((n, s, s, 4), np.float32)
+        metas = np.zeros((n, 3), np.int32)
+        rows, base = [], 0
         for i, tex in enumerate(self._textures):
-            data[i] = self._resample(tex.data)
-        # Host numpy leaf: one jax.device_put of the whole Scene moves it.
-        return TextureAtlas(data=data, num_textures=n, resolution=s)
+            img = self._cap(tex.data)
+            h, w = img.shape[:2]
+            metas[i] = (base, w, h)
+            rows.append(np.ascontiguousarray(img, np.float32).reshape(h * w, 4))
+            base += h * w
+        texels = np.concatenate(rows, axis=0) if rows else np.zeros((1, 4), np.float32)
+        # Host numpy leaves: one jax.device_put of the whole Scene moves them.
+        return TextureAtlas(texels=texels, meta=metas, num_textures=n)
 
 
 def sample_bilinear_wrap(atlas: TextureAtlas, tex_idx, uv):
@@ -111,27 +122,29 @@ def sample_bilinear_wrap(atlas: TextureAtlas, tex_idx, uv):
     tex_idx: (...,) int32; uv: (..., 2) f32. Returns (..., 4) f32.
     Equivalent to HLSL `tex.SampleLevel(MeshSampler, uv, 0.0f)` with a linear
     wrap sampler (D3D texel-center convention: sample coord = uv * size - 0.5).
+    Each texture is sampled at its own native resolution: a small meta gather
+    yields (base, w, h), then four texel gathers from the flat pool.
     """
-    data = atlas.data
-    s = atlas.resolution
-    x = uv[..., 0] * s - 0.5
-    y = uv[..., 1] * s - 0.5
+    m = jnp.take(atlas.meta, tex_idx.astype(jnp.int32), axis=0)  # (..., 3)
+    base, w, h = m[..., 0], m[..., 1], m[..., 2]
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = uv[..., 0] * wf - 0.5
+    y = uv[..., 1] * hf - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
-    def wrap(v):
-        return jnp.mod(v.astype(jnp.int32), s)
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0i + 1, h)
 
-    x0i, x1i = wrap(x0), wrap(x0 + 1)
-    y0i, y1i = wrap(y0), wrap(y0 + 1)
-
-    flat = data.reshape(-1, 4)
-    base = tex_idx.astype(jnp.int32) * (s * s)
+    texels = atlas.texels
 
     def fetch(yi, xi):
-        return jnp.take(flat, base + yi * s + xi, axis=0)
+        return jnp.take(texels, base + yi * w + xi, axis=0)
 
     t00 = fetch(y0i, x0i)
     t10 = fetch(y0i, x1i)

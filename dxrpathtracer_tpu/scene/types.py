@@ -29,20 +29,25 @@ def _register(cls, meta=()):
     return cls
 
 
-@partial(_register, meta=("num_textures", "resolution"))
+@partial(_register, meta=("num_textures",))
 @dataclasses.dataclass(frozen=True)
 class TextureAtlas:
-    """Bindless-heap emulation: all material textures resampled into one stacked
-    array so a (texture_idx, uv) pair becomes a single HBM gather.
+    """Bindless-heap emulation: a flat texel pool. Every texture keeps its
+    NATIVE resolution; all texels live row-major in one (total, 4) array and
+    `meta[i] = (base, width, height)` locates texture i, so a (texture_idx,
+    uv) tap is one small meta gather + four texel gathers — same gather count
+    for any mix of texture sizes (the TPU analog of
+    `ResourceDescriptorHeap[NonUniformResourceIndex(idx)]`,
+    RayTrace.hlsl:171-221 / DescriptorTables.hlsl:12-18).
 
-    The reference samples every material texture at mip 0 with a linear sampler
-    (RayTrace.hlsl:174,185,189,198 `SampleLevel(..., 0.0f)`), so a single-level
-    stack reproduces its filtering exactly — no mip chain needed for parity.
+    The reference samples every material texture at mip 0 with a linear wrap
+    sampler (RayTrace.hlsl:174,185,189,198 `SampleLevel(..., 0.0f)`), so a
+    single-level pool reproduces its filtering exactly — no mip chain needed.
     """
 
-    data: jax.Array  # (num_textures, S, S, 4) float32 RGBA, linear space
+    texels: jax.Array  # (total_texels, 4) float32 RGBA, linear space
+    meta: jax.Array    # (num_textures, 3) int32: base texel, width, height
     num_textures: int = 0
-    resolution: int = 1
 
 
 @partial(_register, meta=("any_opacity",))

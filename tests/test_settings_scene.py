@@ -58,11 +58,12 @@ def test_scene_build_and_defaults():
     assert scene.num_vertices == 48
     # Default material: BoxTest texture names are absent from Content ->
     # defaults (Model.cpp:104-149): albedo 0xC0 (non-sRGB), roughness 0x40
-    tex = np.asarray(scene.textures.data)
+    texels = np.asarray(scene.textures.texels)
+    meta = np.asarray(scene.textures.meta)
     alb_idx = int(np.asarray(scene.materials.albedo)[0])
-    assert np.isclose(tex[alb_idx, 0, 0, 0], DEFAULT_BASECOLOR_UNORM)
+    assert np.isclose(texels[meta[alb_idx, 0], 0], DEFAULT_BASECOLOR_UNORM)
     rough_idx = int(np.asarray(scene.materials.roughness)[0])
-    assert np.isclose(tex[rough_idx, 0, 0, 0], DEFAULT_ROUGHNESS_UNORM)
+    assert np.isclose(texels[meta[rough_idx, 0], 0], DEFAULT_ROUGHNESS_UNORM)
     assert not scene.materials.any_opacity
     assert scene.lights.num_lights == 0
 
