@@ -75,7 +75,7 @@ def cmd_render(args):
           file=sys.stderr)
 
     if args.raster:
-        img = sess.render_raster_frame()
+        img = sess.render_raster_frame(shadow_mode=args.shadow_mode)
         from ..render.postfx import post_process
         s = sess.settings
         disp = post_process(img, s.exposure, s.bloom_exposure, s.bloom_magnitude,
@@ -156,6 +156,9 @@ def main(argv=None):
                           help="also save the raw HDR accumulation (.npy)")
     p_render.add_argument("--raster", action="store_true",
                           help="forward raster-mode path (EnableRayTracing=false)")
+    p_render.add_argument("--shadow-mode", type=str, default="rays",
+                          choices=["rays", "pcf"],
+                          help="raster sun shadows: exact rays or CSM depth maps + PCF")
     p_render.add_argument("--progress", action="store_true", default=True)
     _add_settings_flags(p_render)
     p_render.set_defaults(fn=cmd_render)

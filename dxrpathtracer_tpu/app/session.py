@@ -198,14 +198,33 @@ class RenderSession:
         return self.accum
 
     # ------------------------------------------------------------------
-    def render_raster_frame(self, lightmap=None, lightmap_uvs=None):
+    def render_raster_frame(self, lightmap=None, lightmap_uvs=None,
+                            shadow_mode: str = "rays",
+                            shadow_map_size: int = 512):
         """One forward-rendered frame (EnableRayTracing=false path,
         DXRPathTracer::Render :1538-1559): cluster binning + ray-cast forward
-        shading + skybox + weighted resolve. Returns (H, W, 3) radiance."""
+        shading + skybox + weighted resolve. Returns (H, W, 3) radiance.
+
+        shadow_mode: "rays" (exact BVH shadow rays) or "pcf" (per-frame
+        cascade depth maps + 7x7 PCF — the reference's shipped sun-shadow
+        path, MeshRenderer.cpp:534-565 + Shadows.hlsl:318-360)."""
         from ..render.clusters import build_cluster_masks, froxel_bounding_spheres
         from ..render.raster import forward_render
 
         self._update_sky()
+        sun_shadow_pcf = None
+        if shadow_mode == "pcf":
+            from ..render.shadows import (prepare_cascades,
+                                          render_cascade_depth_maps)
+            sun_dir = np.asarray(self.settings.sun_direction, np.float32)
+            cascades = prepare_cascades(self.camera,
+                                        sun_dir / np.linalg.norm(sun_dir),
+                                        map_size=shadow_map_size)
+            with self.profiler.gpu_scope("RenderSunShadowMap") as scope:
+                depth_maps = render_cascade_depth_maps(self.bvh, cascades,
+                                                       shadow_map_size)
+                scope.result = depth_maps
+            sun_shadow_pcf = (depth_maps, cascades)
         spheres, dims = froxel_bounding_spheres(self.width, self.height, self.camera)
         with self.profiler.gpu_scope("RenderClusters") as scope:
             masks = build_cluster_masks(jax.device_put(self.scene.lights),
@@ -219,7 +238,8 @@ class RenderSession:
                 self.settings, frame, self.width, self.height,
                 masks, dims, self.camera.forward(),
                 self.camera.near_clip, self.camera.far_clip,
-                lightmap=lightmap, lightmap_uvs=lightmap_uvs)
+                lightmap=lightmap, lightmap_uvs=lightmap_uvs,
+                sun_shadow_pcf=sun_shadow_pcf)
         return img
 
     def display_image(self):

@@ -49,8 +49,12 @@ MSAA_OFFSETS = {
 def shade_pixels(scene, bvh, rec, ray_o, ray_d, settings: AppSettings,
                  frame: FrameConstants, sky_sh, cluster_masks, cluster_dims,
                  pixel_xy, width, height, camera_forward, near_clip, far_clip,
-                 lightmap=None, lightmap_uvs=None):
-    """ShadePixel (Shading.hlsl:79-240) over a flat batch of primary hits."""
+                 lightmap=None, lightmap_uvs=None, sun_shadow_pcf=None):
+    """ShadePixel (Shading.hlsl:79-240) over a flat batch of primary hits.
+
+    sun_shadow_pcf: optional (depth_maps, cascades) pair switching sun
+    visibility from exact rays to the reference's depth-map + 7x7 PCF path
+    (SunShadowVisibility, Shadows.hlsl:318-360)."""
     s = settings
     n = ray_d.shape[0]
     f32 = jnp.float32
@@ -100,8 +104,19 @@ def shade_pixels(scene, bvh, rec, ray_o, ray_d, settings: AppSettings,
     # --- Sun (Shading.hlsl:143-175) ---
     if s.enable_sun and s.enable_direct:
         sun_d = frame.sun_direction_ws[None, :]
-        vis = any_hit(bvh, pos, jnp.broadcast_to(sun_d, (n, 3)), 1e-3, FP32Max,
-                      hit, accept_fn=alpha_test)
+        if sun_shadow_pcf is not None:
+            from .shadows import sun_visibility_pcf
+            depth_maps, cascades = sun_shadow_pcf
+            depth_vs_sun = dot(pos - frame.camera_pos_ws[None, :],
+                               jnp.asarray(camera_forward, f32)[None, :])
+            norm_depth = saturate((depth_vs_sun - near_clip)
+                                  / (far_clip - near_clip))
+            vis = sun_visibility_pcf(depth_maps, cascades, pos, normal,
+                                     dot(normal, sun_d), norm_depth)
+            vis = jnp.where(hit, vis, 0.0)
+        else:
+            vis = any_hit(bvh, pos, jnp.broadcast_to(sun_d, (n, 3)), 1e-3,
+                          FP32Max, hit, accept_fn=alpha_test)
         if s.sun_area_light_approximation:
             r_vec = reflect(-view, normal)
             d_dot_r = dot(sun_d, r_vec)
@@ -235,7 +250,7 @@ def forward_render(scene, bvh, sky_cube, sky_sh, settings: AppSettings,
                    frame: FrameConstants, width: int, height: int,
                    cluster_masks, cluster_dims, camera_forward,
                    near_clip: float, far_clip: float,
-                   lightmap=None, lightmap_uvs=None):
+                   lightmap=None, lightmap_uvs=None, sun_shadow_pcf=None):
     """Full raster-mode frame: MSAA subsample shading + weighted resolve.
 
     Returns (H, W, 3) radiance (pre-tonemap, FP16Scale units).
@@ -273,7 +288,8 @@ def forward_render(scene, bvh, sky_cube, sky_sh, settings: AppSettings,
         shaded = shade_pixels(scene, bvh, rec, ray_start, ray_dir, s, frame,
                               sky_sh, cluster_masks, cluster_dims, pixel_xy,
                               width, height, camera_forward, near_clip, far_clip,
-                              lightmap=lightmap, lightmap_uvs=lightmap_uvs)
+                              lightmap=lightmap, lightmap_uvs=lightmap_uvs,
+                              sun_shadow_pcf=sun_shadow_pcf)
         # Sky for misses (skybox.RenderSky, DXRPathTracer.cpp:1791)
         if s.enable_sky and sky_cube is not None:
             sky = sample_cubemap(sky_cube, ray_dir)

@@ -5,13 +5,17 @@ ShadowHelper.cpp): 4 stabilized cascades over the camera frustum, each an
 orthographic light-space projection whose bounding sphere is texel-snapped so
 cascade edges don't shimmer under camera motion.
 
-TPU-native substitution: the reference renders 2048^2 depth maps per cascade
-and samples with PCF (Shadows.hlsl:90-352); here sun/spot visibility is
-resolved with exact shadow RAYS through the same BVH used for path tracing
-(strictly higher quality than depth+PCF, no resolution/peter-panning
-artifacts). The cascade machinery is still used for parity of the API (split
-scheme, light matrices, cascade selection) and by any consumer that wants
-map-based shadows.
+Two sun-visibility backends exist for the raster path:
+  - exact shadow RAYS through the path tracer's BVH (default; strictly higher
+    quality than depth+PCF, no resolution/peter-panning artifacts), and
+  - depth maps + PCF matching the reference's shipped configuration
+    (ShadowMapMode::DepthMap, DXRPathTracer.cpp:267): per-cascade depth
+    rendered by an ortho ray cast from the light
+    (`render_cascade_depth_maps` = the DepthOnly.hlsl pass), sampled with the
+    7x7 disc-weighted PCF kernel of SampleShadowMapGatherPCF
+    (Shadows.hlsl:165-286 — the GatherCmp code is an optimized evaluation of
+    exactly this bilinear-weighted comparison filter) plus the normal-offset
+    bias of GetShadowPosOffset (Shadows.hlsl:307-314).
 """
 
 import dataclasses
@@ -96,12 +100,14 @@ def prepare_cascades(camera, sun_direction, num=NUM_CASCADES,
         # Stabilization: snap the sphere center to shadow-texel increments in
         # light space (ShadowHelper's stabilized mode).
         up = np.array([0.0, 1.0, 0.0]) if abs(sun_direction[1]) < 0.99 else np.array([0.0, 0.0, 1.0])
-        light_view = _look_at_lh(center - sun_direction * radius * 2.0, center, up)
+        # Light eye on the SUN side of the slice, looking down-sun (the
+        # shadow-caster view DepthOnly.hlsl renders from).
+        light_view = _look_at_lh(center + sun_direction * radius * 2.0, center, up)
         texel = (2.0 * radius) / map_size
         c_ls = np.append(center, 1.0) @ light_view
         c_ls[:2] = np.floor(c_ls[:2] / texel) * texel
         center_snapped = (np.append(c_ls[:3], 1.0) @ np.linalg.inv(light_view))[:3]
-        light_view = _look_at_lh(center_snapped - sun_direction * radius * 2.0,
+        light_view = _look_at_lh(center_snapped + sun_direction * radius * 2.0,
                                  center_snapped, up)
         # Ortho projection over the sphere extents
         ortho = np.zeros((4, 4))
@@ -126,3 +132,125 @@ def select_cascade(depth_vs_normalized, splits):
     for i in range(len(splits) - 1):
         idx = jnp.where(depth_vs_normalized > splits[i], i + 1, idx)
     return idx
+
+
+# ---------------------------------------------------------------------------
+# Depth-map + PCF backend (reference's shipped ShadowMapMode::DepthMap)
+
+# 7x7 disc kernel of SampleShadowMapGatherPCF (Shadows.hlsl:165-173).
+PCF_W = np.array([
+    [0.0, 0.0, 0.5, 1.0, 0.5, 0.0, 0.0],
+    [0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0],
+    [0.5, 1.0, 1.0, 1.0, 1.0, 1.0, 0.5],
+    [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+    [0.5, 1.0, 1.0, 1.0, 1.0, 1.0, 0.5],
+    [0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0],
+    [0.0, 0.0, 0.5, 1.0, 0.5, 0.0, 0.0]], np.float32)
+PCF_BIAS = 0.001  # lightDepth = shadowPos.z - 0.001 (Shadows.hlsl:185)
+
+
+def render_cascade_depth_maps(bvh, cascades, map_size: int = 512):
+    """Ortho ray-cast depth from the light per cascade — the TPU DepthOnly
+    pass (MeshRenderer::RenderSunShadowMap, MeshRenderer.cpp:534-565).
+
+    Returns (num_cascades, S, S) float32 light-space depth in [0, 1]
+    (1 where nothing was hit). Texel (i, j) covers light-clip
+    x = (j+0.5)/S*2-1, y = (i+0.5)/S*2-1; `sun_visibility_pcf` samples with
+    the same convention so no flip is needed.
+    """
+    import jax.numpy as jnp
+    from ..accel.traverse import closest_hit
+
+    s = map_size
+    maps = []
+    for c in cascades:
+        inv_vp = np.linalg.inv(c.view_proj.astype(np.float64))
+        jj, ii = np.meshgrid(np.arange(s), np.arange(s), indexing="xy")
+        x = (jj.reshape(-1) + 0.5) / s * 2.0 - 1.0
+        y = (ii.reshape(-1) + 0.5) / s * 2.0 - 1.0
+        h0 = np.stack([x, y, np.zeros_like(x), np.ones_like(x)], -1) @ inv_vp
+        h1 = np.stack([x, y, np.ones_like(x), np.ones_like(x)], -1) @ inv_vp
+        o = (h0[:, :3] / h0[:, 3:4]).astype(np.float32)
+        e = (h1[:, :3] / h1[:, 3:4]).astype(np.float32)
+        seg = e - o
+        ray_len = np.linalg.norm(seg, axis=-1)
+        d = (seg / ray_len[:, None]).astype(np.float32)
+        rec = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d),
+                          0.0, jnp.asarray(ray_len.astype(np.float32)))
+        depth = rec.t / jnp.asarray(ray_len.astype(np.float32))
+        maps.append(depth.reshape(s, s))
+    return jnp.stack(maps)
+
+
+def sun_visibility_pcf(depth_maps, cascades, pos_ws, normal_ws, n_dot_l,
+                       depth_vs_normalized):
+    """SunShadowVisibility with the 7x7 weighted PCF (Shadows.hlsl:318-360).
+
+    depth_maps: (C, S, S) from render_cascade_depth_maps; cascades: the
+    matching list[Cascade]; pos_ws/normal_ws: (N, 3); n_dot_l: (N,);
+    depth_vs_normalized: (N,) view depth in [0, 1] for cascade selection.
+    Returns (N,) visibility in [0, 1].
+    """
+    import jax.numpy as jnp
+
+    n_casc, s, _ = depth_maps.shape
+    splits = np.array([c.split_depth for c in cascades], np.float32)
+    vps = jnp.asarray(np.stack([c.view_proj for c in cascades]))   # (C, 4, 4)
+    radii = jnp.asarray(np.array([c.radius for c in cascades], np.float32))
+
+    cidx = select_cascade(depth_vs_normalized, splits)             # (N,)
+    vp = jnp.take(vps, cidx, axis=0)                               # (N, 4, 4)
+    radius = jnp.take(radii, cidx, axis=0)                         # (N,)
+
+    # GetShadowPosOffset (Shadows.hlsl:307-314): 4 shadow texels along the
+    # normal, faded in as nDotL falls off; texel world size = 2r/S.
+    offset = (normal_ws * ((1.0 - jnp.clip(n_dot_l, 0.0, 1.0))
+                           * 4.0 * (2.0 * radius / s))[..., None])
+    p = pos_ws + offset
+    # Row-vector projection, explicit mul/add (matmul would run bf16 on TPU).
+    hx = (p[:, 0] * vp[:, 0, 0] + p[:, 1] * vp[:, 1, 0]
+          + p[:, 2] * vp[:, 2, 0] + vp[:, 3, 0])
+    hy = (p[:, 0] * vp[:, 0, 1] + p[:, 1] * vp[:, 1, 1]
+          + p[:, 2] * vp[:, 2, 1] + vp[:, 3, 1])
+    hz = (p[:, 0] * vp[:, 0, 2] + p[:, 1] * vp[:, 1, 2]
+          + p[:, 2] * vp[:, 2, 2] + vp[:, 3, 2])
+    light_depth = hz - PCF_BIAS
+
+    # Fractional texel position (stc/tcs/fc of SampleShadowMapGatherPCF).
+    stc_x = (hx * 0.5 + 0.5) * s  # texel-edge coords; texel j covers [j, j+1)
+    stc_y = (hy * 0.5 + 0.5) * s
+    base_x = jnp.floor(stc_x - 0.5)
+    base_y = jnp.floor(stc_y - 0.5)
+    fx = stc_x - 0.5 - base_x
+    fy = stc_y - 0.5 - base_y
+    bx = base_x.astype(jnp.int32)
+    by = base_y.astype(jnp.int32)
+
+    flat = depth_maps.reshape(-1)
+    cbase = cidx * (s * s)
+
+    # 8x8 comparison grid around the footprint; weights = the 7x7 disc kernel
+    # convolved with the per-lane bilinear foot (the exact filter the Gruen
+    # GatherCmp code evaluates).
+    vis = jnp.zeros_like(fx)
+    for gy in range(8):
+        ty = jnp.clip(by + (gy - 3), 0, s - 1)
+        for gx in range(8):
+            # Grid texel (gy, gx) collects the bilinear feet of the (up to 4)
+            # kernel taps that cover it: tap k spans texels k and k+1 with
+            # weights (1-f) and f.
+            w = None
+            for ky, wyf in ((gy - 1, fy), (gy, 1.0 - fy)):
+                if not 0 <= ky <= 6:
+                    continue
+                for kx, wxf in ((gx - 1, fx), (gx, 1.0 - fx)):
+                    if not 0 <= kx <= 6 or PCF_W[ky, kx] == 0.0:
+                        continue
+                    term = PCF_W[ky, kx] * wyf * wxf
+                    w = term if w is None else w + term
+            if w is None:
+                continue  # corner texels outside every tap's foot
+            tx = jnp.clip(bx + (gx - 3), 0, s - 1)
+            d = jnp.take(flat, cbase + ty * s + tx, axis=0)
+            vis = vis + w * (light_depth <= d).astype(jnp.float32)
+    return vis / PCF_W.sum()

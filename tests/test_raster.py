@@ -114,3 +114,40 @@ def test_forward_render_lightmap_mode():
     img = np.asarray(sess.render_raster_frame(lightmap=lm, lightmap_uvs=uvs))
     assert np.isfinite(img).all()
     assert img.max() > 0.0
+
+
+def test_pcf_shadow_mode_matches_rays():
+    """PCF depth-map sun shadows vs exact shadow rays on BoxTest: the two
+    backends must agree everywhere except the (penumbra-blurred) shadow edge
+    (shadow_mode switch — MeshRenderer.cpp:534-565 + Shadows.hlsl:318-360)."""
+    from dxrpathtracer_tpu.app.session import RenderSession
+    sess = RenderSession(
+        settings=AppSettings(current_scene=Scenes.BoxTest,
+                             msaa_mode=MSAAModes.MSAANone),
+        width=48, height=48)
+    img_rays = np.asarray(sess.render_raster_frame(shadow_mode="rays"))
+    img_pcf = np.asarray(sess.render_raster_frame(shadow_mode="pcf",
+                                                  shadow_map_size=512))
+    assert np.isfinite(img_pcf).all()
+    diff = np.abs(img_rays - img_pcf).max(axis=-1)
+    rel = diff / (np.abs(img_rays).max(axis=-1) + 1e-3)
+    # Most pixels identical; a small fraction may straddle the filtered edge.
+    assert (rel < 0.05).mean() > 0.95, f"PCF/rays mismatch: {(rel >= 0.05).mean():.3f}"
+    # The box's shadow exists in both (PCF must actually occlude something)
+    assert (img_pcf.max(-1) < 0.25 * img_pcf.max()).any()
+
+
+def test_pcf_depth_maps_sane():
+    from dxrpathtracer_tpu.app.session import RenderSession
+    from dxrpathtracer_tpu.render.shadows import (prepare_cascades,
+                                                  render_cascade_depth_maps)
+    sess = RenderSession(
+        settings=AppSettings(current_scene=Scenes.BoxTest), width=8, height=8)
+    sun = np.asarray(sess.settings.sun_direction, np.float32)
+    cascades = prepare_cascades(sess.camera, sun / np.linalg.norm(sun))
+    maps = np.asarray(render_cascade_depth_maps(sess.bvh, cascades, 64))
+    assert maps.shape == (4, 64, 64)
+    assert np.isfinite(maps).all()
+    assert maps.min() >= 0.0 and maps.max() <= 1.0 + 1e-6
+    # The scene occupies part of every cascade: some hits, some misses
+    assert (maps < 1.0).any() and (maps == 1.0).any()
