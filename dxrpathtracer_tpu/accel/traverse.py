@@ -14,14 +14,19 @@ The loop is built around two measured TPU facts:
      faster per step but fault the current axon/Mosaic stack — PERF_NOTES.md).
 
 Per iteration each lane either
-  - slab-tests all 8 children of an internal record (SoA blocks), orders the
-    hits with an 8-lane sorting network, descends the nearest and pushes the
-    rest (far-first) on a per-ray stack held as a dense (depth, N) one-hot-
-    updated array (TPU has no fast per-lane scatter), or
+  - slab-tests all 8 children of an internal record (SoA blocks), descends
+    the nearest hit (3-level argmin tournament) and, when several children
+    hit, pushes ONE (node, remaining-children bitmask) entry on a short
+    per-ray stack, or
   - intersects the 10 inline triangles of a leaf record (statically unrolled
     component-wise Möller–Trumbore).
-`t_best` prunes subtrees; the 8-ary depth (~6 levels for Sponza-class scenes)
-keeps the lockstep iteration count in the low hundreds.
+Pops re-visit the parent with the saved mask: one extra record gather, but
+the re-test prunes against the by-then-improved `t_best` for free. The
+(node, mask) scheme bounds the stack by the tree DEPTH (~7 levels for
+Sponza-class scenes) instead of depth*(WIDTH-1): per-lane dynamic-index
+stacks are dense masked updates on TPU (no fast per-lane scatter), so a
+64-deep stack rewritten up to 7x per step was ~1 GB of HBM traffic per
+iteration — the measured wall of the whole traversal (PERF_NOTES.md).
 
 Two entry points mirror the reference's two hit groups:
   closest_hit — radiance rays (ClosestHitShader path)
@@ -72,14 +77,21 @@ def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-# Batcher odd-even merge sort network for 8 elements.
-_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
-          (0, 2), (1, 3), (4, 6), (5, 7),
-          (1, 2), (5, 6), (0, 4), (3, 7),
-          (1, 5), (2, 6),
-          (1, 4), (3, 6),
-          (2, 4), (3, 5),
-          (3, 4)]
+_POW2_8 = None  # lazily built (1, 8) powers-of-two row
+
+
+def _argmin8_block(keys8, codes8):
+    """Min over the child axis of (m, 8) blocks via reduce + equality-select
+    (far fewer ops than a tournament of per-column lanes; narrow per-column
+    ops carry a large fixed overhead on this platform — PERF_NOTES.md).
+    Ties pick the lowest slot. Returns (key, code, slot_bit) of the min."""
+    near_key = jnp.min(keys8, axis=1)
+    is_min = keys8 <= near_key[:, None]
+    slot = jnp.arange(8, dtype=jnp.int32)[None, :]
+    near_slot = jnp.min(jnp.where(is_min, slot, 8), axis=1)
+    first = slot == near_slot[:, None]
+    near_code = jnp.sum(jnp.where(first, codes8, 0), axis=1)
+    return near_key, near_code, jnp.int32(1) << near_slot
 
 
 def _intersect_leaf(bvh, rec, o, d, t_min, is_leaf, best, accept_fn):
@@ -123,20 +135,19 @@ def _intersect_leaf(bvh, rec, o, d, t_min, is_leaf, best, accept_fn):
     if accept_fn is not None:
         ok = ok & accept_fn(tid, u, v)
 
-    # Tournament min-reduce over the triangle axis using contiguous half
-    # slices only (axis-1 gathers inside while bodies fault this TPU stack —
-    # PERF_NOTES.md). Strict < means the earlier slot wins ties, matching the
-    # sequential-update order of the AoS loop this replaces.
+    # Min-reduce over the triangle axis via reduce + equality-select (block
+    # reduces beat per-column tournaments on this platform; axis-1 gathers
+    # inside while bodies fault the Mosaic stack — PERF_NOTES.md). The
+    # lowest slot wins ties, matching the sequential-update order of the
+    # AoS loop this replaces.
     key = jnp.where(ok, t, _BIG)
-    arrs = (key, tid, u, v)
-    h = L // 2
-    while h >= 1:
-        lo = tuple(a[:, :h] for a in arrs)
-        hi = tuple(a[:, h:2 * h] for a in arrs)
-        take_hi = hi[0] < lo[0]
-        arrs = tuple(jnp.where(take_hi, b, a) for a, b in zip(lo, hi))
-        h //= 2
-    ck, ctid, cu, cv = (a[:, 0] for a in arrs)
+    ck = jnp.min(key, axis=1)
+    slot = jnp.arange(L, dtype=jnp.int32)[None, :]
+    min_slot = jnp.min(jnp.where(key <= ck[:, None], slot, L), axis=1)
+    first = slot == min_slot[:, None]
+    ctid = jnp.sum(jnp.where(first, tid, 0), axis=1)
+    cu = jnp.sum(jnp.where(first, u, 0.0), axis=1)
+    cv = jnp.sum(jnp.where(first, v, 0.0), axis=1)
     win = ck < _BIG
     best_tri = jnp.where(win, ctid, best_tri)
     best_u = jnp.where(win, cu, best_u)
@@ -157,6 +168,9 @@ def _intersect_leaf(bvh, rec, o, d, t_min, is_leaf, best, accept_fn):
 MIN_COMPACT_SIZE = 8192
 MAX_COMPACT_PHASES = 4
 
+# Concurrent sub-gathers per traversal step (latency hiding; see body note).
+GATHER_CHAINS = 4
+
 
 def _compact_perm(finished, m):
     """Stable permutation putting unfinished lanes first (cumsum, no sort)."""
@@ -176,12 +190,13 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
     n = ray_o.shape[0]
     inv_d = _safe_inv(ray_d)
     done_code = jnp.int32(bvh.num_rows)  # cur == done_code => lane finished
-    stack_depth = min(bvh.max_depth * (WIDTH - 1) + 2, 64)
+    # (node, mask) entries: at most one live entry per tree level.
+    stack_depth = bvh.max_depth + 2
     levels = jnp.arange(stack_depth, dtype=jnp.int32)[:, None]
 
-    # Safety bound only (turns a corrupt tree into a wrong image, not a hang):
-    # every row can be visited at most once per ray.
-    max_iters = bvh.num_rows + stack_depth + 4
+    # Safety bound only (turns a corrupt tree into a wrong image, not a
+    # hang): every row is visited at most once per child slot per ray.
+    max_iters = bvh.num_rows * 2 + stack_depth + 4
 
     root = jnp.int32(bvh.root_code)
 
@@ -194,7 +209,9 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         ivx=inv_d[:, 0], ivy=inv_d[:, 1], ivz=inv_d[:, 2],
         tmin=t_min,
         cur=jnp.where(active, root, done_code).astype(jnp.int32),
-        stack=jnp.zeros((stack_depth, n), jnp.int32),
+        pmask=jnp.full((n,), 0xFF, jnp.int32),
+        snode=jnp.zeros((stack_depth, n), jnp.int32),
+        smask=jnp.zeros((stack_depth, n), jnp.int32),
         sp=jnp.zeros((n,), jnp.int32),
         bt=t_max.astype(jnp.float32),
         btri=jnp.full((n,), -1, jnp.int32),
@@ -204,18 +221,26 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
 
     def body(s):
         (idx, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
-         cur, stack, sp, best_t, best_tri, best_u, best_v, it) = s
+         cur, pmask, snode, smask, sp,
+         best_t, best_tri, best_u, best_v, it) = s
 
         alive = cur != done_code
         is_leaf = alive & (cur < 0)
         is_int = alive & (cur >= 0)
         row = jnp.where(is_leaf, ~cur, jnp.where(is_int, cur, 0))
-        # The only gather. NOTE: accessing the wide record via block slices
-        # costs extra row re-streaming; faster component-major/transposed
-        # variants measured ~2.7x better trip a Mosaic/axon compiler kernel
-        # fault on the tunneled device (see PERF_NOTES.md), so this proven
-        # form is kept for now.
-        rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
+        # The only gather — split into GATHER_CHAINS independent sub-gathers
+        # so their HBM row fetches overlap: dependent-loop gathers are
+        # row-LATENCY bound (~120M rows/s single stream, ~225M with 4
+        # concurrent streams — tools/microbench_gather.py).
+        m = row.shape[0]
+        k_chains = GATHER_CHAINS if m % GATHER_CHAINS == 0 else 1
+        if k_chains > 1:
+            mm = m // k_chains
+            rec = jnp.concatenate(
+                [jnp.take(bvh.table, row[k * mm:(k + 1) * mm], axis=0,
+                          mode="clip") for k in range(k_chains)], axis=0)
+        else:
+            rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
 
         # ---- internal: slab-test all 8 children ((m, 8) SoA blocks) ----
         tx0 = (rec[:, 0:8] - ox[:, None]) * ivx[:, None]
@@ -232,49 +257,54 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         # must be masked from the RECORD, not the slab result — (3e38 - o) / d
         # overflows to inf for steep rays, making the inverted box "hit".
         valid8 = rec[:, 0:8] <= rec[:, 24:32]
-        hit8 = is_int[:, None] & valid8 & (tn8 <= tf8)
+        # pmask bit k gates child slot k: 0xFF on a fresh visit, the saved
+        # remaining-children mask on a popped resume.
+        slot_pow2 = jnp.int32(1) << jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+        gate = (pmask[:, None] & slot_pow2) != 0
+        hit8 = (is_int[:, None] & valid8 & (tn8 <= tf8) & gate)  # (m, 8)
         codes8 = _bitcast_i32(rec[:, 48:56])
 
-        keys = [jnp.where(hit8[:, k], tn8[:, k], _BIG) for k in range(WIDTH)]
-        vals = [codes8[:, k] for k in range(WIDTH)]
-        for a, b in _SORT8:
-            swap = keys[a] > keys[b]
-            ka = jnp.where(swap, keys[b], keys[a])
-            kb = jnp.where(swap, keys[a], keys[b])
-            va = jnp.where(swap, vals[b], vals[a])
-            vb = jnp.where(swap, vals[a], vals[b])
-            keys[a], keys[b], vals[a], vals[b] = ka, kb, va, vb
-        any_child = keys[0] < _BIG
+        keys8 = jnp.where(hit8, tn8, _BIG)
+        hit_mask = jnp.sum(jnp.where(hit8, slot_pow2, 0), axis=1)
+        near_key, near_code, near_bit = _argmin8_block(keys8, codes8)
+        any_child = near_key < _BIG
+        rest_mask = hit_mask & ~near_bit
 
         # ---- leaf: inline triangle intersection ----
         best_t, best_tri, best_u, best_v = _intersect_leaf(
             bvh, rec, (ox, oy, oz), (dx, dy, dz), tmin, is_leaf,
             (best_t, best_tri, best_u, best_v), accept_fn)
 
-        # ---- stack pushes: children 7..1 (far first), hits only ----
-        for k in range(WIDTH - 1, 0, -1):
-            do_push = keys[k] < _BIG
-            stack = jnp.where((levels == sp[None, :]) & do_push[None, :],
-                              vals[k][None, :], stack)
-            sp = jnp.minimum(sp + do_push.astype(jnp.int32), stack_depth - 1)
+        # ---- stack: ONE (node, mask) push when siblings remain ----
+        do_push = is_int & any_child & (rest_mask != 0)
+        at_sp = (levels == sp[None, :]) & do_push[None, :]
+        snode = jnp.where(at_sp, cur[None, :], snode)
+        smask = jnp.where(at_sp, rest_mask[None, :], smask)
+        sp_pushed = sp + do_push.astype(jnp.int32)
 
-        # ---- next cursor ----
+        # ---- next cursor: descend nearest, else pop (parent, mask) ----
         need_pop = is_leaf | (is_int & ~any_child)
-        top = jnp.sum(jnp.where(levels == (sp - 1)[None, :], stack, 0), axis=0)
-        popped = jnp.where(sp > 0, top, done_code)
-        cur_next = jnp.where(is_int & any_child, vals[0],
+        at_top = levels == (sp_pushed - 1)[None, :]
+        top_node = jnp.sum(jnp.where(at_top, snode, 0), axis=0)
+        top_mask = jnp.sum(jnp.where(at_top, smask, 0), axis=0)
+        can_pop = sp_pushed > 0
+        popped = jnp.where(can_pop, top_node, done_code)
+        cur_next = jnp.where(is_int & any_child, near_code,
                              jnp.where(need_pop, popped, done_code))
         cur_next = jnp.where(alive, cur_next, done_code)
-        sp = jnp.where(need_pop & (sp > 0), sp - 1, sp)
+        pmask_next = jnp.where(need_pop & can_pop, top_mask,
+                               jnp.full_like(pmask, 0xFF))
+        sp_next = jnp.where(need_pop & can_pop, sp_pushed - 1, sp_pushed)
 
         if first_hit:
             # ACCEPT_FIRST_HIT_AND_END_SEARCH: stop the lane once anything hit.
             found = best_tri >= 0
             cur_next = jnp.where(found, done_code, cur_next)
-            sp = jnp.where(found, 0, sp)
+            sp_next = jnp.where(found, 0, sp_next)
 
         return (idx, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
-                cur_next, stack, sp, best_t, best_tri, best_u, best_v, it + 1)
+                cur_next, pmask_next, snode, smask, sp_next,
+                best_t, best_tri, best_u, best_v, it + 1)
 
     # Full-size result buffers, scattered into at each phase boundary.
     out_t = t_max.astype(jnp.float32)
@@ -289,7 +319,8 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
 
     keys_order = ("idx", "ox", "oy", "oz", "dx", "dy", "dz",
                   "ivx", "ivy", "ivz", "tmin",
-                  "cur", "stack", "sp", "bt", "btri", "bu", "bv")
+                  "cur", "pmask", "snode", "smask", "sp",
+                  "bt", "btri", "bu", "bv")
     it = jnp.zeros((), jnp.int32)
     phase_iters = []  # cumulative step count at each phase boundary (stats)
     for pi, size in enumerate(sizes):
@@ -298,13 +329,13 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
 
         if final:
             def cond(s):
-                return jnp.any(s[11] != done_code) & (s[18] < max_iters)
+                return jnp.any(s[11] != done_code) & (s[20] < max_iters)
         else:
             next_size = sizes[pi + 1]
 
             def cond(s, _ns=next_size):
                 n_alive = jnp.sum((s[11] != done_code).astype(jnp.int32))
-                return (n_alive > _ns) & (s[18] < max_iters)
+                return (n_alive > _ns) & (s[20] < max_iters)
 
         state = jax.lax.while_loop(cond, body, state)
         lane = dict(zip(keys_order, state[:-1]))
@@ -321,7 +352,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
 
         if not final:
             perm = _compact_perm(lane["cur"] == done_code, size)[:sizes[pi + 1]]
-            lane = {k: (jnp.take(v, perm, axis=1) if k == "stack"
+            lane = {k: (jnp.take(v, perm, axis=1) if k in ("snode", "smask")
                         else jnp.take(v, perm, axis=0))
                     for k, v in lane.items()}
 
