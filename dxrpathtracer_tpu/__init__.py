@@ -27,11 +27,32 @@ __version__ = "0.1.0"
 import os as _os
 
 try:
+    import hashlib as _hashlib
+
     import jax as _jax
+
+    def _host_cache_key():
+        """Key the cache by host CPU features + jax version: XLA:CPU entries
+        are AOT host binaries, and an entry compiled on a host with different
+        machine features LOADS (with an error log) but can produce silently
+        WRONG numerics (observed: furnace sphere 0.704 vs true 0.8688 from a
+        cache entry carrying +prefer-no-scatter/-gather this host lacks)."""
+        feats = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        feats = " ".join(sorted(line.split(":")[1].split()))
+                        break
+        except OSError:
+            pass
+        return _hashlib.sha1(
+            (feats + _jax.__version__).encode()).hexdigest()[:12]
 
     _cache_dir = _os.environ.get("DXRPT_COMPILATION_CACHE",
                                  _os.path.expanduser("~/.cache/dxrpt_xla_cache"))
     if _cache_dir:
+        _cache_dir = _os.path.join(_cache_dir, _host_cache_key())
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

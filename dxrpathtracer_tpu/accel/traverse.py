@@ -168,8 +168,6 @@ def _intersect_leaf(bvh, rec, o, d, t_min, is_leaf, best, accept_fn):
 MIN_COMPACT_SIZE = 8192
 MAX_COMPACT_PHASES = 4
 
-# Concurrent sub-gathers per traversal step (latency hiding; see body note).
-GATHER_CHAINS = 4
 
 
 def _compact_perm(finished, m):
@@ -228,19 +226,13 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         is_leaf = alive & (cur < 0)
         is_int = alive & (cur >= 0)
         row = jnp.where(is_leaf, ~cur, jnp.where(is_int, cur, 0))
-        # The only gather — split into GATHER_CHAINS independent sub-gathers
-        # so their HBM row fetches overlap: dependent-loop gathers are
-        # row-LATENCY bound (~120M rows/s single stream, ~225M with 4
-        # concurrent streams — tools/microbench_gather.py).
-        m = row.shape[0]
-        k_chains = GATHER_CHAINS if m % GATHER_CHAINS == 0 else 1
-        if k_chains > 1:
-            mm = m // k_chains
-            rec = jnp.concatenate(
-                [jnp.take(bvh.table, row[k * mm:(k + 1) * mm], axis=0,
-                          mode="clip") for k in range(k_chains)], axis=0)
-        else:
-            rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
+        # The only gather. NOTE: splitting it into 4 independent sub-gathers
+        # + concat (latency hiding, ~1.3x on the isolated gather —
+        # tools/microbench_gather.py) MISCOMPILES inside while_loop on the
+        # axon TPU stack: lanes >= 128 silently return misses for N <= ~576
+        # (eager execution of the same body is correct). Keep the single
+        # gather until the platform stack updates.
+        rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
 
         # ---- internal: slab-test all 8 children ((m, 8) SoA blocks) ----
         tx0 = (rec[:, 0:8] - ox[:, None]) * ivx[:, None]

@@ -28,17 +28,38 @@ def test_boxtest_golden_image():
 
 
 def test_white_furnace_fbx_scene():
-    """The real WhiteFurnace.fbx sphere (19.8k tris) through the FBX importer:
-    miss pixels are exactly 1.0 (furnace miss shader), sphere pixels finite and
-    in the energy range the furnace's spec-only sampling produces."""
+    """The real WhiteFurnace.fbx sphere (19.8k tris) through the FBX importer,
+    converged to 16 spp and pinned tight (a 5% energy bug fails this test).
+
+    The converged value is NOT 1.0, faithfully matching the reference: furnace
+    forces metallic=1/roughness=1 (RayTrace.hlsl:189,198), and the Turquin
+    multiscattering compensation looks up Ess with a mixed-space n.v
+    (dot(normalTS, -rayDirWS), RayTrace.hlsl:361 — reproduced at
+    integrator.py thr_spec quirk), so it under-recovers the multiple-
+    scattering energy: sphere mean converges to ~0.705 (vs 0.475 with
+    compensation off, the bare single-scatter GGX albedo; measured at 36 spp,
+    stable to +-0.001 against 16 spp, identical on CPU and TPU)."""
     sess = RenderSession(
-        settings=AppSettings(current_scene=Scenes.WhiteFurnace, sqrt_num_samples=2),
+        settings=AppSettings(current_scene=Scenes.WhiteFurnace, sqrt_num_samples=4),
         width=24, height=24)
     assert sess.scene_host.num_triangles == 19800  # from WhiteFurnace.fbx
     assert sess.settings.enable_white_furnace_mode  # forced by scene switch
     out = np.asarray(sess.render_to_completion())
     assert np.isfinite(out).all()
-    assert np.allclose(out[0, 0], 1.0)  # background
+    assert np.allclose(out[0, 0], 1.0)  # background: furnace miss is exactly 1
     sphere = out[np.abs(out - 1.0).sum(-1) > 1e-3]
     assert sphere.size > 0
-    assert 0.1 < sphere.mean() < 1.5
+    assert abs(float(sphere.mean()) - 0.7044) < 0.02, sphere.mean()
+
+
+def test_white_furnace_no_compensation_energy():
+    """Compensation OFF isolates the single-scatter GGX albedo at roughness 1:
+    the furnace sphere must read the known directional-albedo average (~0.475).
+    Pins the G2/G1 VNDF estimator independently of the Ess lookup."""
+    sess = RenderSession(
+        settings=AppSettings(current_scene=Scenes.WhiteFurnace, sqrt_num_samples=4,
+                             apply_multiscattering_energy_compensation=False),
+        width=24, height=24)
+    out = np.asarray(sess.render_to_completion())
+    sphere = out[np.abs(out - 1.0).sum(-1) > 1e-3]
+    assert abs(float(sphere.mean()) - 0.4752) < 0.02, sphere.mean()

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""TPU-vs-CPU render crosscheck: the miscompile detector.
+
+The axon TPU stack has produced SILENTLY WRONG traversal results from
+specific while_loop body shapes (e.g. a split-gather+concat that made every
+lane >= 128 miss for N <= ~576 while N = 1024 was correct — found 2026-08-16
+via the WhiteFurnace scene). CPU-only CI cannot catch that class of bug, so
+this tool renders small frames of each scene on BOTH backends in separate
+subprocesses and compares them. Run it after any traversal/integrator change
+that will ship to TPU.
+
+Usage: python tools/crosscheck_tpu.py [--scenes BoxTest,WhiteFurnace,Sponza]
+Exit code 0 = all scenes match within tolerance.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import sys, json
+sys.path.insert(0, {repo!r})
+import jax
+if {cpu!r} == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from dxrpathtracer_tpu.app.session import RenderSession
+from dxrpathtracer_tpu.app.settings import AppSettings, Scenes
+sess = RenderSession(
+    settings=AppSettings(current_scene=getattr(Scenes, {scene!r}),
+                         sqrt_num_samples=2),
+    width={w}, height={h})
+img = np.asarray(sess.render_to_completion())
+np.save({out!r}, img)
+print(json.dumps({{"platform": jax.devices()[0].platform,
+                   "mean": float(img.mean())}}))
+"""
+
+
+def render(scene, platform, w, h, out):
+    code = _CHILD.format(repo=REPO, cpu=platform, scene=scene, w=w, h=h,
+                         out=out)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=1200)
+    if r.returncode != 0:
+        raise RuntimeError(f"{scene}/{platform} failed:\n{r.stderr[-2000:]}")
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    return info
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", default="BoxTest,WhiteFurnace",
+                    help="comma list; Sponza is slow (LBVH build ~1 min)")
+    ap.add_argument("--width", type=int, default=96)
+    ap.add_argument("--height", type=int, default=72)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    ok = True
+    for scene in args.scenes.split(","):
+        with tempfile.TemporaryDirectory() as td:
+            f_tpu = os.path.join(td, "tpu.npy")
+            f_cpu = os.path.join(td, "cpu.npy")
+            i_tpu = render(scene, "tpu", args.width, args.height, f_tpu)
+            i_cpu = render(scene, "cpu", args.width, args.height, f_cpu)
+            a, b = np.load(f_tpu), np.load(f_cpu)
+            rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+            rel = float(np.abs(a - b).max() / (np.abs(b).max() + 1e-9))
+            line = (f"{scene}: tpu[{i_tpu['platform']}] mean {i_tpu['mean']:.4f}"
+                    f" vs cpu[{i_cpu['platform']}] mean {i_cpu['mean']:.4f}"
+                    f"  rmse {rmse:.2e} relmax {rel:.2e}")
+            # Fusion-order ULPs only; anything visible is a miscompile.
+            good = rmse < 1e-3 and rel < 1e-2
+            print(("OK   " if good else "FAIL ") + line)
+            ok &= good
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
