@@ -173,6 +173,23 @@ def main(argv=None):
     _add_settings_flags(p_bake)
     p_bake.set_defaults(fn=cmd_bake)
 
+    p_int = sub.add_parser("interactive",
+                           help="interactive terminal viewer (App.cpp loop: "
+                                "WASD camera, live HUD, progressive restart)")
+    p_int.add_argument("--width", type=int, default=384)
+    p_int.add_argument("--height", type=int, default=216)
+    p_int.add_argument("--script", type=str, default=None,
+                       help="headless input script 'key:frames,...' "
+                            "(e.g. 'w:2,l:1,:4'); empty key = just render")
+    p_int.add_argument("--max-frames", type=int, default=None)
+    _add_settings_flags(p_int)
+
+    def _cmd_interactive(args):
+        from .interactive import cmd_interactive
+        return cmd_interactive(args)
+
+    p_int.set_defaults(fn=_cmd_interactive)
+
     p_uv = sub.add_parser("uvviz", help="visualize the lightmap UV layout")
     p_uv.add_argument("--resolution", type=int, default=1024)
     p_uv.add_argument("--output", type=str, default="uvs.png")

@@ -1,0 +1,262 @@
+"""Interactive progressive viewer — the reference's windowed app loop, built
+for a terminal.
+
+The reference is an interactive Win32 app: a message pump drives
+Update (camera WASD/QE + mouse look, DXRPathTracer.cpp:1353-1381) and Render
+(progressive accumulation that restarts when camera/settings change), with an
+ImGui HUD showing frame time and Mrays/s (DXRPathTracer.cpp:2151-2190).
+TPU-native substitution: the render session runs the same
+update-restart-accumulate loop while the terminal provides both the display
+(24-bit ANSI half-block cells — every cell shows two pixels via fg/bg color)
+and the input (raw-mode key reads, no window system required).
+
+Controls (mirroring App.cpp / DXRPathTracer.cpp:1353-1381):
+  w/s a/d q/e  move forward/back, left/right, up/down
+  i/k j/l      look up/down, left/right (the mouse-drag substitute)
+  [ ]          exposure down/up
+  1-5          scene presets (BoxTest, Sponza, SunTemple, WhiteFurnace, Stronghold)
+  t            cycle MSAA mode (raster), m toggle raster/path-traced mode
+  p            save screenshot PNG   x  quit
+
+Headless operation: `script` is a list of (key, frames) tuples; the loop
+replays them without a TTY so tests and CI can drive the full app loop.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from .settings import AppSettings, MSAAModes, Scenes
+from .session import RenderSession
+
+
+def _supports_color():
+    return sys.stdout.isatty() and os.environ.get("TERM", "") != "dumb"
+
+
+def to_rgb8(display_img):
+    """[0,1] display output (already tone-mapped by session.display_image,
+    PostProcessor::Render) -> uint8 for the terminal present."""
+    return np.clip(np.asarray(display_img) * 255.0, 0.0, 255.0).astype(np.uint8)
+
+
+def ansi_halfblock_frame(rgb8, max_cols=120, max_rows=56):
+    """Render an (H, W, 3) uint8 image as ANSI half-block text.
+
+    Each text cell encodes TWO vertically-stacked pixels: upper pixel as the
+    foreground color of '▀', lower pixel as the background — the terminal
+    equivalent of the reference's swap-chain present."""
+    h, w = rgb8.shape[:2]
+    cols = min(max_cols, w)
+    rows2 = min(max_rows * 2, h)
+    ys = (np.linspace(0, h - 1, rows2)).astype(int)
+    xs = (np.linspace(0, w - 1, cols)).astype(int)
+    small = rgb8[ys][:, xs]
+    if small.shape[0] % 2:
+        small = small[:-1]
+    top = small[0::2]
+    bot = small[1::2]
+    lines = []
+    for r in range(top.shape[0]):
+        cells = []
+        for c in range(cols):
+            tr, tg, tb = (int(v) for v in top[r, c])
+            br, bg, bb = (int(v) for v in bot[r, c])
+            cells.append(f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀")
+        lines.append("".join(cells) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+class _RawKeys:
+    """Non-blocking single-key reads (the Win32 message pump substitute)."""
+
+    def __enter__(self):
+        import termios
+        import tty
+        self.fd = sys.stdin.fileno()
+        self.saved = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        os.set_blocking(self.fd, False)
+        return self
+
+    def __exit__(self, *exc):
+        import termios
+        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.saved)
+        os.set_blocking(self.fd, True)
+
+    def poll(self):
+        try:
+            ch = sys.stdin.read(1)
+        except (OSError, ValueError):
+            return None
+        return ch if ch else None
+
+
+_SCENE_KEYS = {"1": Scenes.BoxTest, "2": Scenes.Sponza, "3": Scenes.SunTemple,
+               "4": Scenes.WhiteFurnace, "5": Scenes.Stronghold}
+
+MOVE_SPEED = 0.5   # per keypress (the reference uses 5.0 * dt held-key)
+ROT_SPEED = 0.12
+
+
+class InteractiveApp:
+    """Update/Render loop around RenderSession (App::Run, SampleFramework12
+    App.cpp:55-87 + DXRPathTracer::Update/Render)."""
+
+    def __init__(self, settings: AppSettings | None = None, width=384,
+                 height=216, display=None):
+        self.settings = settings or AppSettings(current_scene=Scenes.BoxTest,
+                                                sqrt_num_samples=4)
+        self.width, self.height = width, height
+        self.session = RenderSession(settings=self.settings, width=width,
+                                     height=height)
+        self.display = _supports_color() if display is None else display
+        self.raster_mode = False
+        self.quit = False
+        self.frame_times = []
+        self.screenshots = 0
+
+    # -- input handling (DXRPathTracer.cpp:1353-1381) --
+    def handle_key(self, key):
+        cam = self.session.camera
+        s = self.session.settings
+        fwd = cam.forward()
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        right /= max(np.linalg.norm(right), 1e-8)
+        up = np.cross(fwd, right)
+        moves = {"w": fwd, "s": -fwd, "d": right, "a": -right,
+                 "q": up, "e": -up}
+        if key in moves:
+            cam.set_position(cam.position + np.asarray(moves[key], np.float32)
+                             * MOVE_SPEED)
+        elif key == "i":
+            cam.set_x_rotation(cam.x_rot - ROT_SPEED)
+        elif key == "k":
+            cam.set_x_rotation(cam.x_rot + ROT_SPEED)
+        elif key == "j":
+            cam.set_y_rotation(cam.y_rot - ROT_SPEED)
+        elif key == "l":
+            cam.set_y_rotation(cam.y_rot + ROT_SPEED)
+        elif key == "[":
+            self.session.settings = s.replace(exposure=s.exposure - 0.5)
+        elif key == "]":
+            self.session.settings = s.replace(exposure=s.exposure + 0.5)
+        elif key in _SCENE_KEYS:
+            self.session = RenderSession(
+                settings=s.replace(current_scene=_SCENE_KEYS[key]),
+                width=self.width, height=self.height)
+        elif key == "m":
+            self.raster_mode = not self.raster_mode
+        elif key == "t":
+            order = [MSAAModes.MSAANone, MSAAModes.MSAA2x, MSAAModes.MSAA4x]
+            cur = order.index(s.msaa_mode) if s.msaa_mode in order else 0
+            self.session.settings = s.replace(
+                msaa_mode=order[(cur + 1) % len(order)])
+        elif key == "p":
+            self.save_screenshot()
+        elif key == "x":
+            self.quit = True
+
+    def save_screenshot(self):
+        from ..render.film import write_png
+        path = f"screenshot_{self.screenshots:03d}.png"
+        write_png(path, self.current_display_image())
+        self.screenshots += 1
+        return path
+
+    # -- frame --
+    def render_one(self):
+        t0 = time.perf_counter()
+        if self.raster_mode:
+            img = self.session.render_raster_frame()
+            self.session.accum = img  # display path shares the accum buffer
+        else:
+            self.session.render_frame(force=True)
+        # sync so the HUD frame time is honest (PERF_NOTES: tiny readback)
+        np.asarray(self.session.accum[:1, :1])
+        self.frame_times.append(time.perf_counter() - t0)
+
+    def current_display_image(self):
+        return np.asarray(self.session.display_image())
+
+    def hud_line(self):
+        """HUD text (the reference's ImGui overlay, DXRPathTracer.cpp:2151-90):
+        frame time, Mrays/s estimate formula (:2171-2174), sample progress."""
+        s = self.session.settings
+        dt = self.frame_times[-1] if self.frame_times else 0.0
+        rays = (self.width * self.height *
+                (1 + (s.max_path_length - 1) * 2))
+        mrays = rays / max(dt, 1e-9) / 1e6
+        cam = self.session.camera
+        return (f"{dt*1e3:7.1f} ms  {mrays:6.1f} MRays/s  "
+                f"sample {min(self.session.sample_idx, s.total_samples)}"
+                f"/{s.total_samples}  "
+                f"cam ({cam.position[0]:.1f} {cam.position[1]:.1f} "
+                f"{cam.position[2]:.1f})  "
+                f"{'raster' if self.raster_mode else 'path'}  "
+                f"[wasdqe move, ijkl look, p shot, x quit]")
+
+    def present(self):
+        if not self.display:
+            return
+        img = to_rgb8(self.current_display_image())
+        sys.stdout.write("\x1b[H\x1b[2J")
+        sys.stdout.write(ansi_halfblock_frame(img))
+        sys.stdout.write("\n" + self.hud_line() + "\n")
+        sys.stdout.flush()
+
+    # -- loops --
+    def run_scripted(self, script, max_frames=64):
+        """Headless loop: replay (key, frames) tuples. Returns frame count."""
+        frames = 0
+        for key, n_frames in script:
+            if key:
+                self.handle_key(key)
+            self.session.update()
+            for _ in range(n_frames):
+                if frames >= max_frames or self.quit:
+                    return frames
+                self.render_one()
+                self.present()
+                frames += 1
+            if self.quit:
+                break
+        return frames
+
+    def run(self, max_frames=None):
+        """Interactive TTY loop (the Win32 message pump)."""
+        frames = 0
+        with _RawKeys() as keys:
+            while not self.quit:
+                key = keys.poll()
+                while key is not None:
+                    self.handle_key(key)
+                    key = keys.poll()
+                self.session.update()
+                self.render_one()
+                self.present()
+                frames += 1
+                if max_frames is not None and frames >= max_frames:
+                    break
+        return frames
+
+
+def cmd_interactive(args):
+    from .cli import _settings_from_args
+    settings = _settings_from_args(args)
+    app = InteractiveApp(settings=settings, width=args.width,
+                         height=args.height)
+    if args.script:
+        script = []
+        for tok in args.script.split(","):
+            key, _, cnt = tok.partition(":")
+            script.append((key or None, int(cnt or 1)))
+        n = app.run_scripted(script, max_frames=args.max_frames or 64)
+    else:
+        n = app.run(max_frames=args.max_frames)
+    print(f"\n{n} frames, mean "
+          f"{1e3*np.mean(app.frame_times or [0]):.1f} ms/frame",
+          file=sys.stderr)
+    return 0

@@ -22,11 +22,27 @@ import numpy as np
 from ..accel.lbvh import build_bvh_for_scene
 from ..app.settings import AppSettings, Scenes
 from ..render.camera import FirstPersonCamera
-from ..render.integrator import FrameConstants, render_sample
+from ..render.integrator import (FrameConstants, StagedTracer, raygen,
+                                 render_sample)
 from ..render.postfx import post_process
 from ..scene.registry import PRESETS, load_scene
 from ..sky.skycache import SkyCache
 from .profiler import Profiler
+
+
+@jax.jit
+def _unpack_frame_constants(packed):
+    """Slice the packed (25,) cbuffer upload into FrameConstants on-device."""
+    return FrameConstants(
+        inv_view_projection=packed[0:16].reshape(4, 4),
+        camera_pos_ws=packed[16:19],
+        sun_direction_ws=packed[19:22],
+        sun_irradiance=packed[22:25],
+        sun_render_color=packed[25:28],
+        cos_sun_angular_radius=packed[28],
+        sin_sun_angular_radius=packed[29],
+        curr_sample_idx=packed[30].astype(jnp.uint32),
+    )
 
 
 class RenderSession:
@@ -104,38 +120,76 @@ class RenderSession:
 
         Accumulation lives as a LIST of row-slab arrays so every slab's
         buffer is donated in place each sample; the old path re-sliced and
-        concatenated a full-frame array every sample, defeating donation."""
+        concatenated a full-frame array every sample, defeating donation.
+
+        Default path is the StagedTracer: raygen / closest-hit / shading /
+        batched-shadow / accumulate as separate jitted dispatches whose
+        traversal executables compile ONCE and are reused across depths,
+        samples, and slabs (integrator.StagedTracer docstring). Set
+        DXRPT_MONOLITH=1 to force the single-program form (the one the
+        sharded multi-chip step uses)."""
+        import os
+
         slab_h = self._slab_h
         width, height = self.width, self.height
 
-        @partial(jax.jit, static_argnames=("settings",), donate_argnums=(2,))
-        def step_slab(scene, bvh, accum_slab, sky_cube, frame, row0, settings):
-            return render_sample(scene, bvh, sky_cube, settings, frame,
-                                 width, slab_h, accum_slab,
-                                 row_offset=row0, total_height=height)
+        if os.environ.get("DXRPT_MONOLITH"):
+            @partial(jax.jit, static_argnames=("settings",), donate_argnums=(2,))
+            def step_slab(scene, bvh, accum_slab, sky_cube, frame, row0, settings):
+                return render_sample(scene, bvh, sky_cube, settings, frame,
+                                     width, slab_h, accum_slab,
+                                     row_offset=row0, total_height=height)
+        else:
+            tracer = StagedTracer()
+
+            @partial(jax.jit, static_argnames=("settings",))
+            def raygen_slab(frame, row0, settings):
+                return raygen(settings, frame, width, slab_h, row0, height)
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def accum_slab_fn(accum_slab, radiance, frame):
+                f32 = jnp.float32
+                radiance = radiance.reshape(slab_h, width, 3)
+                lerp = (frame.curr_sample_idx.astype(f32)
+                        / (frame.curr_sample_idx.astype(f32) + 1.0))
+                return radiance + (accum_slab - radiance) * lerp
+
+            def step_slab(scene, bvh, accum_slab, sky_cube, frame, row0, settings):
+                o, d, length, pix = raygen_slab(frame, row0, settings)
+                radiance = tracer.trace(scene, bvh, sky_cube, settings, frame,
+                                        o, d, length, pix, width * height,
+                                        first_set_idx=1)
+                return accum_slab_fn(accum_slab, radiance, frame)
+
+        # Device-resident row offsets, transferred ONCE: a fresh host scalar
+        # per dispatch serializes on the tunnel RTT (~10 ms each).
+        row0_dev = [jnp.int32(r0) for r0 in range(0, height, slab_h)]
 
         def step(scene, bvh, slabs, sky_cube, frame, settings):
-            return [step_slab(scene, bvh, slab, sky_cube, frame,
-                              jnp.int32(r0), settings)
-                    for slab, r0 in zip(slabs, range(0, height, slab_h))]
+            return [step_slab(scene, bvh, slab, sky_cube, frame, r0, settings)
+                    for slab, r0 in zip(slabs, row0_dev)]
 
         return step
 
     def frame_constants(self, sample_idx: int) -> FrameConstants:
+        """Per-frame cbuffer upload. All scalars/vectors are PACKED into one
+        host array and transferred in a single device_put: each individual
+        fresh-host-value transfer serializes on the tunnel RTT (~10 ms), so
+        eight separate uploads would cost ~80 ms/frame."""
         s = self.settings
         sun_dir = np.asarray(s.sun_direction, np.float32)
         sun_dir = sun_dir / np.linalg.norm(sun_dir)
         ang = np.deg2rad(s.sun_size)
-        return FrameConstants(
-            inv_view_projection=jnp.asarray(self.camera.inv_view_projection()),
-            camera_pos_ws=jnp.asarray(self.camera.position),
-            sun_direction_ws=jnp.asarray(sun_dir),
-            sun_irradiance=jnp.asarray(self.sky.sun_irradiance),
-            sun_render_color=jnp.asarray(self.sky.sun_render_color),
-            cos_sun_angular_radius=jnp.float32(np.cos(ang)),
-            sin_sun_angular_radius=jnp.float32(np.sin(ang)),
-            curr_sample_idx=jnp.uint32(sample_idx),
-        )
+        packed = np.concatenate([
+            np.asarray(self.camera.inv_view_projection(), np.float32).ravel(),
+            np.asarray(self.camera.position, np.float32),
+            sun_dir,
+            np.asarray(self.sky.sun_irradiance, np.float32),
+            np.asarray(self.sky.sun_render_color, np.float32),
+            np.asarray([np.cos(ang), np.sin(ang), float(sample_idx)],
+                       np.float32),
+        ])
+        return _unpack_frame_constants(jnp.asarray(packed))
 
     # ------------------------------------------------------------------
     def update(self):

@@ -138,6 +138,390 @@ def _from_tangent(v_ts, tan, bit, nrm):
     return (v_ts[..., 0:1] * tan + v_ts[..., 1:2] * bit + v_ts[..., 2:3] * nrm)
 
 
+def _depth_schedule(settings: AppSettings):
+    """Static per-depth control flags (all Python values — the reference's
+    compile-time AppSettings branches, RayTrace.hlsl:153-158, 388).
+
+    Yields (depth, flags) for depths 1..MaxPathLength-1; the driver breaks
+    after an `early_stop` or non-`continue_paths` depth."""
+    s = settings
+    furnace = bool(s.enable_white_furnace_mode)
+    last_depth = max(int(s.max_path_length) - 1, 1)
+    out = []
+    for depth in range(1, last_depth + 1):
+        is_last = depth == last_depth
+        early_stop = ((not s.enable_diffuse and not s.enable_specular)
+                      or (not s.enable_direct and not s.enable_indirect)
+                      or (depth > 1 and not s.enable_indirect))
+        continue_paths = bool(s.enable_indirect) and not is_last and not furnace
+        out.append((depth, dict(
+            is_last=is_last,
+            furnace=furnace,
+            early_stop=early_stop,
+            continue_paths=continue_paths,
+            use_any_hit=depth <= s.max_any_hit_path_length,
+            terminal_any_hit=(depth + 1) <= s.max_any_hit_path_length,
+        )))
+        if early_stop or not continue_paths:
+            break
+    return out
+
+
+def _path_state0(n, ray_o, ray_d, t_max, t_min0=0.0, active0=None,
+                 initial_is_diffuse=False):
+    f32 = jnp.float32
+    return dict(
+        total=jnp.zeros((n, 3), f32),
+        beta=jnp.ones((n, 3), f32),
+        active=jnp.ones((n,), jnp.bool_) if active0 is None else active0,
+        prev_is_diffuse=jnp.full((n,), bool(initial_is_diffuse)),
+        prev_roughness=jnp.zeros((n,), f32),
+        ray_o=ray_o,
+        ray_d=ray_d,
+        t_min=jnp.full((n,), t_min0, f32) if not hasattr(t_min0, "shape")
+        else t_min0.astype(f32),
+        t_max=t_max.astype(f32),
+    )
+
+
+def _sky_radiance(sky_cube, settings: AppSettings, dirs):
+    if settings.enable_white_furnace_mode:
+        return jnp.ones((dirs.shape[0], 3), jnp.float32)
+    if not settings.enable_sky or sky_cube is None:
+        return jnp.zeros((dirs.shape[0], 3), jnp.float32)
+    return sample_cubemap(sky_cube, dirs)
+
+
+def _shadow_plan(scene, settings: AppSettings, depth: int, has_alpha: bool,
+                 flags):
+    """Static (kind, use_alpha) list matching _shade_vertex's request order."""
+    s = settings
+    plan = []
+    if s.enable_sun and not flags["furnace"]:
+        plan.append(("sun", flags["use_any_hit"] and has_alpha))
+    num_lights = min(scene.lights.num_lights, int(s.max_light_clamp))
+    if s.render_lights and num_lights > 0:
+        plan += [("spot", flags["use_any_hit"] and has_alpha)] * num_lights
+    if not flags["continue_paths"] and not flags["furnace"]:
+        plan.append(("terminal", flags["terminal_any_hit"] and has_alpha))
+    return plan
+
+
+def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
+                  depth: int, flags, state, rec, pixel_idx,
+                  total_num_pixels: int, first_set_idx: int, cmj_sample_idx):
+    """Everything between closest-hit and the shadow-visibility rays: miss
+    shader, surface fetch, material sampling, light evaluation, BRDF sampling
+    (RayTrace.hlsl:153-386). Pure function of arrays + static flags.
+
+    Returns (state', shadow_reqs, mid):
+      shadow_reqs — tuple of (origin, dir, tmin, tmax, mask) for the batched
+                    any_hit flush, ordered per _shadow_plan
+      mid         — per-vertex arrays _apply_vertex needs"""
+    s = settings
+    n = state["ray_o"].shape[0]
+    f32 = jnp.float32
+    furnace = flags["furnace"]
+    from ..core.sampling import sample_cosine_hemisphere, sample_ggx_visible_normal
+
+    ray_o = state["ray_o"]
+    ray_d = state["ray_d"]
+    active = state["active"]
+    total = state["total"]
+    beta = state["beta"]
+
+    hit = rec.hit & active
+    missed = active & ~hit
+
+    # ---- Miss shader (RayTrace.hlsl:509-530) ----
+    if furnace:
+        miss_rad = jnp.ones((n, 3), f32)
+    else:
+        miss_rad = _sky_radiance(sky_cube, s, ray_d)
+        if depth == 1:
+            cos_sun = dot(ray_d, frame.sun_direction_ws[None, :])
+            in_disc = cos_sun >= frame.cos_sun_angular_radius
+            miss_rad = jnp.where(in_disc[..., None],
+                                 frame.sun_render_color[None, :], miss_rad)
+    total = total + jnp.where(missed[..., None], beta * miss_rad, 0.0)
+    state = dict(state, total=total)
+
+    # ---- PathTrace early-outs (static) (RayTrace.hlsl:153-158) ----
+    if flags["early_stop"]:
+        state = dict(state, active=jnp.zeros_like(active))
+        return state, (), {}
+
+    # ---- Hit surface ----
+    pos, geo_n, uv, tan, bit = _fetch_vertex_attrs(scene, rec.tri_id, rec.u, rec.v)
+    mat = jnp.take(scene.tri_material, jnp.maximum(rec.tri_id, 0), axis=0)
+    incoming_dir = ray_d
+    incoming_origin = ray_o
+
+    normal_ws = geo_n
+    if s.enable_normal_maps:
+        nm = _sample_material(scene, mat, uv, "normal")
+        nx = nm[..., 0] * 2.0 - 1.0
+        ny = nm[..., 1] * 2.0 - 1.0
+        nz = jnp.sqrt(jnp.maximum(1.0 - saturate(nx * nx + ny * ny), 0.0))
+        normal_ws = normalize(
+            nx[..., None] * tan + ny[..., None] * bit + nz[..., None] * geo_n, eps=1e-37)
+    # tangentToWorld._31_32_33 = normalWS (RayTrace.hlsl:178)
+    frame_n = normal_ws
+
+    if s.enable_albedo_maps and not furnace:
+        base_color = _sample_material(scene, mat, uv, "albedo")[..., :3]
+    else:
+        base_color = jnp.ones((n, 3), f32)
+
+    if furnace:
+        metallic_raw = jnp.ones((n,), f32)
+        sqrt_rough_raw = jnp.ones((n,), f32)
+    else:
+        metallic_raw = _sample_material(scene, mat, uv, "metallic")[..., 0]
+        sqrt_rough_raw = _sample_material(scene, mat, uv, "roughness")[..., 0]
+    metallic = saturate(metallic_raw * s.metallic_scale)
+    sqrt_roughness = saturate(sqrt_rough_raw * s.roughness_scale)
+
+    enable_diffuse_l = (s.enable_diffuse & (metallic < 1.0)) | furnace
+    if s.enable_specular:
+        if s.enable_indirect_specular:
+            if s.avoid_caustic_paths:
+                enable_specular_l = ~state["prev_is_diffuse"]
+            else:
+                enable_specular_l = jnp.ones((n,), jnp.bool_)
+        else:
+            enable_specular_l = jnp.full((n,), depth == 1)
+    else:
+        enable_specular_l = jnp.zeros((n,), jnp.bool_)
+
+    lane_dead = ~(enable_diffuse_l | enable_specular_l)  # return 0 (hlsl:194-195)
+
+    diffuse_albedo = ((1.0 - metallic)[..., None] * base_color
+                      * enable_diffuse_l[..., None].astype(f32))
+    specular_albedo = ((0.03 + (base_color - 0.03) * metallic[..., None])
+                       * enable_specular_l[..., None].astype(f32))
+    roughness = sqrt_roughness * sqrt_roughness
+    if s.clamp_roughness:
+        roughness = jnp.maximum(roughness, state["prev_roughness"])
+
+    ms_comp = jnp.ones((n, 3), f32)
+    if s.apply_multiscattering_energy_compensation:
+        n_dot_v = saturate(dot(normal_ws, -incoming_dir))
+        ess, _ = brdf_lib.ggx_environment_brdf_scale_bias(n_dot_v, sqrt_roughness)
+        ms_comp = 1.0 + specular_albedo * (1.0 / ess[..., None] - 1.0)
+
+    if furnace:
+        local = jnp.zeros((n, 3), f32)
+    else:
+        local = _sample_material(scene, mat, uv, "emissive")[..., :3]
+
+    # ---- Shadow-ray batch construction ----
+    # The reference issues sun NEE, each spot light, and the terminal
+    # sky-visibility ray as separate TraceRay calls (RayTrace.hlsl:262, 311,
+    # 434); DXR's MIMD scheduler overlaps them for free. On TPU each any_hit
+    # call is its own lockstep while_loop that pays the worst ray's iteration
+    # count, so same-accept_fn shadow rays at one vertex are CONCATENATED
+    # into a single 2N/3N-lane call: the merged loop's step count is the max
+    # of the sets, not the sum, and compaction works better at larger N.
+    shadow_reqs = []  # (origin, dir, tmin, tmax, mask); order = _shadow_plan
+
+    # ---- Sun NEE (RayTrace.hlsl:224-262) ----
+    if s.enable_sun and not furnace:
+        sun_d = frame.sun_direction_ws[None, :]
+        if s.sun_area_light_approximation:
+            r_vec = reflect(incoming_dir, normal_ws)
+            d_dot_r = dot(sun_d, r_vec)
+            s_vec = r_vec - d_dot_r[..., None] * sun_d
+            closest = (frame.cos_sun_angular_radius * sun_d
+                       + normalize(s_vec, eps=1e-37) * frame.sin_sun_angular_radius)
+            shade_sun_dir = jnp.where(
+                (d_dot_r < frame.cos_sun_angular_radius)[..., None],
+                normalize(closest, eps=1e-37), r_vec)
+        else:
+            shade_sun_dir = jnp.broadcast_to(sun_d, (n, 3))
+        shadow_reqs.append((pos, jnp.broadcast_to(sun_d, (n, 3)),
+                            jnp.full((n,), 1e-5, f32),
+                            jnp.full((n,), FP32Max, f32), hit))
+        sun_light = brdf_lib.calc_lighting(
+            normal_ws, shade_sun_dir, frame.sun_irradiance[None, :],
+            diffuse_albedo, specular_albedo, roughness, pos,
+            incoming_origin, ms_comp)
+    else:
+        sun_light = None
+
+    # ---- Spot-light NEE (RayTrace.hlsl:264-313) ----
+    spot_contribs = []  # (light, relevant), aligned with shadow_reqs order
+    num_lights = min(scene.lights.num_lights, int(s.max_light_clamp))
+    if s.render_lights and num_lights > 0:
+        for li in range(num_lights):
+            lp = scene.lights.position[li][None, :]
+            ld = scene.lights.direction[li][None, :]
+            lint = scene.lights.intensity[li][None, :]
+            ax = scene.lights.angular_attenuation_x[li]
+            ay = scene.lights.angular_attenuation_y[li]
+            lrange = scene.lights.range[li]
+
+            to_light = lp - pos
+            dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1e-20))
+            to_light = to_light / dist[..., None]
+            angle_f = saturate(dot(to_light, ld))
+            ang_att = smoothstep(ay, ax, angle_f)
+            dd = dist / lrange
+            falloff = saturate(1.0 - dd ** 4)
+            falloff = (falloff * falloff) / (dist * dist + 1.0)
+            ang_att = ang_att * falloff
+            relevant = hit & (ang_att > 0.0)
+
+            shadow_reqs.append((
+                pos + normal_ws * 0.01, to_light,
+                jnp.full((n,), SPOT_SHADOW_NEAR_CLIP, f32),
+                jnp.maximum(dist - SPOT_SHADOW_NEAR_CLIP,
+                            SPOT_SHADOW_NEAR_CLIP),
+                relevant))
+            light = brdf_lib.calc_lighting(
+                normal_ws, to_light, lint * ang_att[..., None],
+                diffuse_albedo, specular_albedo, roughness, pos,
+                incoming_origin, ms_comp)
+            spot_contribs.append((light, relevant))
+
+    # ---- BRDF sampling (RayTrace.hlsl:315-376) ----
+    set_idx = first_set_idx + (depth - 1)
+    permutation = (jnp.uint32(set_idx) * jnp.uint32(total_num_pixels)
+                   + pixel_idx.astype(jnp.uint32))
+    sqrt_n = int(s.sqrt_num_samples)
+    uv2 = cmj.sample_cmj_2d(cmj_sample_idx, sqrt_n, sqrt_n, permutation)
+    bx = uv2[..., 0]
+    by = uv2[..., 1]
+
+    selector = bx
+    selector = jnp.where(enable_specular_l, selector, 0.0)
+    selector = jnp.where(enable_diffuse_l, selector, 1.0)
+    pick_diffuse = selector < 0.5
+
+    # Diffuse branch
+    bx_d = jnp.where(enable_specular_l, bx * 2.0, bx)
+    dir_ts_diff = sample_cosine_hemisphere(bx_d, by)
+    thr_diff = diffuse_albedo
+
+    # Specular branch (GGX VNDF)
+    bx_s = jnp.where(enable_diffuse_l, (bx - 0.5) * 2.0, bx)
+    incoming_ts = normalize(_to_tangent(incoming_dir, tan, bit, frame_n), eps=1e-37)
+    m_ts = sample_ggx_visible_normal(-incoming_ts, roughness, roughness, bx_s, by)
+    dir_ts_spec = reflect(incoming_ts, m_ts)
+    n_ts = jnp.zeros((n, 3), f32).at[:, 2].set(1.0)
+    if furnace:
+        fres = jnp.ones((n, 3), f32)
+    else:
+        fres = brdf_lib.fresnel(specular_albedo, m_ts, dir_ts_spec)
+    a2 = roughness * roughness
+    g1 = brdf_lib.smith_ggx_masking(n_ts, dir_ts_spec, -incoming_ts, a2)
+    g2 = brdf_lib.smith_ggx_masking_shadowing(n_ts, dir_ts_spec, -incoming_ts, a2)
+    thr_spec = fres * (g2 / jnp.where(g1 == 0.0, 1.0, g1))[..., None]
+    if s.apply_multiscattering_energy_compensation:
+        # Reference quirk (RayTrace.hlsl:361): dot(normalTS=(0,0,1),
+        # -incomingRayDirWS) mixes spaces; equals -rayDir.z in world space.
+        ndv_q = saturate(-incoming_dir[..., 2])
+        ess_q, _ = brdf_lib.ggx_environment_brdf_scale_bias(ndv_q, sqrt_roughness)
+        thr_spec = thr_spec * (1.0 + specular_albedo * (1.0 / ess_q[..., None] - 1.0))
+
+    ray_dir_ts = jnp.where(pick_diffuse[..., None], dir_ts_diff, dir_ts_spec)
+    throughput = jnp.where(pick_diffuse[..., None], thr_diff, thr_spec)
+    ray_dir_ws = normalize(_from_tangent(ray_dir_ts, tan, bit, frame_n), eps=1e-37)
+    throughput = jnp.where((enable_diffuse_l & enable_specular_l)[..., None],
+                           throughput * 2.0, throughput)
+
+    # Terminal sky-visibility ray joins the batched any_hit call
+    # (RayTrace.hlsl:411-438).
+    if not flags["continue_paths"] and not furnace:
+        shadow_reqs.append((pos, ray_dir_ws,
+                            jnp.full((n,), 1e-5, f32),
+                            jnp.full((n,), FP32Max, f32),
+                            hit & ~lane_dead))
+
+    mid = dict(hit=hit, lane_dead=lane_dead, local=local,
+               throughput=throughput, ray_dir_ws=ray_dir_ws,
+               pick_diffuse=pick_diffuse, roughness=roughness, pos=pos,
+               sun_light=sun_light, spot_contribs=tuple(spot_contribs))
+    return state, tuple(shadow_reqs), mid
+
+
+def _flush_shadow(bvh, shadow_reqs, plan, alpha_test):
+    """One batched any_hit per accept-fn group (see _shade_vertex note)."""
+    if not shadow_reqs:
+        return []
+    n = shadow_reqs[0][0].shape[0]
+    groups = {}
+    for i, (_kind, use_alpha) in enumerate(plan):
+        groups.setdefault(use_alpha, []).append(i)
+    vis_out = [None] * len(shadow_reqs)
+    for use_alpha, idxs in groups.items():
+        acc = alpha_test if use_alpha else None
+        if len(idxs) == 1:
+            r = shadow_reqs[idxs[0]]
+            vis_out[idxs[0]] = any_hit(bvh, r[0], r[1], r[2], r[3], r[4],
+                                       accept_fn=acc)
+        else:
+            cat = [jnp.concatenate([shadow_reqs[i][k] for i in idxs], axis=0)
+                   for k in range(5)]
+            v = any_hit(bvh, *cat, accept_fn=acc)
+            for j, i in enumerate(idxs):
+                vis_out[i] = v[j * n:(j + 1) * n]
+    return vis_out
+
+
+def _apply_vertex(settings: AppSettings, sky_cube, depth: int, flags, state,
+                  mid, vis_list):
+    """Fold the visibility results into the radiance sums and advance (or
+    terminate) the path state (RayTrace.hlsl:379-438)."""
+    s = settings
+    furnace = flags["furnace"]
+    f32 = jnp.float32
+    n = state["ray_o"].shape[0]
+    local = mid["local"]
+    hit = mid["hit"]
+    lane_dead = mid["lane_dead"]
+    total = state["total"]
+    beta = state["beta"]
+
+    ri = 0
+    if mid["sun_light"] is not None:
+        local = local + mid["sun_light"] * vis_list[ri][..., None]
+        ri += 1
+    for light, relevant in mid["spot_contribs"]:
+        local = local + jnp.where(relevant[..., None],
+                                  light * vis_list[ri][..., None], 0.0)
+        ri += 1
+
+    if depth == 1 and not s.enable_direct:
+        local = jnp.zeros_like(local)
+
+    if flags["continue_paths"]:
+        total = total + jnp.where(hit[..., None] & ~lane_dead[..., None],
+                                  beta * local, 0.0)
+        return dict(
+            total=total,
+            beta=beta * mid["throughput"],
+            active=hit & ~lane_dead,
+            prev_is_diffuse=mid["pick_diffuse"],
+            prev_roughness=mid["roughness"],
+            ray_o=mid["pos"],
+            ray_d=mid["ray_dir_ws"],
+            t_min=jnp.full((n,), 1e-5, f32),
+            t_max=jnp.full((n,), FP32Max, f32),
+        )
+    # Terminal vertex (RayTrace.hlsl:411-438)
+    if furnace:
+        local = mid["throughput"]
+    else:
+        vis = vis_list[ri]
+        sky_r = (_sky_radiance(sky_cube, s, mid["ray_dir_ws"])
+                 if s.enable_sky else jnp.zeros((n, 3), f32))
+        local = local + vis[..., None] * sky_r * mid["throughput"]
+    total = total + jnp.where(hit[..., None] & ~lane_dead[..., None],
+                              beta * local, 0.0)
+    return dict(state, total=total, active=jnp.zeros_like(state["active"]))
+
+
 def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                 ray_o, ray_d, t_max, pixel_idx, total_num_pixels: int,
                 first_set_idx: int = 1, initial_is_diffuse: bool = False,
@@ -150,261 +534,177 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     raygen shader consumed set 0 for the pixel jitter). The baker sets
     initial_is_diffuse=True / t_min0=1e-4 (BakeRayGen, Baking.hlsl:395-409) and
     passes its own sample counter via `sample_idx`.
-    """
-    from ..core.sampling import sample_cosine_hemisphere, sample_ggx_visible_normal
 
+    This is the MONOLITHIC form — the whole wavefront inlined into the
+    caller's jit (used by the sharded multi-chip step and lax.map ray tiles).
+    StagedTracer runs the identical helpers as separately-jitted stages so
+    traversal executables are compiled once and reused (see its docstring).
+    """
     s = settings
     n = ray_o.shape[0]
-    f32 = jnp.float32
-
-    total = jnp.zeros((n, 3), f32)
-    beta = jnp.ones((n, 3), f32)
-    active = jnp.ones((n,), jnp.bool_) if active0 is None else active0
-    prev_is_diffuse = jnp.full((n,), bool(initial_is_diffuse))
-    prev_roughness = jnp.zeros((n,), f32)
-    t_min = jnp.full((n,), t_min0, f32)
     cmj_sample_idx = frame.curr_sample_idx if sample_idx is None else sample_idx
-
-    sqrt_n = int(s.sqrt_num_samples)
-    furnace = bool(s.enable_white_furnace_mode)
-
     alpha_test = _make_alpha_test(scene, s)
+    has_alpha = alpha_test is not None
+    state = _path_state0(n, ray_o, ray_d, t_max, t_min0, active0,
+                         initial_is_diffuse)
 
-    def sky_radiance(dirs):
-        if furnace:
-            return jnp.ones((dirs.shape[0], 3), f32)
-        if not s.enable_sky or sky_cube is None:
-            return jnp.zeros((dirs.shape[0], 3), f32)
-        return sample_cubemap(sky_cube, dirs)
-
-    # Depth loop: closest-hit vertices live at depths 1..MaxPathLength-1
-    # (the reference only recurses while PathLength+1 < MaxPathLength).
-    last_depth = max(int(s.max_path_length) - 1, 1)
-    for depth in range(1, last_depth + 1):
-        is_last = depth == last_depth
-        use_any_hit = depth <= s.max_any_hit_path_length  # else FORCE_OPAQUE
-
-        rec = closest_hit(bvh, ray_o, ray_d, t_min, t_max, active,
-                          accept_fn=alpha_test if use_any_hit else None)
-        hit = rec.hit & active
-        missed = active & ~hit
-
-        # ---- Miss shader (RayTrace.hlsl:509-530) ----
-        if furnace:
-            miss_rad = jnp.ones((n, 3), f32)
-        else:
-            miss_rad = sky_radiance(ray_d)
-            if depth == 1:
-                cos_sun = dot(ray_d, frame.sun_direction_ws[None, :])
-                in_disc = cos_sun >= frame.cos_sun_angular_radius
-                miss_rad = jnp.where(in_disc[..., None], frame.sun_render_color[None, :], miss_rad)
-        total = total + jnp.where(missed[..., None], beta * miss_rad, 0.0)
-
-        # ---- PathTrace early-outs (static) (RayTrace.hlsl:153-158) ----
-        if ((not s.enable_diffuse and not s.enable_specular)
-                or (not s.enable_direct and not s.enable_indirect)
-                or (depth > 1 and not s.enable_indirect)):
-            active = jnp.zeros_like(active)
+    for depth, flags in _depth_schedule(s):
+        rec = closest_hit(
+            bvh, state["ray_o"], state["ray_d"], state["t_min"],
+            state["t_max"], state["active"],
+            accept_fn=alpha_test if (flags["use_any_hit"] and has_alpha) else None)
+        state, reqs, mid = _shade_vertex(
+            scene, sky_cube, s, frame, depth, flags, state, rec, pixel_idx,
+            total_num_pixels, first_set_idx, cmj_sample_idx)
+        if flags["early_stop"]:
             break
+        plan = _shadow_plan(scene, s, depth, has_alpha, flags)
+        vis_list = _flush_shadow(bvh, reqs, plan, alpha_test)
+        state = _apply_vertex(s, sky_cube, depth, flags, state, mid, vis_list)
 
-        # ---- Hit surface ----
-        pos, geo_n, uv, tan, bit = _fetch_vertex_attrs(scene, rec.tri_id, rec.u, rec.v)
-        mat = jnp.take(scene.tri_material, jnp.maximum(rec.tri_id, 0), axis=0)
-        incoming_dir = ray_d
-        incoming_origin = ray_o
+    return jnp.clip(state["total"], 0.0, FP16Max)
 
-        normal_ws = geo_n
-        if s.enable_normal_maps:
-            nm = _sample_material(scene, mat, uv, "normal")
-            nx = nm[..., 0] * 2.0 - 1.0
-            ny = nm[..., 1] * 2.0 - 1.0
-            nz = jnp.sqrt(jnp.maximum(1.0 - saturate(nx * nx + ny * ny), 0.0))
-            normal_ws = normalize(
-                nx[..., None] * tan + ny[..., None] * bit + nz[..., None] * geo_n, eps=1e-37)
-        # tangentToWorld._31_32_33 = normalWS (RayTrace.hlsl:178)
-        frame_n = normal_ws
 
-        if s.enable_albedo_maps and not furnace:
-            base_color = _sample_material(scene, mat, uv, "albedo")[..., :3]
-        else:
-            base_color = jnp.ones((n, 3), f32)
+class StagedTracer:
+    """Host-orchestrated wavefront: each traversal / shading stage is its own
+    jitted dispatch, mirroring the reference's per-pass command-list model
+    (DXRPathTracer::Render DispatchRays + compute passes, DXRPathTracer.cpp:
+    1538-1700) instead of one giant XLA program.
 
-        if furnace:
-            metallic_raw = jnp.ones((n,), f32)
-            sqrt_rough_raw = jnp.ones((n,), f32)
-        else:
-            metallic_raw = _sample_material(scene, mat, uv, "metallic")[..., 0]
-            sqrt_rough_raw = _sample_material(scene, mat, uv, "roughness")[..., 0]
-        metallic = saturate(metallic_raw * s.metallic_scale)
-        sqrt_roughness = saturate(sqrt_rough_raw * s.roughness_scale)
+    Why: inlining the whole sample into one jit compiles EVERY traversal
+    while_loop separately (primary + bounce closest-hit compile twice though
+    they are the same program; measured 308 s compile at 960x540 with batched
+    shadows). Staged, each executable is keyed by (lane count, alpha,
+    first_hit) and COMPILED ONCE, then reused across depths, progressive
+    samples, and row slabs (all slabs share shapes). Stage boundaries
+    materialize SoA arrays in HBM (~tens of MB, ~sub-ms at HBM bandwidth) and
+    dispatch asynchronously, so steady-state cost matches the monolith while
+    compile time drops by the reuse factor.
 
-        enable_diffuse_l = (s.enable_diffuse & (metallic < 1.0)) | furnace
-        if s.enable_specular:
-            if s.enable_indirect_specular:
-                if s.avoid_caustic_paths:
-                    enable_specular_l = ~prev_is_diffuse
-                else:
-                    enable_specular_l = jnp.ones((n,), jnp.bool_)
-            else:
-                enable_specular_l = jnp.full((n,), depth == 1)
-        else:
-            enable_specular_l = jnp.zeros((n,), jnp.bool_)
+    Numerics are identical to `trace_paths` by construction: both drivers
+    call the same _shade_vertex/_flush_shadow/_apply_vertex helpers.
+    """
 
-        lane_dead = ~(enable_diffuse_l | enable_specular_l)  # return 0 (hlsl:194-195)
+    def __init__(self):
+        self._jits = {}
 
-        diffuse_albedo = ((1.0 - metallic)[..., None] * base_color
-                          * enable_diffuse_l[..., None].astype(f32))
-        specular_albedo = ((0.03 + (base_color - 0.03) * metallic[..., None])
-                           * enable_specular_l[..., None].astype(f32))
-        roughness = sqrt_roughness * sqrt_roughness
-        if s.clamp_roughness:
-            roughness = jnp.maximum(roughness, prev_roughness)
+    def _jit(self, key, builder):
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = self._jits[key] = builder()
+        return fn
 
-        ms_comp = jnp.ones((n, 3), f32)
-        if s.apply_multiscattering_energy_compensation:
-            n_dot_v = saturate(dot(normal_ws, -incoming_dir))
-            ess, _ = brdf_lib.ggx_environment_brdf_scale_bias(n_dot_v, sqrt_roughness)
-            ms_comp = 1.0 + specular_albedo * (1.0 / ess[..., None] - 1.0)
+    # -- traversal stages (reused across depths/samples/slabs) --
+    def _closest(self, use_alpha: bool):
+        def build():
+            @partial(jax.jit, static_argnames=("settings",))
+            def run(bvh, scene, settings, o, d, tn, tx, act):
+                acc = _make_alpha_test(scene, settings) if use_alpha else None
+                return closest_hit(bvh, o, d, tn, tx, act, accept_fn=acc)
+            return run
+        return self._jit(("closest", use_alpha), build)
 
-        if furnace:
-            local = jnp.zeros((n, 3), f32)
-        else:
-            local = _sample_material(scene, mat, uv, "emissive")[..., :3]
+    def _any(self, use_alpha: bool, n_split: int):
+        """Batched shadow stage: concatenates `n_split` same-length request
+        tuples, runs ONE any_hit, splits the result — all inside the jit so
+        the host never dispatches eager concat/slice ops (each eager op on
+        the tunneled device costs ~10 ms serialized; see PERF_NOTES.md)."""
+        def build():
+            @partial(jax.jit, static_argnames=("settings",))
+            def run(bvh, scene, settings, reqs):
+                acc = _make_alpha_test(scene, settings) if use_alpha else None
+                if len(reqs) == 1:
+                    o, d, tn, tx, act = reqs[0]
+                    return (any_hit(bvh, o, d, tn, tx, act, accept_fn=acc),)
+                cat = [jnp.concatenate([r[k] for r in reqs], axis=0)
+                       for k in range(5)]
+                v = any_hit(bvh, *cat, accept_fn=acc)
+                n = reqs[0][0].shape[0]
+                return tuple(v[j * n:(j + 1) * n] for j in range(len(reqs)))
+            return run
+        return self._jit(("any", use_alpha, n_split), build)
 
-        # ---- Sun NEE (RayTrace.hlsl:224-262) ----
-        if s.enable_sun and not furnace:
-            sun_d = frame.sun_direction_ws[None, :]
-            if s.sun_area_light_approximation:
-                r_vec = reflect(incoming_dir, normal_ws)
-                d_dot_r = dot(sun_d, r_vec)
-                s_vec = r_vec - d_dot_r[..., None] * sun_d
-                closest = (frame.cos_sun_angular_radius * sun_d
-                           + normalize(s_vec, eps=1e-37) * frame.sin_sun_angular_radius)
-                shade_sun_dir = jnp.where(
-                    (d_dot_r < frame.cos_sun_angular_radius)[..., None],
-                    normalize(closest, eps=1e-37), r_vec)
-            else:
-                shade_sun_dir = jnp.broadcast_to(sun_d, (n, 3))
-            sun_vis = any_hit(
-                bvh, pos, jnp.broadcast_to(sun_d, (n, 3)),
-                1e-5, FP32Max, hit,
-                accept_fn=alpha_test if use_any_hit else None)
-            sun_light = brdf_lib.calc_lighting(
-                normal_ws, shade_sun_dir, frame.sun_irradiance[None, :],
-                diffuse_albedo, specular_albedo, roughness, pos,
-                incoming_origin, ms_comp)
-            local = local + sun_light * sun_vis[..., None]
+    # -- shading stages (small elementwise programs, one per depth) --
+    def _shade(self, depth: int, flags_key):
+        def build():
+            @partial(jax.jit, static_argnames=(
+                "settings", "depth", "total_num_pixels", "first_set_idx"))
+            def run(scene, sky_cube, settings, frame, depth, state, rec,
+                    pixel_idx, total_num_pixels, first_set_idx, cmj_idx):
+                flags = dict(_depth_schedule(settings))[depth]
+                return _shade_vertex(scene, sky_cube, settings, frame, depth,
+                                     flags, state, rec, pixel_idx,
+                                     total_num_pixels, first_set_idx, cmj_idx)
+            return run
+        return self._jit(("shade", depth, flags_key), build)
 
-        # ---- Spot-light NEE (RayTrace.hlsl:264-313) ----
-        num_lights = min(scene.lights.num_lights, int(s.max_light_clamp))
-        if s.render_lights and num_lights > 0:
-            for li in range(num_lights):
-                lp = scene.lights.position[li][None, :]
-                ld = scene.lights.direction[li][None, :]
-                lint = scene.lights.intensity[li][None, :]
-                ax = scene.lights.angular_attenuation_x[li]
-                ay = scene.lights.angular_attenuation_y[li]
-                lrange = scene.lights.range[li]
+    def _apply(self, depth: int, flags_key):
+        def build():
+            @partial(jax.jit, static_argnames=("settings", "depth"))
+            def run(sky_cube, settings, depth, state, mid, vis_list):
+                flags = dict(_depth_schedule(settings))[depth]
+                return _apply_vertex(settings, sky_cube, depth, flags, state,
+                                     mid, tuple(vis_list))
+            return run
+        return self._jit(("apply", depth, flags_key), build)
 
-                to_light = lp - pos
-                dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1e-20))
-                to_light = to_light / dist[..., None]
-                angle_f = saturate(dot(to_light, ld))
-                ang_att = smoothstep(ay, ax, angle_f)
-                dd = dist / lrange
-                falloff = saturate(1.0 - dd ** 4)
-                falloff = (falloff * falloff) / (dist * dist + 1.0)
-                ang_att = ang_att * falloff
-                relevant = hit & (ang_att > 0.0)
+    def trace(self, scene, bvh, sky_cube, settings: AppSettings,
+              frame: FrameConstants, ray_o, ray_d, t_max, pixel_idx,
+              total_num_pixels: int, first_set_idx: int = 1,
+              initial_is_diffuse: bool = False, t_min0=0.0, active0=None,
+              sample_idx=None):
+        """Staged equivalent of trace_paths (same signature/semantics)."""
+        s = settings
+        n = ray_o.shape[0]
+        cmj_idx = frame.curr_sample_idx if sample_idx is None else sample_idx
+        has_alpha = _make_alpha_test(scene, s) is not None
 
-                vis = any_hit(
-                    bvh, pos + normal_ws * 0.01, to_light,
-                    SPOT_SHADOW_NEAR_CLIP,
-                    jnp.maximum(dist - SPOT_SHADOW_NEAR_CLIP, SPOT_SHADOW_NEAR_CLIP),
-                    relevant,
-                    accept_fn=alpha_test if use_any_hit else None)
-                light = brdf_lib.calc_lighting(
-                    normal_ws, to_light, lint * ang_att[..., None],
-                    diffuse_albedo, specular_albedo, roughness, pos,
-                    incoming_origin, ms_comp)
-                local = local + jnp.where(relevant[..., None], light * vis[..., None], 0.0)
+        def build_init():
+            @partial(jax.jit, static_argnames=("t0", "idiff"))
+            def run(ray_o, ray_d, t_max, active0, t0, idiff):
+                return _path_state0(ray_o.shape[0], ray_o, ray_d, t_max,
+                                    t0, active0, idiff)
+            return run
 
-        # ---- BRDF sampling (RayTrace.hlsl:315-376) ----
-        set_idx = first_set_idx + (depth - 1)
-        permutation = (jnp.uint32(set_idx) * jnp.uint32(total_num_pixels)
-                       + pixel_idx.astype(jnp.uint32))
-        uv2 = cmj.sample_cmj_2d(cmj_sample_idx, sqrt_n, sqrt_n, permutation)
-        bx = uv2[..., 0]
-        by = uv2[..., 1]
+        state = self._jit(("init",), build_init)(
+            ray_o, ray_d, t_max, active0,
+            float(t_min0), bool(initial_is_diffuse))
 
-        selector = bx
-        selector = jnp.where(enable_specular_l, selector, 0.0)
-        selector = jnp.where(enable_diffuse_l, selector, 1.0)
-        pick_diffuse = selector < 0.5
+        for depth, flags in _depth_schedule(s):
+            flags_key = tuple(sorted(flags.items()))
+            rec = self._closest(flags["use_any_hit"] and has_alpha)(
+                bvh, scene, s, state["ray_o"], state["ray_d"],
+                state["t_min"], state["t_max"], state["active"])
+            state, reqs, mid = self._shade(depth, flags_key)(
+                scene, sky_cube, s, frame, depth, state, rec, pixel_idx,
+                total_num_pixels, first_set_idx, cmj_idx)
+            if flags["early_stop"]:
+                break
+            plan = _shadow_plan(scene, s, depth, has_alpha, flags)
+            vis_list = self._flush(bvh, scene, s, reqs, plan)
+            state = self._apply(depth, flags_key)(
+                sky_cube, s, depth, state, mid, vis_list)
 
-        # Diffuse branch
-        bx_d = jnp.where(enable_specular_l, bx * 2.0, bx)
-        dir_ts_diff = sample_cosine_hemisphere(bx_d, by)
-        thr_diff = diffuse_albedo
+        def build_finish():
+            return jax.jit(lambda total: jnp.clip(total, 0.0, FP16Max))
 
-        # Specular branch (GGX VNDF)
-        bx_s = jnp.where(enable_diffuse_l, (bx - 0.5) * 2.0, bx)
-        incoming_ts = normalize(_to_tangent(incoming_dir, tan, bit, frame_n), eps=1e-37)
-        m_ts = sample_ggx_visible_normal(-incoming_ts, roughness, roughness, bx_s, by)
-        dir_ts_spec = reflect(incoming_ts, m_ts)
-        n_ts = jnp.zeros((n, 3), f32).at[:, 2].set(1.0)
-        if furnace:
-            fres = jnp.ones((n, 3), f32)
-        else:
-            fres = brdf_lib.fresnel(specular_albedo, m_ts, dir_ts_spec)
-        a2 = roughness * roughness
-        g1 = brdf_lib.smith_ggx_masking(n_ts, dir_ts_spec, -incoming_ts, a2)
-        g2 = brdf_lib.smith_ggx_masking_shadowing(n_ts, dir_ts_spec, -incoming_ts, a2)
-        thr_spec = fres * (g2 / jnp.where(g1 == 0.0, 1.0, g1))[..., None]
-        if s.apply_multiscattering_energy_compensation:
-            # Reference quirk (RayTrace.hlsl:361): dot(normalTS=(0,0,1),
-            # -incomingRayDirWS) mixes spaces; equals -rayDir.z in world space.
-            ndv_q = saturate(-incoming_dir[..., 2])
-            ess_q, _ = brdf_lib.ggx_environment_brdf_scale_bias(ndv_q, sqrt_roughness)
-            thr_spec = thr_spec * (1.0 + specular_albedo * (1.0 / ess_q[..., None] - 1.0))
+        return self._jit(("finish",), build_finish)(state["total"])
 
-        ray_dir_ts = jnp.where(pick_diffuse[..., None], dir_ts_diff, dir_ts_spec)
-        throughput = jnp.where(pick_diffuse[..., None], thr_diff, thr_spec)
-        ray_dir_ws = normalize(_from_tangent(ray_dir_ts, tan, bit, frame_n), eps=1e-37)
-        throughput = jnp.where((enable_diffuse_l & enable_specular_l)[..., None],
-                               throughput * 2.0, throughput)
-
-        if depth == 1 and not s.enable_direct:
-            local = jnp.zeros_like(local)
-
-        continue_paths = s.enable_indirect and not is_last and not furnace
-        if continue_paths:
-            total = total + jnp.where(hit[..., None] & ~lane_dead[..., None],
-                                      beta * local, 0.0)
-            beta = beta * throughput
-            active = hit & ~lane_dead
-            prev_is_diffuse = pick_diffuse
-            prev_roughness = roughness
-            ray_o = pos
-            ray_d = ray_dir_ws
-            t_min = jnp.full((n,), 1e-5, f32)
-            t_max = jnp.full((n,), FP32Max, f32)
-        else:
-            # Terminal vertex (RayTrace.hlsl:411-438)
-            if furnace:
-                local = throughput
-            else:
-                terminal_any_hit = (depth + 1) <= s.max_any_hit_path_length
-                vis = any_hit(bvh, pos, ray_dir_ws, 1e-5, FP32Max, hit & ~lane_dead,
-                              accept_fn=alpha_test if terminal_any_hit else None)
-                sky_r = sky_radiance(ray_dir_ws) if s.enable_sky else jnp.zeros((n, 3), f32)
-                local = local + vis[..., None] * sky_r * throughput
-            total = total + jnp.where(hit[..., None] & ~lane_dead[..., None],
-                                      beta * local, 0.0)
-            active = jnp.zeros_like(active)
-            break
-
-    return jnp.clip(total, 0.0, FP16Max)
+    def _flush(self, bvh, scene, settings, shadow_reqs, plan):
+        """Batched shadow flush: one jitted dispatch per accept-fn group."""
+        if not shadow_reqs:
+            return []
+        groups = {}
+        for i, (_kind, use_alpha) in enumerate(plan):
+            groups.setdefault(use_alpha, []).append(i)
+        vis_out = [None] * len(shadow_reqs)
+        for use_alpha, idxs in groups.items():
+            stage = self._any(use_alpha, len(idxs))
+            vs = stage(bvh, scene, settings,
+                       tuple(shadow_reqs[i] for i in idxs))
+            for j, i in enumerate(idxs):
+                vis_out[i] = vs[j]
+        return vis_out
 
 
 # Max rays per traversal tile. A frame's wavefront runs as a sequence of tiles
@@ -415,21 +715,14 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
 TILE_RAYS = 524288
 
 
-def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
-                  width: int, height: int, accum, row_offset=0, total_height=None):
-    """One progressive sample: raygen + trace + running-mean accumulation
-    (RaygenShader, RayTrace.hlsl:92-149). Returns the new accumulation image
-    (height, width, 3) f32.
-
-    For multi-chip row sharding (parallel/mesh.py), `height` is the local row
-    count, `row_offset` the shard's first global row (traced OK), and
-    `total_height` the full image height — pixel indices and NDC stay global so
-    a sharded render matches single-chip to rounding (fusion-order ULPs).
-    """
+def raygen(settings: AppSettings, frame: FrameConstants, width: int,
+           height: int, row_offset=0, total_height=None):
+    """RaygenShader's primary-ray setup (RayTrace.hlsl:92-127): CMJ pixel
+    jitter (set 0) + InvViewProjection un-projection with y-flip. Returns
+    (ray_start, ray_dir, ray_len, pixel_idx) flat over height*width rays."""
     s = settings
     f32 = jnp.float32
     th = total_height if total_height is not None else height
-    n = width * th
 
     yy, xx = jnp.meshgrid(jnp.arange(height, dtype=f32), jnp.arange(width, dtype=f32),
                           indexing="ij")
@@ -461,6 +754,27 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
     seg = ray_end - ray_start
     ray_len = jnp.sqrt(jnp.maximum(dot(seg, seg), 1e-30))
     ray_dir = seg / ray_len[..., None]
+    return ray_start, ray_dir, ray_len, pixel_idx
+
+
+def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
+                  width: int, height: int, accum, row_offset=0, total_height=None):
+    """One progressive sample: raygen + trace + running-mean accumulation
+    (RaygenShader, RayTrace.hlsl:92-149). Returns the new accumulation image
+    (height, width, 3) f32.
+
+    For multi-chip row sharding (parallel/mesh.py), `height` is the local row
+    count, `row_offset` the shard's first global row (traced OK), and
+    `total_height` the full image height — pixel indices and NDC stay global so
+    a sharded render matches single-chip to rounding (fusion-order ULPs).
+    """
+    s = settings
+    f32 = jnp.float32
+    th = total_height if total_height is not None else height
+    n = width * th
+
+    ray_start, ray_dir, ray_len, pixel_idx = raygen(
+        s, frame, width, height, row_offset, th)
 
     n_local = width * height
     n_tiles = max(1, -(-n_local // TILE_RAYS))

@@ -135,3 +135,39 @@ def test_gpu_scope_fences_on_result():
     with p.gpu_scope("pass") as scope:
         scope.result = jnp.ones((8, 8)) * 2.0
     assert p.timing("pass") > 0.0
+
+
+def test_staged_tracer_matches_monolith():
+    """StagedTracer (separately-jitted per-pass dispatches, the default
+    single-chip path) must produce the SAME image as the monolithic
+    trace_paths program (used by the sharded multi-chip step) — both drivers
+    call the same _shade_vertex/_flush_shadow/_apply_vertex helpers, with a
+    spot light so the batched shadow flush carries sun+spot+terminal rays."""
+    import dataclasses
+    import os
+
+    from dxrpathtracer_tpu.scene.registry import load_scene
+    from dxrpathtracer_tpu.scene.types import make_spot_lights
+
+    scene, preset = load_scene(Scenes.BoxTest)
+    lights = make_spot_lights(
+        positions=[[3.0, 4.0, 0.0]], directions=[[0.0, 1.0, 0.0]],
+        intensities=[[50.0, 25.0, 10.0]], angular_attenuation=[[0.6, 1.2]])
+    scene = dataclasses.replace(scene, lights=lights)
+    settings = AppSettings(current_scene=Scenes.BoxTest, sqrt_num_samples=2)
+
+    imgs = {}
+    for mode in ("staged", "monolith"):
+        if mode == "monolith":
+            os.environ["DXRPT_MONOLITH"] = "1"
+        else:
+            os.environ.pop("DXRPT_MONOLITH", None)
+        try:
+            sess = RenderSession(settings=settings, width=24, height=24,
+                                 scene=scene, preset=preset)
+            sess.settings = settings
+            imgs[mode] = np.asarray(sess.render_to_completion())
+        finally:
+            os.environ.pop("DXRPT_MONOLITH", None)
+    diff = np.abs(imgs["staged"] - imgs["monolith"]).max()
+    assert diff < 1e-5, diff

@@ -23,7 +23,7 @@ def main():
     from dxrpathtracer_tpu.app.session import RenderSession
     from dxrpathtracer_tpu.app.settings import AppSettings, Scenes
     from dxrpathtracer_tpu.accel.lbvh import LEAF_SIZE
-    from dxrpathtracer_tpu.accel.traverse import _argmin8, _bitcast_i32, _intersect_leaf
+    from dxrpathtracer_tpu.accel.traverse import _argmin8_block, _bitcast_i32, _intersect_leaf
 
     sess = RenderSession(settings=AppSettings(current_scene=Scenes.Sponza),
                          width=8, height=8)
@@ -88,7 +88,7 @@ def main():
         hm = hit8[0].astype(jnp.int32)
         for k in range(1, 8):
             hm = hm | (hit8[k].astype(jnp.int32) << k)
-        nk, nc, nb = _argmin8(keys, [codes8[:, k] for k in range(8)])
+        nk, nc, nb = _argmin8_block(keys, [codes8[:, k] for k in range(8)])
         return nk, nc, nb, hm
 
     def leaf(rec, best_t):
