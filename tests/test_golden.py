@@ -63,3 +63,18 @@ def test_white_furnace_no_compensation_energy():
     out = np.asarray(sess.render_to_completion())
     sphere = out[np.abs(out - 1.0).sum(-1) > 1e-3]
     assert abs(float(sphere.mean()) - 0.4752) < 0.02, sphere.mean()
+
+
+def test_sponza_standin_golden_image():
+    """Converged-enough (4 spp) 48x27 golden of the 246k-tri Sponza-class
+    stand-in: pins traversal + SAH build + full shading on a deep BVH where
+    BoxTest (14 tris) cannot — systematic deviations (missing hits, wrong
+    ordering, texture/material regressions) show as RMSE here (SURVEY §4d)."""
+    sess = RenderSession(
+        settings=AppSettings(current_scene=Scenes.Sponza, sqrt_num_samples=2),
+        width=48, height=27)
+    img = np.asarray(sess.render_to_completion())
+    golden = np.load(Path(__file__).parent / "golden_sponza_48x27.npy")
+    assert img.shape == golden.shape
+    rmse = float(np.sqrt(np.mean((img - golden) ** 2)))
+    assert rmse < 1e-3, rmse
