@@ -122,18 +122,21 @@ class RenderSession:
         buffer is donated in place each sample; the old path re-sliced and
         concatenated a full-frame array every sample, defeating donation.
 
-        Default path is the StagedTracer: raygen / closest-hit / shading /
+        Default is the single-program (monolithic) form. DXRPT_STAGED=1
+        switches to StagedTracer — raygen / closest-hit / shading /
         batched-shadow / accumulate as separate jitted dispatches whose
-        traversal executables compile ONCE and are reused across depths,
-        samples, and slabs (integrator.StagedTracer docstring). Set
-        DXRPT_MONOLITH=1 to force the single-program form (the one the
-        sharded multi-chip step uses)."""
+        traversal executables compile once and are reused across depths,
+        samples, and slabs. Measured on the tunneled v5e the monolith is
+        ~25% faster per frame (1.09 s vs 1.40 s, 960x540 path-3): separate
+        executable launches carry a large fixed cost on this runtime, and
+        cold-compile times are comparable (PERF_NOTES.md). Staged remains
+        the architecture the dense/binned traversal experiments need."""
         import os
 
         slab_h = self._slab_h
         width, height = self.width, self.height
 
-        if os.environ.get("DXRPT_MONOLITH"):
+        if not os.environ.get("DXRPT_STAGED"):
             @partial(jax.jit, static_argnames=("settings",), donate_argnums=(2,))
             def step_slab(scene, bvh, accum_slab, sky_cube, frame, row0, settings):
                 return render_sample(scene, bvh, sky_cube, settings, frame,

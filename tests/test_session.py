@@ -158,16 +158,16 @@ def test_staged_tracer_matches_monolith():
 
     imgs = {}
     for mode in ("staged", "monolith"):
-        if mode == "monolith":
-            os.environ["DXRPT_MONOLITH"] = "1"
+        if mode == "staged":
+            os.environ["DXRPT_STAGED"] = "1"
         else:
-            os.environ.pop("DXRPT_MONOLITH", None)
+            os.environ.pop("DXRPT_STAGED", None)
         try:
             sess = RenderSession(settings=settings, width=24, height=24,
                                  scene=scene, preset=preset)
             sess.settings = settings
             imgs[mode] = np.asarray(sess.render_to_completion())
         finally:
-            os.environ.pop("DXRPT_MONOLITH", None)
+            os.environ.pop("DXRPT_STAGED", None)
     diff = np.abs(imgs["staged"] - imgs["monolith"]).max()
     assert diff < 1e-5, diff
