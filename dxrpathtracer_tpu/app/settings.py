@@ -68,6 +68,10 @@ class AppSettings:
 
     # --- Path tracing (AppSettings.cs:119-147) ---
     enable_ray_tracing: bool = True
+    # TPU-only knob (no reference analog — DXR's RT cores do per-ray MIMD
+    # traversal in hardware): route coherent rays (primaries, depth-1 sun
+    # NEE) through the 128-wide packet traversal (accel/packet.py).
+    enable_packet_traversal: bool = True
     clamp_roughness: bool = False
     avoid_caustic_paths: bool = False
     sqrt_num_samples: int = 4

@@ -525,7 +525,8 @@ def _apply_vertex(settings: AppSettings, sky_cube, depth: int, flags, state,
 def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                 ray_o, ray_d, t_max, pixel_idx, total_num_pixels: int,
                 first_set_idx: int = 1, initial_is_diffuse: bool = False,
-                t_min0=0.0, active0=None, sample_idx=None):
+                t_min0=0.0, active0=None, sample_idx=None,
+                packet_coherent: bool = False):
     """Trace a wavefront of rays to completion; returns (N, 3) radiance.
 
     ray_o/ray_d/t_max describe the depth-1 rays (already jittered primaries for
@@ -539,27 +540,59 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     caller's jit (used by the sharded multi-chip step and lax.map ray tiles).
     StagedTracer runs the identical helpers as separately-jitted stages so
     traversal executables are compiled once and reused (see its docstring).
+
+    packet_coherent=True asserts that consecutive 128-lane groups are
+    spatially coherent (render_sample's packet tiling): depth-1 closest-hit
+    and sun-NEE rays then take the 128-wide packet traversal
+    (accel/packet.py, ~5x measured on Sponza-class primaries) when no
+    alpha-test applies; all other rays keep the per-ray path.
     """
+    from ..accel.packet import packet_any_hit, packet_closest_hit
+
     s = settings
     n = ray_o.shape[0]
     cmj_sample_idx = frame.curr_sample_idx if sample_idx is None else sample_idx
     alpha_test = _make_alpha_test(scene, s)
     has_alpha = alpha_test is not None
+    use_packet = (packet_coherent and bool(s.enable_packet_traversal)
+                  and n % 128 == 0)
     state = _path_state0(n, ray_o, ray_d, t_max, t_min0, active0,
                          initial_is_diffuse)
 
     for depth, flags in _depth_schedule(s):
-        rec = closest_hit(
-            bvh, state["ray_o"], state["ray_d"], state["t_min"],
-            state["t_max"], state["active"],
-            accept_fn=alpha_test if (flags["use_any_hit"] and has_alpha) else None)
+        alpha_now = flags["use_any_hit"] and has_alpha
+        if use_packet and depth == 1 and not alpha_now:
+            rec = packet_closest_hit(
+                bvh, state["ray_o"], state["ray_d"], state["t_min"],
+                state["t_max"], state["active"])
+        else:
+            rec = closest_hit(
+                bvh, state["ray_o"], state["ray_d"], state["t_min"],
+                state["t_max"], state["active"],
+                accept_fn=alpha_test if alpha_now else None)
         state, reqs, mid = _shade_vertex(
             scene, sky_cube, s, frame, depth, flags, state, rec, pixel_idx,
             total_num_pixels, first_set_idx, cmj_sample_idx)
         if flags["early_stop"]:
             break
         plan = _shadow_plan(scene, s, depth, has_alpha, flags)
-        vis_list = _flush_shadow(bvh, reqs, plan, alpha_test)
+        vis_list = [None] * len(reqs)
+        rest = list(range(len(reqs)))
+        if use_packet and depth == 1:
+            for i, (kind, use_alpha) in enumerate(plan):
+                if kind == "sun" and not use_alpha:
+                    # Sun shadow rays from packet-coherent primary hits share
+                    # one direction — prime packet-traversal material
+                    # (measured 4x vs per-ray at 960x540).
+                    r = reqs[i]
+                    vis_list[i] = packet_any_hit(bvh, r[0], r[1], r[2], r[3],
+                                                 r[4])
+                    rest.remove(i)
+        if rest:
+            sub = _flush_shadow(bvh, [reqs[i] for i in rest],
+                                [plan[i] for i in rest], alpha_test)
+            for j, i in enumerate(rest):
+                vis_list[i] = sub[j]
         state = _apply_vertex(s, sky_cube, depth, flags, state, mid, vis_list)
 
     return jnp.clip(state["total"], 0.0, FP16Max)
@@ -757,6 +790,33 @@ def raygen(settings: AppSettings, frame: FrameConstants, width: int,
     return ray_start, ray_dir, ray_len, pixel_idx
 
 
+def _packet_tile_dims(height: int, width: int):
+    """Pick an 128-pixel tile (ty, tx) that divides the image, preferring
+    square-ish footprints (best packet coherence)."""
+    for ty in (8, 16, 4, 32, 2, 64, 1, 128):
+        tx = 128 // ty
+        if height % ty == 0 and width % tx == 0:
+            return ty, tx
+    return None
+
+
+def _tile_order(x, height, width, ty, tx):
+    """Row-major (H*W, ...) -> packet-tiled order (each 128 consecutive
+    lanes = one ty x tx pixel tile). Pure reshape/transpose (no gather)."""
+    trail = x.shape[1:]
+    x = x.reshape(height // ty, ty, width // tx, tx, *trail)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(height * width, *trail)
+
+
+def _untile_order(x, height, width, ty, tx):
+    """Inverse of _tile_order."""
+    trail = x.shape[1:]
+    x = x.reshape(height // ty, width // tx, ty, tx, *trail)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(height * width, *trail)
+
+
 def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                   width: int, height: int, accum, row_offset=0, total_height=None):
     """One progressive sample: raygen + trace + running-mean accumulation
@@ -780,6 +840,9 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
     n_tiles = max(1, -(-n_local // TILE_RAYS))
     while n_tiles > 1 and n_local % n_tiles != 0:
         n_tiles += 1  # image sizes are highly composite; terminates quickly
+    pk_dims = (_packet_tile_dims(height, width)
+               if (s.enable_packet_traversal and n_tiles == 1
+                   and n_local % 128 == 0) else None)
     if n_tiles > 1:
         tile = n_local // n_tiles
 
@@ -794,6 +857,18 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
             ray_len.reshape(n_tiles, tile),
             pixel_idx.reshape(n_tiles, tile),
         ))
+    elif pk_dims is not None:
+        # Packet-tiled lane order: each 128 consecutive lanes = one ty x tx
+        # pixel tile, making depth-1 rays packet-coherent (accel/packet.py).
+        ty, tx = pk_dims
+        radiance = trace_paths(
+            scene, bvh, sky_cube, s, frame,
+            _tile_order(ray_start, height, width, ty, tx),
+            _tile_order(ray_dir, height, width, ty, tx),
+            _tile_order(ray_len, height, width, ty, tx),
+            _tile_order(pixel_idx, height, width, ty, tx),
+            n, first_set_idx=1, packet_coherent=True)
+        radiance = _untile_order(radiance, height, width, ty, tx)
     else:
         radiance = trace_paths(scene, bvh, sky_cube, s, frame,
                                ray_start, ray_dir, ray_len, pixel_idx, n,

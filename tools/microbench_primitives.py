@@ -56,7 +56,7 @@ def main():
         print(f"argsort u32 n={n>>20}M: {t*1e3:7.2f} ms ({n/t/1e6:.0f} M/s)")
 
     # --- cumsum int32 ---
-    for n in (1 << 24, 1 << 27):
+    for n in (1 << 24,):
         x = jnp.ones((n,), jnp.int32)
         t = timed(jax.jit(jnp.cumsum), x)
         print(f"cumsum i32 n={n>>20}M: {t*1e3:7.2f} ms ({n/t/1e9:.2f} G/s)")

@@ -62,13 +62,13 @@ def main():
     def timed(name, fn, *args):
         out = jax.jit(fn)(*args)
         leaves = jax.tree_util.tree_leaves(out)
-        float(np.asarray(leaves[0]).ravel()[0])  # sync
+        float(leaves[0].ravel()[0])  # sync: jax-slice THEN 4B transfer
         ts = []
         for _ in range(3):
             t0 = time.time()
             out = jax.jit(fn)(*args)
             leaves = jax.tree_util.tree_leaves(out)
-            float(np.asarray(leaves[0]).ravel()[0])
+            float(leaves[0].ravel()[0])
             ts.append(time.time() - t0)
         print(f"{name:32s} {min(ts)*1e3:9.1f} ms", flush=True)
         return out
