@@ -446,26 +446,19 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
 
 
 def _flush_shadow(bvh, shadow_reqs, plan, alpha_test):
-    """One batched any_hit per accept-fn group (see _shade_vertex note)."""
-    if not shadow_reqs:
-        return []
-    n = shadow_reqs[0][0].shape[0]
-    groups = {}
-    for i, (_kind, use_alpha) in enumerate(plan):
-        groups.setdefault(use_alpha, []).append(i)
-    vis_out = [None] * len(shadow_reqs)
-    for use_alpha, idxs in groups.items():
+    """One any_hit per shadow request (the reference's separate TraceRay
+    dispatches, RayTrace.hlsl:262,311,434).
+
+    A concatenated same-accept batch (sun+terminal as one 2N call) was tried
+    and MEASURED SLOWER on the v5e: 397 ms for the 1.04M-lane merged call vs
+    150+170 ms separate at 960x540 — the merged lockstep loop pays the union
+    of both sets' worst rays at every iteration and compaction phases match
+    the mix worse than each set alone."""
+    vis_out = []
+    for r, (_kind, use_alpha) in zip(shadow_reqs, plan):
         acc = alpha_test if use_alpha else None
-        if len(idxs) == 1:
-            r = shadow_reqs[idxs[0]]
-            vis_out[idxs[0]] = any_hit(bvh, r[0], r[1], r[2], r[3], r[4],
-                                       accept_fn=acc)
-        else:
-            cat = [jnp.concatenate([shadow_reqs[i][k] for i in idxs], axis=0)
-                   for k in range(5)]
-            v = any_hit(bvh, *cat, accept_fn=acc)
-            for j, i in enumerate(idxs):
-                vis_out[i] = v[j * n:(j + 1) * n]
+        vis_out.append(any_hit(bvh, r[0], r[1], r[2], r[3], r[4],
+                               accept_fn=acc))
     return vis_out
 
 
@@ -724,19 +717,12 @@ class StagedTracer:
         return self._jit(("finish",), build_finish)(state["total"])
 
     def _flush(self, bvh, scene, settings, shadow_reqs, plan):
-        """Batched shadow flush: one jitted dispatch per accept-fn group."""
-        if not shadow_reqs:
-            return []
-        groups = {}
-        for i, (_kind, use_alpha) in enumerate(plan):
-            groups.setdefault(use_alpha, []).append(i)
-        vis_out = [None] * len(shadow_reqs)
-        for use_alpha, idxs in groups.items():
-            stage = self._any(use_alpha, len(idxs))
-            vs = stage(bvh, scene, settings,
-                       tuple(shadow_reqs[i] for i in idxs))
-            for j, i in enumerate(idxs):
-                vis_out[i] = vs[j]
+        """One jitted any_hit dispatch per shadow request (concat batching
+        measured slower — see _flush_shadow)."""
+        vis_out = []
+        for r, (_kind, use_alpha) in zip(shadow_reqs, plan):
+            stage = self._any(use_alpha, 1)
+            vis_out.append(stage(bvh, scene, settings, (r,))[0])
         return vis_out
 
 
