@@ -16,12 +16,16 @@ internal or leaf — is ONE 128-float (512B) record in a single unified table:
     [48:56) bitcast(child codes)   [56:128) zero
     child code: >= 0 -> internal row index; < 0 -> ~leaf row index;
     empty slots have inverted bounds (never hit) and code 0.
-  leaf record (up to LEAF_SIZE=8 packed triangles, SoA over the slots):
-    [0:8) v0x [8:16) v0y [16:24) v0z
-    [24:32) e1x [32:40) e1y [40:48) e1z
-    [48:56) e2x [56:64) e2y [64:72) e2z
-    [72:80) bitcast(tri_id)   [80:128) zero
+  leaf record (up to LEAF_SIZE=12 packed triangles, SoA over the slots,
+  stride L = LEAF_SIZE):
+    [0:L) v0x [L:2L) v0y [2L:3L) v0z
+    [3L:4L) e1x [4L:5L) e1y [5L:6L) e1z
+    [6L:7L) e2x [7L:8L) e2y [8L:9L) e2z
+    [9L:10L) bitcast(tri_id)   [10L:128) zero
     padded slots have tri_id == -1 and degenerate zero edges (never hit).
+    L=12 fills the 512B row (10*12=120 slots): a leaf VISIT costs one gather
+    regardless of how many triangles it tests (the 12-wide Moller-Trumbore
+    is a free VPU block op), so bigger leaves = fewer rows per ray.
 
 Both record types are SoA so every field the traversal touches is a CONTIGUOUS
 8-wide block slice of the gathered (N, 128) buffer — scalar column slices
@@ -41,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 WIDTH = 8          # children per internal node
-LEAF_SIZE = 8      # triangles per leaf record (power of 2: tournament reduce)
+LEAF_SIZE = 12     # triangles per leaf record (10*L <= RECORD)
 RECORD = 128       # f32 slots per unified record (512 B)
 
 
@@ -273,17 +277,17 @@ def build_table_numpy_sah(v0, v1, v2, leaf_size: int = LEAF_SIZE, bins: int = 16
 
         clo_v = cent[sel].min(axis=0)
         ext3 = cent[sel].max(axis=0) - clo_v
-        axis = 0
-        ext = ext3[0]
-        if ext3[1] > ext:
-            axis, ext = 1, ext3[1]
-        if ext3[2] > ext:
-            axis, ext = 2, ext3[2]
 
-        mid = None
-        if not ext > 0.0:
-            mid = lo + count // 2
-        else:
+        # All-axes binned SAH (strict < keeps the lowest axis on ties —
+        # matched exactly by native/sah_builder.cpp for bit-identity).
+        best_cost = f32(3e38)
+        best_axis = -1
+        best_split = -1
+        best_bidx = None
+        for axis in range(3):
+            ext = ext3[axis]
+            if not ext > 0.0:
+                continue
             scale = f32(bins) / ext
             bidx = np.clip(((cent[sel, axis] - clo_v[axis]) * scale).astype(np.int32),
                            0, bins - 1)
@@ -304,8 +308,6 @@ def build_table_numpy_sah(v0, v1, v2, leaf_size: int = LEAF_SIZE, bins: int = 16
                 acc_hi = np.maximum(acc_hi, bin_hi[bb])
                 racc_lo[bb] = acc_lo
                 racc_hi[bb] = acc_hi
-            best_cost = f32(3e38)
-            best_split = -1
             lacc_lo = np.full(3, 3e38, f32)
             lacc_hi = np.full(3, -3e38, f32)
             lcnt = 0
@@ -320,13 +322,16 @@ def build_table_numpy_sah(v0, v1, v2, leaf_size: int = LEAF_SIZE, bins: int = 16
                            + half_area(racc_lo[bb + 1], racc_hi[bb + 1]) * f32(rcnt))
                 if cost < best_cost:
                     best_cost = cost
+                    best_axis = axis
                     best_split = bb
-            if best_split < 0:
-                mid = lo + count // 2
-            else:
-                keep = bidx <= best_split
-                order[lo:hi] = np.concatenate([sel[keep], sel[~keep]])
-                mid = lo + int(keep.sum())
+                    best_bidx = bidx
+
+        if best_axis < 0:
+            mid = lo + count // 2
+        else:
+            keep = best_bidx <= best_split
+            order[lo:hi] = np.concatenate([sel[keep], sel[~keep]])
+            mid = lo + int(keep.sum())
 
         li = build(lo, mid)
         ri = build(mid, hi)

@@ -81,7 +81,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def build_packed_sah(v0, v1, v2, leaf_size: int = 8):
+def build_packed_sah(v0, v1, v2, leaf_size: int = 12):
     """Native SAH build -> (table (rows,128) f32, num_rows, num_leaves, depth,
     root_code) or None when unavailable."""
     lib = _load_sah()
@@ -103,7 +103,7 @@ def build_packed_sah(v0, v1, v2, leaf_size: int = 8):
     return table, int(n_rows), int(n_leaves.value), int(depth.value), int(root_code.value)
 
 
-def build_packed(v0, v1, v2, leaf_size: int = 10):
+def build_packed(v0, v1, v2, leaf_size: int = 12):
     """Native build -> (table (rows,128) f32, num_rows, num_leaves, depth,
     root_code) or None when unavailable."""
     lib = _load()

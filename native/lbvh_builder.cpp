@@ -21,7 +21,7 @@ namespace {
 
 constexpr int kWidth = 8;
 constexpr int kRecord = 128;
-constexpr int kLeafSize = 8;  // SoA leaf blocks, kLeafSize slots per field
+constexpr int kLeafSize = 12;  // SoA leaf blocks, kLeafSize slots per field
 
 struct Vec3 {
     float x, y, z;

@@ -28,7 +28,7 @@ namespace {
 
 constexpr int kWidth = 8;
 constexpr int kRecord = 128;
-constexpr int kLeafSize = 8;
+constexpr int kLeafSize = 12;
 constexpr int kBins = 16;
 
 struct Vec3 {
@@ -96,20 +96,24 @@ struct Builder {
         const int64_t count = hi - lo;
         if (count <= leaf_size) return idx;
 
-        // Largest centroid axis (ties: x before y before z).
-        const float ex = cbox.hi.x - cbox.lo.x;
-        const float ey = cbox.hi.y - cbox.lo.y;
-        const float ez = cbox.hi.z - cbox.lo.z;
-        int axis = 0;
-        float ext = ex;
-        if (ey > ext) { axis = 1; ext = ey; }
-        if (ez > ext) { axis = 2; ext = ez; }
+        // All-axes binned SAH: evaluate every axis with centroid extent > 0
+        // and take the globally cheapest split (strict < keeps the lowest
+        // axis on ties — matched exactly by lbvh.py build_table_numpy_sah
+        // for bit-identity).
+        const float exts[3] = {cbox.hi.x - cbox.lo.x,
+                               cbox.hi.y - cbox.lo.y,
+                               cbox.hi.z - cbox.lo.z};
+        const float clos[3] = {cbox.lo.x, cbox.lo.y, cbox.lo.z};
 
-        int64_t mid;
-        if (ext <= 0.0f) {
-            mid = lo + count / 2;  // all centroids identical: median split
-        } else {
-            const float clo = (axis == 0) ? cbox.lo.x : (axis == 1) ? cbox.lo.y : cbox.lo.z;
+        float best_cost = 3e38f;
+        int best_axis = -1;
+        int best_split = -1;
+        float best_clo = 0.0f, best_scale = 0.0f;
+        int64_t best_lcnt = 0;
+        for (int axis = 0; axis < 3; ++axis) {
+            const float ext = exts[axis];
+            if (!(ext > 0.0f)) continue;
+            const float clo = clos[axis];
             const float scale = static_cast<float>(kBins) / ext;
             Aabb bin_box[kBins];
             int64_t bin_cnt[kBins] = {0};
@@ -131,8 +135,6 @@ struct Builder {
                 acc.grow(bin_box[b]);
                 right_acc[b] = acc;
             }
-            float best_cost = 3e38f;
-            int best_split = -1;
             Aabb lacc;
             int64_t lcnt = 0;
             for (int b = 0; b < kBins - 1; ++b) {
@@ -144,19 +146,31 @@ struct Builder {
                                  + right_acc[b + 1].half_area() * static_cast<float>(rcnt);
                 if (cost < best_cost) {
                     best_cost = cost;
+                    best_axis = axis;
                     best_split = b;
+                    best_clo = clo;
+                    best_scale = scale;
+                    int64_t l = 0;
+                    for (int bb = 0; bb <= b; ++bb) l += bin_cnt[bb];
+                    best_lcnt = l;
                 }
             }
-            if (best_split < 0) {
-                mid = lo + count / 2;
-            } else {
-                // Stable partition keeps build order deterministic.
-                std::stable_partition(order.begin() + lo, order.begin() + hi,
-                                      [&](int64_t t) { return bin_of(t) <= best_split; });
-                int64_t l = 0;
-                for (int b = 0; b <= best_split; ++b) l += bin_cnt[b];
-                mid = lo + l;
-            }
+        }
+
+        int64_t mid;
+        if (best_axis < 0) {
+            mid = lo + count / 2;  // no usable split: median fallback
+        } else {
+            auto bin_of_best = [&](int64_t t) {
+                const float c = (best_axis == 0) ? cent[t].x
+                              : (best_axis == 1) ? cent[t].y : cent[t].z;
+                int b = static_cast<int>((c - best_clo) * best_scale);
+                return std::min(std::max(b, 0), kBins - 1);
+            };
+            // Stable partition keeps build order deterministic.
+            std::stable_partition(order.begin() + lo, order.begin() + hi,
+                                  [&](int64_t t) { return bin_of_best(t) <= best_split; });
+            mid = lo + best_lcnt;
         }
         const int64_t li = build_binary(lo, mid);
         const int64_t ri = build_binary(mid, hi);

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from dxrpathtracer_tpu.accel.brute import brute_force_closest_hit
-from dxrpathtracer_tpu.accel.lbvh import build_bvh
+from dxrpathtracer_tpu.accel.lbvh import LEAF_SIZE, build_bvh
 from dxrpathtracer_tpu.accel.traverse import any_hit, closest_hit
 
 
@@ -49,7 +49,7 @@ def test_bvh_structure(mode="sah"):
         rec = table[row]
         if code < 0:
             # leaf (SoA blocks): collect triangle ids; padded slots degenerate
-            L = 8
+            L = LEAF_SIZE
             for k in range(bvh.leaf_size):
                 tid = as_i32(rec[9 * L + k:9 * L + k + 1])[0]
                 if tid >= 0:
@@ -69,7 +69,7 @@ def test_bvh_structure(mode="sah"):
                 if child < 0:
                     # leaf child: its triangles are inside the stored bounds
                     lrec = table[crow]
-                    L = 8
+                    L = LEAF_SIZE
                     for j in range(bvh.leaf_size):
                         if as_i32(lrec[9 * L + j:9 * L + j + 1])[0] >= 0:
                             p0 = lrec[[0 * L + j, 1 * L + j, 2 * L + j]]
@@ -163,7 +163,7 @@ def test_alpha_test_accept_fn():
 
 def test_boxtest_scene_hits():
     from dxrpathtracer_tpu.scene.registry import load_scene
-    from dxrpathtracer_tpu.accel.lbvh import build_bvh_for_scene
+    from dxrpathtracer_tpu.accel.lbvh import LEAF_SIZE, build_bvh_for_scene
     from dxrpathtracer_tpu.app.settings import Scenes
     scene, preset = load_scene(Scenes.BoxTest)
     assert scene.num_triangles == 24  # two boxes x 12 tris (Model.cpp:761-780)
