@@ -46,14 +46,19 @@ BAKE_TILE = 131072
 
 
 def bake_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
-                surface_pos, surface_nrm, accum, sample_index):
-    """One progressive bake step over all texels.
+                surface_pos, surface_nrm, accum, sample_index,
+                row_offset=0, total_texels=None):
+    """One progressive bake step over a row-slab of texels.
 
-    surface_pos: (S, S, 4) [xyz | coverage]; surface_nrm: (S, S, 3);
-    accum: (S, S, 4) [colorSum | validCount]. Returns new accum.
+    surface_pos: (R, S, 4) [xyz | coverage]; surface_nrm: (R, S, 3);
+    accum: (R, S, 4) [colorSum | validCount]. Returns new accum.
+    row_offset/total_texels keep CMJ texel indices GLOBAL when the lightmap
+    is baked in row slabs (4096^2 = 16.8M rays cannot run as one program:
+    multi-tile lax.map faults the device — PERF_NOTES.md).
     """
-    s_res = surface_pos.shape[0]
-    n = s_res * s_res
+    s_rows, s_res = surface_pos.shape[0], surface_pos.shape[1]
+    n = s_rows * s_res
+    n_total = int(total_texels) if total_texels is not None else n
     f32 = jnp.float32
 
     pos = surface_pos[..., :3].reshape(n, 3)
@@ -71,7 +76,8 @@ def bake_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     tangent = tangent / jnp.maximum(jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-12)
     bitangent = jnp.cross(normal, tangent)
 
-    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    pixel_idx = (jnp.arange(n, dtype=jnp.uint32)
+                 + jnp.uint32(row_offset) * jnp.uint32(s_res))
     sqrt_n = int(settings.sqrt_num_samples)
     u2 = cmj.sample_cmj_2d(sample_index, sqrt_n, sqrt_n, pixel_idx)
     dir_ts = sample_cosine_hemisphere(u2[..., 0], u2[..., 1])
@@ -86,8 +92,8 @@ def bake_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     def trace(args):
         o, d, pix, act = args
         return trace_paths(scene, bvh, sky_cube, settings, frame,
-                           o, d, jnp.full(o.shape[:1], FP32Max, f32), pix, n,
-                           first_set_idx=1, initial_is_diffuse=True,
+                           o, d, jnp.full(o.shape[:1], FP32Max, f32), pix,
+                           n_total, first_set_idx=1, initial_is_diffuse=True,
                            t_min0=1e-4, active0=act, sample_idx=sample_index)
 
     if n_tiles > 1:
@@ -118,7 +124,7 @@ def bake_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
 
     color_sum = color_sum + jnp.where(valid[..., None], new_sample, 0.0)
     valid_count = valid_count + valid.astype(f32)
-    return jnp.concatenate([color_sum, valid_count[..., None]], -1).reshape(s_res, s_res, 4)
+    return jnp.concatenate([color_sum, valid_count[..., None]], -1).reshape(s_rows, s_res, 4)
 
 
 def lightmap_from_accum(accum):
@@ -131,31 +137,65 @@ class Baker:
     """Progressive bake session (the HUD 'Start Baking' flow,
     DXRPathTracer.cpp:2225-2240 + per-frame RenderBakingPass :1993-2022)."""
 
+    # Rays per dispatched slab (same device limit as app/session.py).
+    MAX_SLAB_RAYS = 4 * 131072
+
     def __init__(self, session, resolution: int = 512):
         self.session = session
         self.resolution = resolution
         self.atlas = build_lightmap_atlas(int(session.scene_host.num_triangles))
         self.surface_maps = build_surface_maps(session.scene_host, self.atlas,
                                                resolution)
-        self.accum = jnp.zeros((resolution, resolution, 4), jnp.float32)
+        # Row-slab state: full-resolution bakes (the reference's 4096^2,
+        # DXRPathTracer.cpp:111) dispatch one jit per row slab; each slab
+        # accum is donated in place.
+        rows = max(1, min(resolution, self.MAX_SLAB_RAYS // resolution))
+        while resolution % rows != 0:
+            rows -= 1
+        self._slab_rows = rows
+        self._row0 = list(range(0, resolution, rows))
+        self._accum_slabs = [jnp.zeros((rows, resolution, 4), jnp.float32)
+                             for _ in self._row0]
+        self._pos_slabs = [self.surface_maps["position"][r:r + rows]
+                           for r in self._row0]
+        self._nrm_slabs = [self.surface_maps["normal"][r:r + rows]
+                           for r in self._row0]
+        self._row0_dev = [jnp.uint32(r) for r in self._row0]
         self.sample_index = 0
         self._step = self._build_step()
 
+    @property
+    def accum(self):
+        if len(self._accum_slabs) == 1:
+            return self._accum_slabs[0]
+        return jnp.concatenate(self._accum_slabs, axis=0)
+
+    @accum.setter
+    def accum(self, value):
+        value = jnp.asarray(value)
+        rows = self._slab_rows
+        self._accum_slabs = [value[r:r + rows] for r in self._row0]
+
     def _build_step(self):
+        total = self.resolution * self.resolution
+
         @partial(jax.jit, static_argnames=("settings",), donate_argnums=(2,))
-        def step(scene, bvh, accum, sky_cube, frame, pos, nrm, sample_index, settings):
+        def step(scene, bvh, accum, sky_cube, frame, pos, nrm, sample_index,
+                 row0, settings):
             return bake_sample(scene, bvh, sky_cube, settings, frame,
-                               pos, nrm, accum, sample_index)
+                               pos, nrm, accum, sample_index,
+                               row_offset=row0, total_texels=total)
         return step
 
     def bake_step(self):
         sess = self.session
         frame = sess.frame_constants(sess.sample_idx)
-        self.accum = self._step(sess.scene, sess.bvh, self.accum,
-                                sess._sky_cube_dev, frame,
-                                self.surface_maps["position"],
-                                self.surface_maps["normal"],
-                                jnp.uint32(self.sample_index), sess.settings)
+        for i in range(len(self._accum_slabs)):
+            self._accum_slabs[i] = self._step(
+                sess.scene, sess.bvh, self._accum_slabs[i],
+                sess._sky_cube_dev, frame, self._pos_slabs[i],
+                self._nrm_slabs[i], jnp.uint32(self.sample_index),
+                self._row0_dev[i], sess.settings)
         self.sample_index += 1
 
     def lightmap(self):

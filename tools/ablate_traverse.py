@@ -82,13 +82,12 @@ def main():
         tf8 = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                           jnp.minimum(jnp.maximum(tz0, tz1), best_t[:, None]))
         valid8 = rec[:, 0:8] <= rec[:, 24:32]
-        hit8 = [valid8[:, k] & (tn8[:, k] <= tf8[:, k]) for k in range(8)]
+        hit8 = valid8 & (tn8 <= tf8)
         codes8 = _bitcast_i32(rec[:, 48:56])
-        keys = [jnp.where(hit8[k], tn8[:, k], BIG) for k in range(8)]
-        hm = hit8[0].astype(jnp.int32)
-        for k in range(1, 8):
-            hm = hm | (hit8[k].astype(jnp.int32) << k)
-        nk, nc, nb = _argmin8_block(keys, [codes8[:, k] for k in range(8)])
+        keys8 = jnp.where(hit8, tn8, BIG)
+        slot_pow2 = jnp.int32(1) << jnp.arange(8, dtype=jnp.int32)[None, :]
+        hm = jnp.sum(jnp.where(hit8, slot_pow2, 0), axis=1)
+        nk, nc, nb = _argmin8_block(keys8, codes8)
         return nk, nc, nb, hm
 
     def leaf(rec, best_t):
