@@ -309,6 +309,17 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
            and sizes[-1] // 2 >= MIN_COMPACT_SIZE):
         sizes.append(sizes[-1] // 2)
 
+    # Two traversal steps per while_loop iteration: a loop iteration carries
+    # ~130 us fixed cost regardless of lane count (tools/costmodel.py), and
+    # the body is a no-op on finished lanes, so the occasional extra step is
+    # free while the fixed cost halves.
+    UNROLL = 2
+
+    def body_unrolled(s):
+        for _ in range(UNROLL):
+            s = body(s)
+        return s
+
     keys_order = ("idx", "ox", "oy", "oz", "dx", "dy", "dz",
                   "ivx", "ivy", "ivz", "tmin",
                   "cur", "pmask", "snode", "smask", "sp",
@@ -329,7 +340,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
                 n_alive = jnp.sum((s[11] != done_code).astype(jnp.int32))
                 return (n_alive > _ns) & (s[20] < max_iters)
 
-        state = jax.lax.while_loop(cond, body, state)
+        state = jax.lax.while_loop(cond, body_unrolled, state)
         lane = dict(zip(keys_order, state[:-1]))
         it = state[-1]
         phase_iters.append(it)

