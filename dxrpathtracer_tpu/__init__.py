@@ -49,8 +49,12 @@ try:
         return _hashlib.sha1(
             (feats + _jax.__version__).encode()).hexdigest()[:12]
 
-    _cache_dir = _os.environ.get("DXRPT_COMPILATION_CACHE",
-                                 _os.path.expanduser("~/.cache/dxrpt_xla_cache"))
+    if _os.environ.get("DXRPT_NO_COMPILATION_CACHE"):
+        _cache_dir = ""
+    else:
+        _cache_dir = _os.environ.get(
+            "DXRPT_COMPILATION_CACHE",
+            _os.path.expanduser("~/.cache/dxrpt_xla_cache"))
     if _cache_dir:
         _cache_dir = _os.path.join(_cache_dir, _host_cache_key())
         _os.makedirs(_cache_dir, exist_ok=True)
