@@ -149,6 +149,10 @@ class InteractiveApp:
                 width=self.width, height=self.height)
         elif key == "m":
             self.raster_mode = not self.raster_mode
+            # The raster frame overwrites the accumulation slabs; without a
+            # reset, returning to path mode would lerp fresh samples against
+            # the raster image at weight s/(s+1) (ADVICE.md round 2).
+            self.session.reset_accumulation()
         elif key == "t":
             order = [MSAAModes.MSAANone, MSAAModes.MSAA2x, MSAAModes.MSAA4x]
             cur = order.index(s.msaa_mode) if s.msaa_mode in order else 0

@@ -277,9 +277,11 @@ class RenderSession:
             cascades = prepare_cascades(self.camera,
                                         sun_dir / np.linalg.norm(sun_dir),
                                         map_size=shadow_map_size)
+            from ..render.integrator import _make_alpha_test
             with self.profiler.gpu_scope("RenderSunShadowMap") as scope:
-                depth_maps = render_cascade_depth_maps(self.bvh, cascades,
-                                                       shadow_map_size)
+                depth_maps = render_cascade_depth_maps(
+                    self.bvh, cascades, shadow_map_size,
+                    accept_fn=_make_alpha_test(self.scene, self.settings))
                 scope.result = depth_maps
             sun_shadow_pcf = (depth_maps, cascades)
         spheres, dims = froxel_bounding_spheres(self.width, self.height, self.camera)

@@ -7,7 +7,8 @@ TPU build's equivalent for HDR accumulation buffers and lightmaps.
 Supports the subset every EXR tool emits/accepts:
   - single-part scanline files, version 2
   - compression NONE (one scanline per chunk) and ZIP / ZIPS
-    (reconstruction = inflate -> un-interleave -> un-delta, per the spec)
+    (reconstruction = inflate -> un-delta -> un-interleave, matching
+    OpenEXR ImfZip / TinyEXR.cpp:6867-6915)
   - channel types HALF and FLOAT, any channel names (RGB/RGBA/Y...)
   - increasing-Y line order
 
@@ -41,30 +42,35 @@ def _chlist(names, pixel_type) -> bytes:
 
 
 def _zip_compress(raw: bytes) -> bytes:
-    # spec: delta-encode then split-interleave halves, then deflate
-    a = np.frombuffer(raw, np.uint8).astype(np.int16)
-    a[1:] -= a[:-1].copy()
-    a = (a + 128 + 256).astype(np.uint8)
+    # ImfZip::compress order: split-interleave halves FIRST, then the delta
+    # predictor over the REORDERED buffer with byte 0 untouched
+    # (d[i] = t[i] - t[i-1] + 128 + 256, stored mod 256). The reverse order
+    # round-trips internally but is unreadable by OpenEXR/TinyEXR
+    # (TinyEXR.cpp:6867-6915).
+    a = np.frombuffer(raw, np.uint8)
     half = (len(a) + 1) // 2
     inter = np.empty_like(a)
     inter[:half] = a[0::2]
     inter[half:] = a[1::2]
-    return zlib.compress(inter.tobytes())
+    d = inter.astype(np.int16)
+    d[1:] = d[1:] - inter[:-1].astype(np.int16) + (128 + 256)
+    return zlib.compress(d.astype(np.uint8).tobytes())
 
 
 def _zip_decompress(data: bytes, n: int) -> bytes:
     raw = zlib.decompress(data)
     if len(raw) != n:
         raise ValueError(f"EXR zip chunk: expected {n} bytes, got {len(raw)}")
-    a = np.frombuffer(raw, np.uint8)
+    # ImfZip::uncompress order: undo the predictor (t[i] = t[i-1] + d[i] - 128
+    # mod 256, byte 0 unchanged), THEN de-interleave the halves.
+    d = np.frombuffer(raw, np.uint8).astype(np.int64)
+    d[1:] -= 128
+    t = (np.cumsum(d) & 0xFF).astype(np.uint8)
     half = (n + 1) // 2
-    de = np.empty_like(a)
-    de[0::2] = a[:half]
-    de[1::2] = a[half:]
-    de = de.astype(np.int64)
-    de -= 128 + 256
-    np.cumsum(de, out=de)
-    return (de & 0xFF).astype(np.uint8).tobytes()
+    de = np.empty_like(t)
+    de[0::2] = t[:half]
+    de[1::2] = t[half:]
+    return de.tobytes()
 
 
 # ---------------------------------------------------------------------------

@@ -149,9 +149,15 @@ PCF_W = np.array([
 PCF_BIAS = 0.001  # lightDepth = shadowPos.z - 0.001 (Shadows.hlsl:185)
 
 
-def render_cascade_depth_maps(bvh, cascades, map_size: int = 512):
+def render_cascade_depth_maps(bvh, cascades, map_size: int = 512,
+                              accept_fn=None):
     """Ortho ray-cast depth from the light per cascade — the TPU DepthOnly
     pass (MeshRenderer::RenderSunShadowMap, MeshRenderer.cpp:534-565).
+
+    `accept_fn` is the scene's alpha-test hook (integrator._make_alpha_test):
+    the reference's DepthOnly pass uses the alpha-tested PSO variant for
+    opacity-mapped meshes, so depth rays must skip rejected texels too —
+    otherwise PCF shadows diverge from the exact-ray backend (ADVICE.md).
 
     Returns (num_cascades, S, S) float32 light-space depth in [0, 1]
     (1 where nothing was hit). Texel (i, j) covers light-clip
@@ -176,7 +182,8 @@ def render_cascade_depth_maps(bvh, cascades, map_size: int = 512):
         ray_len = np.linalg.norm(seg, axis=-1)
         d = (seg / ray_len[:, None]).astype(np.float32)
         rec = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d),
-                          0.0, jnp.asarray(ray_len.astype(np.float32)))
+                          0.0, jnp.asarray(ray_len.astype(np.float32)),
+                          accept_fn=accept_fn)
         depth = rec.t / jnp.asarray(ray_len.astype(np.float32))
         maps.append(depth.reshape(s, s))
     return jnp.stack(maps)

@@ -81,6 +81,13 @@ class AtlasBuilder:
             data = data[..., None]
         if data.shape[-1] == 1:
             data = np.concatenate([np.repeat(data, 3, axis=-1), np.ones_like(data)], axis=-1)
+        elif data.shape[-1] == 2:
+            # Two-channel data (BC5/ATI2 normal maps: X in R, Y in G —
+            # scene/dds.py decodes these). Pad blue with 0 and alpha with 1;
+            # the integrator reconstructs nz from the first two channels
+            # anyway (render/integrator.py normal-map path).
+            one = np.ones_like(data[..., :1])
+            data = np.concatenate([data, 0.0 * one, one], axis=-1)
         elif data.shape[-1] == 3:
             data = np.concatenate([data, np.ones_like(data[..., :1])], axis=-1)
         idx = len(self._textures)

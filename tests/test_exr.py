@@ -67,6 +67,42 @@ def test_write_image_dispatch(tmp_path):
     np.testing.assert_array_equal(out, img)
 
 
+# A real TinyEXR-written file (vendored reference implementation,
+# SampleFramework12/v1.02/TinyEXR.cpp compiled standalone): 8x6 RGB, HALF
+# channels, ZIP compression, pixels = default_rng(7).standard_normal((6,8,3))*4.
+# Pins the ImfZip byte order (reorder THEN delta-predict) against an
+# independent implementation without needing an EXR library at test time —
+# the previous codec round-tripped internally but wrote files every external
+# tool decoded as garbage (ADVICE.md round 2, high).
+_TINYEXR_GOLDEN_B64 = (
+    "di8xAQIAAABjaGFubmVscwBjaGxpc3QANwAAAEIAAQAAAAAAAAABAAAAAQAAAEcAAQAAAAAAAAAB"
+    "AAAAAQAAAFIAAQAAAAAAAAABAAAAAQAAAABjb21wcmVzc2lvbgBjb21wcmVzc2lvbgABAAAAA2Rh"
+    "dGFXaW5kb3cAYm94MmkAEAAAAAAAAAAAAAAABwAAAAUAAABkaXNwbGF5V2luZG93AGJveDJpABAA"
+    "AAAAAAAAAAAAAAcAAAAFAAAAbGluZU9yZGVyAGxpbmVPcmRlcgABAAAAAHBpeGVsQXNwZWN0UmF0"
+    "aW8AZmxvYXQABAAAAAAAgD9zY3JlZW5XaW5kb3dDZW50ZXIAdjJmAAgAAAAAAAAAAAAAAHNjcmVl"
+    "bldpbmRvd1dpZHRoAGZsb2F0AAQAAAAAAABBAEEBAAAAAAAAAAAAACsBAAB4AQEgAd/+YwxxVkdV"
+    "jHnx/pb6HG5IaniWE8RIUYtrA7cUIrXq2rTYuvAZVX9NgaTLUNkyfEDKaQQlpiu0hC2IRTLKKbhz"
+    "GHUqv8ypwPGqLF9zYqvUtrsPglwMUbUvrmKb/Vv0SZWHDPL0vDzyl4Ph0x6WhAuWD+Norj4nBNvZ"
+    "Oreuv0Tjg3ThTb9+4pAXQKrHxEyjE9q65Id8/vKQiPWAAwZ6BIKAgNgm8A32iwZ0ju4Mf370kXIC"
+    "eY0Ff3R9jncHhnxuh42C/H70jfcCi4IBbI2E+oEEfQCDdgd5Cv//A/iBeXIY/AP2hwl3BwB95JoC"
+    "+4B+hW8WAn1//YL0B36D/wxyAIqA/wKD8Qd5B3ASdQYJ/IL4CP5+hP4AhG6PbwMSgfp2jfSHrPWN"
+    "QQ=="
+)
+
+
+def test_decode_tinyexr_golden(tmp_path):
+    """Decode a file produced by the reference's vendored TinyEXR."""
+    import base64
+    p = str(tmp_path / "tinyexr_golden.exr")
+    with open(p, "wb") as f:
+        f.write(base64.b64decode(_TINYEXR_GOLDEN_B64))
+    out, names = read_exr(p)
+    assert names == ["R", "G", "B"]
+    rng = np.random.default_rng(7)
+    expect = (rng.standard_normal((6, 8, 3)) * 4).astype(np.float32)
+    np.testing.assert_array_equal(out, expect.astype(np.float16).astype(np.float32))
+
+
 def _cv2_or_skip():
     os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
     cv2 = pytest.importorskip("cv2")

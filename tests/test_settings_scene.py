@@ -133,3 +133,42 @@ def test_cubemap_roundtrip():
     got = np.asarray(sample_cubemap(jnp.asarray(cube), jnp.asarray(dirs)))
     expect = fn(dirs)
     assert np.allclose(got, expect, atol=0.02)
+
+
+def test_corrupt_fbx_warns_and_strict_raises(tmp_path, caplog):
+    """A broken FBX must NEVER silently become the procedural stand-in:
+    non-strict emits a warning, strict raises (VERDICT round-2 item 9)."""
+    import logging
+    import dataclasses
+    from dxrpathtracer_tpu.scene import registry
+
+    bad = tmp_path / "corrupt.fbx"
+    bad.write_bytes(b"Kaydara FBX Binary  \x00\x1a\x00" + b"\xde\xad\xbe\xef" * 64)
+    preset = dataclasses.replace(registry.PRESETS[Scenes.Sponza],
+                                 fbx_path=str(bad))
+
+    with caplog.at_level(logging.WARNING, logger="dxrpathtracer_tpu.scene.registry"):
+        meshes = registry.load_scene_meshes(preset, strict=False)
+    assert meshes, "fallback stand-in expected"
+    assert any("FBX" in r.message and "stand-in" in r.message
+               for r in caplog.records), "expected a loud fallback warning"
+
+    import pytest
+    with pytest.raises(Exception):
+        registry.load_scene_meshes(preset, strict=True)
+
+
+def test_atlas_two_channel_texture():
+    """BC5/ATI2-style 2-channel normal maps must pack into the RGBA pool
+    (blue=0, alpha=1) instead of crashing build() (ADVICE.md round 2)."""
+    from dxrpathtracer_tpu.scene.textures import AtlasBuilder
+
+    b = AtlasBuilder()
+    data = np.random.default_rng(0).random((4, 4, 2)).astype(np.float32)
+    idx = b.add("bc5_normal", data)
+    atlas = b.build()
+    base, w, h = (int(x) for x in np.asarray(atlas.meta)[idx])
+    texels = np.asarray(atlas.texels)[base:base + w * h].reshape(h, w, 4)
+    np.testing.assert_allclose(texels[..., :2], data, atol=1e-6)
+    np.testing.assert_array_equal(texels[..., 2], 0.0)
+    np.testing.assert_array_equal(texels[..., 3], 1.0)
