@@ -49,7 +49,8 @@ from ..core import brdf as brdf_lib
 from ..core import cmj
 from ..core.constants import FP16Max, FP32Max
 from ..core.math3 import dot, dot3, normalize, reflect, saturate, smoothstep
-from ..scene.textures import sample_bilinear_wrap
+from ..scene.textures import bilinear_from_meta, sample_bilinear_wrap
+from ..scene.types import PACKED_SLOTS
 from ..sky.cubemap import sample_cubemap
 
 
@@ -105,6 +106,26 @@ def _sample_material(scene, mat_idx, uv, slot):
     return sample_bilinear_wrap(scene.textures, tex_idx, uv)
 
 
+def _gather_packed_meta(scene, mat_idx):
+    """One (n, 20) gather of the fused material+atlas meta rows — replaces
+    ~10 separate slot-index/atlas-meta gathers per vertex (gathers are
+    row-count bound on TPU; PERF_NOTES.md). Falls back to None when the
+    scene predates packed_meta (then _sample_packed re-gathers per slot)."""
+    pm = scene.materials.packed_meta
+    if pm is None:
+        return None
+    return jnp.take(pm, mat_idx, axis=0)
+
+
+def _sample_packed(scene, packed, mat_idx, uv, slot):
+    """Texture tap via the packed meta row (same values as _sample_material)."""
+    if packed is None:
+        return _sample_material(scene, mat_idx, uv, slot)
+    k = 3 * PACKED_SLOTS.index(slot)
+    return bilinear_from_meta(scene.textures.texels, packed[..., k],
+                              packed[..., k + 1], packed[..., k + 2], uv)
+
+
 def _make_alpha_test(scene, settings: AppSettings):
     """Alpha-test accept_fn for traversal, or None when the scene has no
     opacity-mapped materials (== every hit-group record is opaque,
@@ -115,14 +136,18 @@ def _make_alpha_test(scene, settings: AppSettings):
     def accept(tri_id, u, v):
         # Shape-polymorphic: called with (m,) rays or (m, L) leaf-slot blocks.
         mat = jnp.take(scene.tri_material, jnp.maximum(tri_id, 0), axis=0)
-        has_op = jnp.take(scene.materials.has_opacity, mat, axis=0)
+        packed = _gather_packed_meta(scene, mat)
+        if packed is None:
+            has_op = jnp.take(scene.materials.has_opacity, mat, axis=0)
+        else:
+            has_op = packed[..., 18] != 0
         tri = jnp.take(scene.tri_idx, jnp.maximum(tri_id, 0), axis=0)
         w = 1.0 - u - v
         uv0 = jnp.take(scene.uvs, tri[..., 0], axis=0)
         uv1 = jnp.take(scene.uvs, tri[..., 1], axis=0)
         uv2 = jnp.take(scene.uvs, tri[..., 2], axis=0)
         uv = uv0 * w[..., None] + uv1 * u[..., None] + uv2 * v[..., None]
-        opacity = _sample_material(scene, mat, uv, "opacity")[..., 0]
+        opacity = _sample_packed(scene, packed, mat, uv, "opacity")[..., 0]
         return jnp.where(has_op, opacity >= 0.35, True)
 
     return accept
@@ -254,12 +279,13 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
     # ---- Hit surface ----
     pos, geo_n, uv, tan, bit = _fetch_vertex_attrs(scene, rec.tri_id, rec.u, rec.v)
     mat = jnp.take(scene.tri_material, jnp.maximum(rec.tri_id, 0), axis=0)
+    packed_mm = _gather_packed_meta(scene, mat)
     incoming_dir = ray_d
     incoming_origin = ray_o
 
     normal_ws = geo_n
     if s.enable_normal_maps:
-        nm = _sample_material(scene, mat, uv, "normal")
+        nm = _sample_packed(scene, packed_mm, mat, uv, "normal")
         nx = nm[..., 0] * 2.0 - 1.0
         ny = nm[..., 1] * 2.0 - 1.0
         nz = jnp.sqrt(jnp.maximum(1.0 - saturate(nx * nx + ny * ny), 0.0))
@@ -269,7 +295,7 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
     frame_n = normal_ws
 
     if s.enable_albedo_maps and not furnace:
-        base_color = _sample_material(scene, mat, uv, "albedo")[..., :3]
+        base_color = _sample_packed(scene, packed_mm, mat, uv, "albedo")[..., :3]
     else:
         base_color = jnp.ones((n, 3), f32)
 
@@ -277,8 +303,8 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
         metallic_raw = jnp.ones((n,), f32)
         sqrt_rough_raw = jnp.ones((n,), f32)
     else:
-        metallic_raw = _sample_material(scene, mat, uv, "metallic")[..., 0]
-        sqrt_rough_raw = _sample_material(scene, mat, uv, "roughness")[..., 0]
+        metallic_raw = _sample_packed(scene, packed_mm, mat, uv, "metallic")[..., 0]
+        sqrt_rough_raw = _sample_packed(scene, packed_mm, mat, uv, "roughness")[..., 0]
     metallic = saturate(metallic_raw * s.metallic_scale)
     sqrt_roughness = saturate(sqrt_rough_raw * s.roughness_scale)
 
@@ -313,7 +339,7 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
     if furnace:
         local = jnp.zeros((n, 3), f32)
     else:
-        local = _sample_material(scene, mat, uv, "emissive")[..., :3]
+        local = _sample_packed(scene, packed_mm, mat, uv, "emissive")[..., :3]
 
     # ---- Shadow-ray batch construction ----
     # The reference issues sun NEE, each spot light, and the terminal

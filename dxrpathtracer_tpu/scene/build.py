@@ -10,9 +10,12 @@ into a per-triangle material id).
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from .procedural import MeshData
 from .textures import AtlasBuilder, default_material_table
-from .types import MaterialTable, Scene, SpotLights, make_spot_lights
+from .types import (MaterialTable, Scene, SpotLights, make_spot_lights,
+                    pack_material_meta)
 
 
 def flatten_meshes(meshes: list[MeshData]):
@@ -58,6 +61,9 @@ def build_scene(meshes: list[MeshData], materials: MaterialTable | None = None,
         materials = default_material_table(num_materials, atlas_builder)
     if lights is None:
         lights = make_spot_lights()
+    atlas = atlas_builder.build()
+    materials = dataclasses.replace(
+        materials, packed_meta=pack_material_meta(materials, atlas.meta))
     return Scene(
         positions=pos,
         normals=nrm,
@@ -67,6 +73,6 @@ def build_scene(meshes: list[MeshData], materials: MaterialTable | None = None,
         tri_idx=tri,
         tri_material=tri_mat,
         materials=materials,
-        textures=atlas_builder.build(),
+        textures=atlas,
         lights=lights,
     )

@@ -133,7 +133,13 @@ def sample_bilinear_wrap(atlas: TextureAtlas, tex_idx, uv):
     yields (base, w, h), then four texel gathers from the flat pool.
     """
     m = jnp.take(atlas.meta, tex_idx.astype(jnp.int32), axis=0)  # (..., 3)
-    base, w, h = m[..., 0], m[..., 1], m[..., 2]
+    return bilinear_from_meta(atlas.texels, m[..., 0], m[..., 1], m[..., 2], uv)
+
+
+def bilinear_from_meta(texels, base, w, h, uv):
+    """Bilinear wrap tap when (base, w, h) are already in hand — the shading
+    hot path gathers them fused into the packed material-meta row
+    (types.pack_material_meta) instead of per-slot meta gathers."""
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
     x = uv[..., 0] * wf - 0.5
@@ -147,8 +153,6 @@ def sample_bilinear_wrap(atlas: TextureAtlas, tex_idx, uv):
     x1i = jnp.mod(x0i + 1, w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
     y1i = jnp.mod(y0i + 1, h)
-
-    texels = atlas.texels
 
     def fetch(yi, xi):
         return jnp.take(texels, base + yi * w + xi, axis=0)

@@ -63,7 +63,30 @@ class MaterialTable:
     emissive: jax.Array
     has_opacity: jax.Array  # (M,) bool — mesh had an opacity map => alpha-test hit group
                             # (DXRPathTracer.cpp:1176-1199 hit-table selection)
+    # One (M, 20) int32 row per material: (base, w, h) of each slot's texture
+    # in PACKED_SLOTS order at columns [3k, 3k+3), has_opacity at column 18.
+    # Shading gathers THIS row once per lane instead of 6 slot-index gathers
+    # + 6 atlas-meta gathers — gathers are row-count bound on TPU, so the
+    # material meta lookup collapses ~10 gathers to 1 (PERF_NOTES.md).
+    # Built by pack_material_meta() in build_scene once the atlas exists.
+    packed_meta: jax.Array | None = None
     any_opacity: bool = False  # static: scene contains alpha-tested materials at all
+
+
+PACKED_SLOTS = ("albedo", "normal", "roughness", "metallic", "opacity",
+                "emissive")
+
+
+def pack_material_meta(materials: "MaterialTable", atlas_meta) -> np.ndarray:
+    """(M, 20) int32 fused material+atlas meta rows (see MaterialTable)."""
+    atlas_meta = np.asarray(atlas_meta)
+    m = np.asarray(materials.albedo).shape[0]
+    packed = np.zeros((m, 20), np.int32)
+    for k, slot in enumerate(PACKED_SLOTS):
+        idx = np.asarray(getattr(materials, slot), np.int64)
+        packed[:, 3 * k:3 * k + 3] = atlas_meta[idx]
+    packed[:, 18] = np.asarray(materials.has_opacity).astype(np.int32)
+    return packed
 
 
 @partial(_register, meta=("num_lights",))
