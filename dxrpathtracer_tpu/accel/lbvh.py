@@ -233,12 +233,15 @@ def build_table_numpy(v0, v1, v2, leaf_size: int = LEAF_SIZE):
     return table, int(n_rows), num_leaves, depth, root_code
 
 
-def build_table_numpy_sah(v0, v1, v2, leaf_size: int = LEAF_SIZE, bins: int = 16):
-    """Reference host build, SAH mode: binned binary SAH (largest centroid
-    axis) collapsed to 8-wide by expanding the largest-surface-area child.
-    Bit-identical to native/sah_builder.cpp (all FP decisions in f32, AABB
-    unions are exact min/max, costs computed in the same expression order).
-    Returns (table, num_rows, num_leaves, depth, root_code)."""
+def _sah_topology(v0, v1, v2, leaf_size: int, bins: int = 16):
+    """Binned binary SAH + collapse to 8-wide: the shared topology phase of
+    both the unified-record emitter (build_table_numpy_sah) and the
+    split-table MXU emitter (build_split_tables_numpy_sah).
+
+    Returns (order, rows_is_leaf, rows_range, rows_child, rows_box, depth)
+    where rows_* are BFS-ordered over the collapsed 8-wide tree. All FP
+    decisions in f32 with the same expression order as
+    native/sah_builder.cpp (bit-identity requirement)."""
     import sys
     f32 = np.float32
     v0 = np.asarray(v0, f32)
@@ -384,6 +387,20 @@ def build_table_numpy_sah(v0, v1, v2, leaf_size: int = LEAF_SIZE, bins: int = 16
                 rows_child[rid][k] = crid
         qi += 1
 
+    return order, rows_is_leaf, rows_range, rows_child, rows_box, depth
+
+
+def build_table_numpy_sah(v0, v1, v2, leaf_size: int = LEAF_SIZE, bins: int = 16):
+    """Reference host build, SAH mode (see _sah_topology). Emits the unified
+    512 B record table. Returns (table, num_rows, num_leaves, depth,
+    root_code)."""
+    f32 = np.float32
+    v0 = np.asarray(v0, f32)
+    v1 = np.asarray(v1, f32)
+    v2 = np.asarray(v2, f32)
+    order, rows_is_leaf, rows_range, rows_child, rows_box, depth = \
+        _sah_topology(v0, v1, v2, leaf_size, bins)
+
     # --- emit unified records ---
     n_rows = len(rows_is_leaf)
     num_leaves = sum(rows_is_leaf)
@@ -421,6 +438,137 @@ def build_table_numpy_sah(v0, v1, v2, leaf_size: int = LEAF_SIZE, bins: int = 16
 
     root_code = int(np.int32(~0 if rows_is_leaf[0] else 0))
     return table, n_rows, num_leaves, depth, root_code
+
+
+# ---------------------------------------------------------------------------
+# Split-table layout for the MXU (fat-leaf) traversal — accel/mxu.py.
+#
+# The unified 512 B record caps leaves at 12 triangles because a leaf visit is
+# one gather and the Moller-Trumbore runs on the VPU. The MXU traversal
+# instead intersects a whole leaf against a 128-ray packet as a batched
+# matmul of ray Plucker features x precomputed triangle columns, so leaves
+# can be FAT (64 tris): the tree gets ~4x shallower, the walk loop ~5x
+# shorter, and the per-pair flops move from the VPU to the MXU (SURVEY.md
+# 'MXU: matmuls are where the FLOPs are').
+
+MXU_LEAF = 64                      # triangles per fat leaf
+INT_ROW = 64                       # f32 slots per internal record (256 B)
+LEAF_ROW = 10 * MXU_LEAF + 8       # v0'/e1/e2 SoA + tid + anchor + pad
+
+
+@partial(_register, meta=("num_int_rows", "num_leaves", "num_tris",
+                          "leaf_size", "max_depth", "root_code"))
+@dataclasses.dataclass(frozen=True)
+class SplitBVH:
+    """Split internal/leaf tables for the MXU traversal.
+
+    int_table rows: [0:8) loX [8:16) loY [16:24) loZ [24:32) hiX [32:40) hiY
+    [40:48) hiZ [48:56) bitcast(child codes) [56:64) zero. Child code >= 0 is
+    an internal row index; < 0 is ~leaf_id; empty slots have inverted bounds.
+
+    leaf_table rows (L = MXU_LEAF): slots [k*L:(k+1)*L) for k = v0'x v0'y
+    v0'z e1x e1y e1z e2x e2y e2z tid; [10L:10L+3) = leaf anchor (AABB center;
+    vertices are stored anchor-relative so the matmul's Plucker moments stay
+    leaf-local — precision equals classic f32 Moller-Trumbore, validated in
+    tests). Padded slots have tid == -1 and zero edges."""
+
+    int_table: jax.Array   # (I, INT_ROW) f32
+    leaf_table: jax.Array  # (NL, LEAF_ROW) f32
+    num_int_rows: int = 0
+    num_leaves: int = 0
+    num_tris: int = 0
+    leaf_size: int = MXU_LEAF
+    max_depth: int = 16
+    root_code: int = 0
+
+
+def build_split_tables_numpy_sah(v0, v1, v2, leaf_size: int = MXU_LEAF,
+                                 bins: int = 16):
+    """SAH build emitting the split MXU layout. Returns (int_table,
+    leaf_table, depth, root_code)."""
+    f32 = np.float32
+    v0 = np.asarray(v0, f32)
+    v1 = np.asarray(v1, f32)
+    v2 = np.asarray(v2, f32)
+    L = leaf_size
+    assert L <= MXU_LEAF
+    order, rows_is_leaf, rows_range, rows_child, rows_box, depth = \
+        _sah_topology(v0, v1, v2, leaf_size, bins)
+
+    n_rows = len(rows_is_leaf)
+    # renumber: internal rows and leaves get separate dense indices
+    int_idx = np.full(n_rows, -1, np.int64)
+    leaf_idx = np.full(n_rows, -1, np.int64)
+    ni = nl = 0
+    for rid in range(n_rows):
+        if rows_is_leaf[rid]:
+            leaf_idx[rid] = nl
+            nl += 1
+        else:
+            int_idx[rid] = ni
+            ni += 1
+
+    int_table = np.zeros((max(ni, 1), INT_ROW), f32)
+    leaf_table = np.zeros((max(nl, 1), LEAF_ROW), f32)
+    neg1 = np.float32(np.int32(-1).view(np.float32))
+    leaf_table[:, 9 * L:10 * L] = neg1
+
+    for rid in range(n_rows):
+        if rows_is_leaf[rid]:
+            li = leaf_idx[rid]
+            lo, hi = rows_range[rid]
+            sel = order[lo:hi]
+            m = len(sel)
+            blo, bhi = rows_box[rid]
+            anchor = ((blo + bhi) * f32(0.5)).astype(f32)
+            leaf_table[li, 10 * L:10 * L + 3] = anchor
+            leaf_table[li, 0 * L:0 * L + m] = v0[sel, 0] - anchor[0]
+            leaf_table[li, 1 * L:1 * L + m] = v0[sel, 1] - anchor[1]
+            leaf_table[li, 2 * L:2 * L + m] = v0[sel, 2] - anchor[2]
+            leaf_table[li, 3 * L:3 * L + m] = v1[sel, 0] - v0[sel, 0]
+            leaf_table[li, 4 * L:4 * L + m] = v1[sel, 1] - v0[sel, 1]
+            leaf_table[li, 5 * L:5 * L + m] = v1[sel, 2] - v0[sel, 2]
+            leaf_table[li, 6 * L:6 * L + m] = v2[sel, 0] - v0[sel, 0]
+            leaf_table[li, 7 * L:7 * L + m] = v2[sel, 1] - v0[sel, 1]
+            leaf_table[li, 8 * L:8 * L + m] = v2[sel, 2] - v0[sel, 2]
+            leaf_table[li, 9 * L:9 * L + m] = sel.astype(np.int32).view(f32)
+        else:
+            ii = int_idx[rid]
+            for k in range(WIDTH):
+                ch = rows_child[rid][k]
+                if ch < 0:
+                    int_table[ii, [0 + k, 8 + k, 16 + k]] = 3e38
+                    int_table[ii, [24 + k, 32 + k, 40 + k]] = -3e38
+                    continue
+                clo, chi = rows_box[ch]
+                int_table[ii, [0 + k, 8 + k, 16 + k]] = clo
+                int_table[ii, [24 + k, 32 + k, 40 + k]] = chi
+                code = np.int32(~leaf_idx[ch] if rows_is_leaf[ch]
+                                else int_idx[ch])
+                int_table[ii, 48 + k] = code.view(f32)
+
+    root_code = int(np.int32(~leaf_idx[0] if rows_is_leaf[0] else int_idx[0]))
+    return int_table, leaf_table, depth, root_code
+
+
+def build_split_bvh(v0, v1, v2, leaf_size: int = MXU_LEAF,
+                    bins: int = 16) -> SplitBVH:
+    """Build a SplitBVH (host numpy -> device) for the MXU traversal."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    packed = None
+    from . import native
+    packed = native.build_packed_sah_split(v0, v1, v2, leaf_size)
+    if packed is None:
+        packed = build_split_tables_numpy_sah(v0, v1, v2, leaf_size)
+    int_table, leaf_table, depth, root_code = packed
+    return SplitBVH(int_table=jnp.asarray(int_table),
+                    leaf_table=jnp.asarray(leaf_table),
+                    num_int_rows=int(int_table.shape[0]),
+                    num_leaves=int(leaf_table.shape[0]),
+                    num_tris=int(v0.shape[0]), leaf_size=int(leaf_size),
+                    max_depth=int(depth) + 2, root_code=int(root_code))
 
 
 def build_bvh_for_scene(scene, positions=None, tri_idx=None) -> FlatBVH:

@@ -103,6 +103,36 @@ def build_packed_sah(v0, v1, v2, leaf_size: int = 12):
     return table, int(n_rows), int(n_leaves.value), int(depth.value), int(root_code.value)
 
 
+def build_packed_sah_split(v0, v1, v2, leaf_size: int = 64):
+    """Native SAH build emitting the split MXU layout (lbvh.SplitBVH) ->
+    (int_table, leaf_table, depth, root_code) or None when unavailable.
+    Falls back to lbvh.build_split_tables_numpy_sah (bit-identical)."""
+    lib = _load_sah()
+    if lib is None or not hasattr(lib, "sah_count_split3"):
+        return None
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    t = v0.shape[0]
+    n_int = ctypes.c_int64(0)
+    n_leaves = ctypes.c_int64(0)
+    depth = ctypes.c_int64(0)
+    root_code = ctypes.c_int64(0)
+    rc = lib.sah_count_split3(v0, v1, v2, t, leaf_size, ctypes.byref(n_int),
+                              ctypes.byref(n_leaves), ctypes.byref(depth),
+                              ctypes.byref(root_code))
+    if rc != 0:
+        return None
+    int_table = np.zeros((max(n_int.value, 1), 64), np.float32)
+    leaf_table = np.zeros((max(n_leaves.value, 1), 10 * leaf_size + 8),
+                          np.float32)
+    rc = lib.sah_build_split3(v0, v1, v2, t, leaf_size, int_table,
+                              n_int.value, leaf_table, n_leaves.value)
+    if rc != 0:
+        return None
+    return int_table, leaf_table, int(depth.value), int(root_code.value)
+
+
 def build_packed(v0, v1, v2, leaf_size: int = 12):
     """Native build -> (table (rows,128) f32, num_rows, num_leaves, depth,
     root_code) or None when unavailable."""

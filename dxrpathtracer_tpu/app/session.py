@@ -72,9 +72,17 @@ class RenderSession:
                 current_scene=preset.scene_enum)
 
         with self.profiler.cpu_scope("BuildAccelStructure"):
-            self.bvh = build_bvh_for_scene(
-                self.scene, positions=np.asarray(self.scene_host.positions),
-                tri_idx=np.asarray(self.scene_host.tri_idx))
+            pos = np.asarray(self.scene_host.positions)
+            tri = np.asarray(self.scene_host.tri_idx)
+            self.bvh = build_bvh_for_scene(self.scene, positions=pos,
+                                           tri_idx=tri)
+            # Split fat-leaf tables for the MXU traversal (per-ray paths —
+            # alpha test, incoherent fallbacks — still use self.bvh).
+            self.bvh2 = None
+            if self.settings.enable_mxu_traversal:
+                from ..accel.lbvh import build_split_bvh
+                self.bvh2 = build_split_bvh(pos[tri[:, 0]], pos[tri[:, 1]],
+                                            pos[tri[:, 2]])
 
         self.camera = FirstPersonCamera(aspect=width / height)
         if preset is not None:
@@ -136,12 +144,16 @@ class RenderSession:
         slab_h = self._slab_h
         width, height = self.width, self.height
 
+        bvh2 = self.bvh2
+
         if not os.environ.get("DXRPT_STAGED"):
-            @partial(jax.jit, static_argnames=("settings",), donate_argnums=(2,))
-            def step_slab(scene, bvh, accum_slab, sky_cube, frame, row0, settings):
+            @partial(jax.jit, static_argnames=("settings",), donate_argnums=(3,))
+            def step_slab(scene, bvh, bvh2, accum_slab, sky_cube, frame, row0,
+                          settings):
                 return render_sample(scene, bvh, sky_cube, settings, frame,
                                      width, slab_h, accum_slab,
-                                     row_offset=row0, total_height=height)
+                                     row_offset=row0, total_height=height,
+                                     bvh2=bvh2)
         else:
             tracer = StagedTracer()
 
@@ -157,7 +169,8 @@ class RenderSession:
                         / (frame.curr_sample_idx.astype(f32) + 1.0))
                 return radiance + (accum_slab - radiance) * lerp
 
-            def step_slab(scene, bvh, accum_slab, sky_cube, frame, row0, settings):
+            def step_slab(scene, bvh, _bvh2, accum_slab, sky_cube, frame,
+                          row0, settings):
                 o, d, length, pix = raygen_slab(frame, row0, settings)
                 radiance = tracer.trace(scene, bvh, sky_cube, settings, frame,
                                         o, d, length, pix, width * height,
@@ -169,7 +182,8 @@ class RenderSession:
         row0_dev = [jnp.int32(r0) for r0 in range(0, height, slab_h)]
 
         def step(scene, bvh, slabs, sky_cube, frame, settings):
-            return [step_slab(scene, bvh, slab, sky_cube, frame, r0, settings)
+            return [step_slab(scene, bvh, bvh2, slab, sky_cube, frame, r0,
+                              settings)
                     for slab, r0 in zip(slabs, row0_dev)]
 
         return step

@@ -72,6 +72,15 @@ class AppSettings:
     # traversal in hardware): route coherent rays (primaries, depth-1 sun
     # NEE) through the 128-wide packet traversal (accel/packet.py).
     enable_packet_traversal: bool = True
+    # TPU-only: fat-leaf split-table traversal whose leaf intersection runs
+    # as batched MXU matmuls (accel/mxu.py). Applies wherever packets apply;
+    # requires the session to have built the SplitBVH (RenderSession does
+    # when this is on).
+    enable_mxu_traversal: bool = True
+    # TPU-only: route depth>=2 sun NEE and terminal visibility rays through
+    # the packet/MXU path too (off = per-ray, the round-2 measured optimum
+    # for the VPU packet path; re-measured per backend on the real chip).
+    packet_shadows_all_depths: bool = False
     clamp_roughness: bool = False
     avoid_caustic_paths: bool = False
     sqrt_num_samples: int = 4

@@ -43,17 +43,17 @@ def make_sharded_step(mesh: Mesh, settings, width: int, height: int,
     # constants (node pointers, sentinel t values) that JAX's varying-manual-
     # axes checker would otherwise require to be explicitly pvary'd per axis.
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(repl, repl, P(axis_name), repl, repl),
+             in_specs=(repl, repl, P(axis_name), repl, repl, repl),
              out_specs=P(axis_name), check_vma=False)
-    def sharded(scene, bvh, accum_block, sky_cube, frame):
+    def sharded(scene, bvh, accum_block, sky_cube, frame, bvh2):
         row0 = jax.lax.axis_index(axis_name) * rows_per
         return render_sample(scene, bvh, sky_cube, settings, frame,
                              width, rows_per, accum_block,
-                             row_offset=row0, total_height=height)
+                             row_offset=row0, total_height=height, bvh2=bvh2)
 
     @jax.jit
-    def step(scene, bvh, accum, sky_cube, frame):
-        return sharded(scene, bvh, accum, sky_cube, frame)
+    def step(scene, bvh, accum, sky_cube, frame, bvh2=None):
+        return sharded(scene, bvh, accum, sky_cube, frame, bvh2)
 
     return step
 

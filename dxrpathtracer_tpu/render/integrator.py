@@ -545,7 +545,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 ray_o, ray_d, t_max, pixel_idx, total_num_pixels: int,
                 first_set_idx: int = 1, initial_is_diffuse: bool = False,
                 t_min0=0.0, active0=None, sample_idx=None,
-                packet_coherent: bool = False):
+                packet_coherent: bool = False, bvh2=None):
     """Trace a wavefront of rays to completion; returns (N, 3) radiance.
 
     ray_o/ray_d/t_max describe the depth-1 rays (already jittered primaries for
@@ -566,6 +566,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     (accel/packet.py, ~5x measured on Sponza-class primaries) when no
     alpha-test applies; all other rays keep the per-ray path.
     """
+    from ..accel.mxu import mxu_any_hit, mxu_closest_hit
     from ..accel.packet import packet_any_hit, packet_closest_hit
 
     s = settings
@@ -575,6 +576,13 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     has_alpha = alpha_test is not None
     use_packet = (packet_coherent and bool(s.enable_packet_traversal)
                   and n % 128 == 0)
+    use_mxu = use_packet and bool(s.enable_mxu_traversal) and bvh2 is not None
+    if use_mxu:
+        pk_closest = partial(mxu_closest_hit, bvh2)
+        pk_any = partial(mxu_any_hit, bvh2)
+    else:
+        pk_closest = partial(packet_closest_hit, bvh)
+        pk_any = partial(packet_any_hit, bvh)
     state = _path_state0(n, ray_o, ray_d, t_max, t_min0, active0,
                          initial_is_diffuse)
 
@@ -586,8 +594,8 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         # depth-2 closest at 960x540). Shadow/terminal rays at depth >= 2
         # stay per-ray (packets measured slower there).
         if use_packet and not alpha_now:
-            rec = packet_closest_hit(
-                bvh, state["ray_o"], state["ray_d"], state["t_min"],
+            rec = pk_closest(
+                state["ray_o"], state["ray_d"], state["t_min"],
                 state["t_max"], state["active"])
         else:
             rec = closest_hit(
@@ -602,15 +610,17 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         plan = _shadow_plan(scene, s, depth, has_alpha, flags)
         vis_list = [None] * len(reqs)
         rest = list(range(len(reqs)))
-        if use_packet and depth == 1:
+        if use_packet and (depth == 1 or s.packet_shadows_all_depths):
             for i, (kind, use_alpha) in enumerate(plan):
-                if kind == "sun" and not use_alpha:
+                pk_kind = (kind == "sun"
+                           or (kind == "terminal"
+                               and s.packet_shadows_all_depths))
+                if pk_kind and not use_alpha:
                     # Sun shadow rays from packet-coherent primary hits share
                     # one direction — prime packet-traversal material
                     # (measured 4x vs per-ray at 960x540).
                     r = reqs[i]
-                    vis_list[i] = packet_any_hit(bvh, r[0], r[1], r[2], r[3],
-                                                 r[4])
+                    vis_list[i] = pk_any(r[0], r[1], r[2], r[3], r[4])
                     rest.remove(i)
         if rest:
             sub = _flush_shadow(bvh, [reqs[i] for i in rest],
@@ -835,7 +845,8 @@ def _untile_order(x, height, width, ty, tx):
 
 
 def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
-                  width: int, height: int, accum, row_offset=0, total_height=None):
+                  width: int, height: int, accum, row_offset=0,
+                  total_height=None, bvh2=None):
     """One progressive sample: raygen + trace + running-mean accumulation
     (RaygenShader, RayTrace.hlsl:92-149). Returns the new accumulation image
     (height, width, 3) f32.
@@ -884,7 +895,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
             _tile_order(ray_dir, height, width, ty, tx),
             _tile_order(ray_len, height, width, ty, tx),
             _tile_order(pixel_idx, height, width, ty, tx),
-            n, first_set_idx=1, packet_coherent=True)
+            n, first_set_idx=1, packet_coherent=True, bvh2=bvh2)
         radiance = _untile_order(radiance, height, width, ty, tx)
     else:
         radiance = trace_paths(scene, bvh, sky_cube, s, frame,
