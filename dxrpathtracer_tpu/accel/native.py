@@ -73,6 +73,16 @@ def _load_sah():
         lib.sah_build3.argtypes = [_F32P, _F32P, _F32P,
                                    ctypes.c_int64, ctypes.c_int64,
                                    _F32P, ctypes.c_int64]
+        if hasattr(lib, "sah_count_split3"):
+            lib.sah_count_split3.restype = ctypes.c_int
+            lib.sah_count_split3.argtypes = [
+                _F32P, _F32P, _F32P, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+            lib.sah_build_split3.restype = ctypes.c_int
+            lib.sah_build_split3.argtypes = [
+                _F32P, _F32P, _F32P, ctypes.c_int64, ctypes.c_int64,
+                _F32P, ctypes.c_int64, _F32P, ctypes.c_int64]
         lib._sigs_set = True
     return lib
 

@@ -183,7 +183,8 @@ struct Builder {
     // wide node = up to 8 binary-subtree roots, chosen by repeatedly
     // expanding the internal candidate with the largest surface area.
     std::vector<std::vector<int64_t>> wide_children;  // per wide row: bnode ids
-    std::vector<int64_t> wide_of_bnode;               // bnode id -> wide row
+    std::vector<int64_t> wide_of_bnode;  // split emission: row -> internal idx
+    std::vector<int64_t> leaf_renumber;  // split emission: row -> leaf idx
     std::vector<int64_t> rows_range_lo, rows_range_hi;
     std::vector<bool> rows_is_leaf;
     std::vector<std::array<int64_t, kWidth>> rows_child;  // wide child rows
@@ -342,6 +343,123 @@ int sah_build3(const float* v0, const float* v1, const float* v2,
                 rec[40 + k] = B.rows_box[ch].hi.z;
                 const int32_t code = B.rows_is_leaf[ch]
                     ? static_cast<int32_t>(~ch) : static_cast<int32_t>(ch);
+                std::memcpy(rec + 48 + k, &code, 4);
+            }
+        }
+    }
+    delete g_builder;
+    g_builder = nullptr;
+    return 0;
+}
+
+// --- Split-table (MXU fat-leaf) emission -----------------------------------
+// Same phase-1 build; emits the accel/lbvh.py SplitBVH layout: (I, 64)
+// internal records and (NL, 10*L+8) anchored SoA leaf records. Kept
+// bit-identical with build_split_tables_numpy_sah (anchor = (lo+hi)*0.5f in
+// f32, leaf-local v0' = v0 - anchor, -ffp-contract=off).
+
+// Phase 1: build + renumber. Returns 0 on success.
+int sah_count_split3(const float* v0, const float* v1, const float* v2,
+                     int64_t num_tris, int64_t leaf_size,
+                     int64_t* out_num_int, int64_t* out_num_leaves,
+                     int64_t* out_depth, int64_t* out_root_code) {
+    int64_t leaves = 0, depth = 0, root = 0;
+    sah_count3(v0, v1, v2, num_tris, leaf_size, &leaves, &depth, &root);
+    Builder& B = *g_builder;
+    const int64_t n_rows = static_cast<int64_t>(B.rows_is_leaf.size());
+    int64_t ni = 0, nl = 0;
+    B.wide_of_bnode.assign(n_rows, -1);  // reuse as renumber scratch: int idx
+    std::vector<int64_t> leaf_idx(n_rows, -1);
+    for (int64_t rid = 0; rid < n_rows; ++rid) {
+        if (B.rows_is_leaf[rid]) leaf_idx[rid] = nl++;
+        else B.wide_of_bnode[rid] = ni++;
+    }
+    B.rows_range_lo.reserve(B.rows_range_lo.size());  // no-op; keep state
+    B.leaf_renumber = std::move(leaf_idx);
+    if (out_num_int) *out_num_int = ni;
+    if (out_num_leaves) *out_num_leaves = nl;
+    if (out_depth) *out_depth = B.depth;
+    if (out_root_code)
+        *out_root_code = B.rows_is_leaf[0]
+            ? ~B.leaf_renumber[0] : B.wide_of_bnode[0];
+    return 0;
+}
+
+// Phase 2: emit both tables from the cached build.
+int sah_build_split3(const float* v0, const float* v1, const float* v2,
+                     int64_t num_tris, int64_t leaf_size,
+                     float* int_table, int64_t num_int,
+                     float* leaf_table, int64_t num_leaves) {
+    if (!g_builder) return 1;
+    Builder& B = *g_builder;
+    const int64_t n_rows = static_cast<int64_t>(B.rows_is_leaf.size());
+    const int64_t L = leaf_size;
+    const int64_t int_row = 64;
+    const int64_t leaf_row = 10 * L + 8;
+    const Vec3* a = reinterpret_cast<const Vec3*>(v0);
+    const Vec3* b = reinterpret_cast<const Vec3*>(v1);
+    const Vec3* c = reinterpret_cast<const Vec3*>(v2);
+
+    std::memset(int_table, 0,
+                sizeof(float) * static_cast<size_t>(num_int * int_row));
+    std::memset(leaf_table, 0,
+                sizeof(float) * static_cast<size_t>(num_leaves * leaf_row));
+    const int32_t none = -1;
+
+    for (int64_t rid = 0; rid < n_rows; ++rid) {
+        if (B.rows_is_leaf[rid]) {
+            const int64_t li = B.leaf_renumber[rid];
+            if (li < 0 || li >= num_leaves) return 2;
+            float* rec = leaf_table + li * leaf_row;
+            for (int64_t slot = 0; slot < L; ++slot)
+                std::memcpy(rec + 9 * L + slot, &none, 4);
+            const Aabb& box = B.rows_box[rid];
+            const float ax = (box.lo.x + box.hi.x) * 0.5f;
+            const float ay = (box.lo.y + box.hi.y) * 0.5f;
+            const float az = (box.lo.z + box.hi.z) * 0.5f;
+            rec[10 * L + 0] = ax;
+            rec[10 * L + 1] = ay;
+            rec[10 * L + 2] = az;
+            int64_t slot = 0;
+            for (int64_t i = B.rows_range_lo[rid]; i < B.rows_range_hi[rid];
+                 ++i, ++slot) {
+                const int64_t t = B.order[i];
+                rec[0 * L + slot] = a[t].x - ax;
+                rec[1 * L + slot] = a[t].y - ay;
+                rec[2 * L + slot] = a[t].z - az;
+                rec[3 * L + slot] = b[t].x - a[t].x;
+                rec[4 * L + slot] = b[t].y - a[t].y;
+                rec[5 * L + slot] = b[t].z - a[t].z;
+                rec[6 * L + slot] = c[t].x - a[t].x;
+                rec[7 * L + slot] = c[t].y - a[t].y;
+                rec[8 * L + slot] = c[t].z - a[t].z;
+                const int32_t tid = static_cast<int32_t>(t);
+                std::memcpy(rec + 9 * L + slot, &tid, 4);
+            }
+        } else {
+            const int64_t ii = B.wide_of_bnode[rid];
+            if (ii < 0 || ii >= num_int) return 3;
+            float* rec = int_table + ii * int_row;
+            for (int k = 0; k < kWidth; ++k) {
+                const int64_t ch = B.rows_child[rid][k];
+                if (ch < 0) {
+                    rec[0 + k] = 3e38f;
+                    rec[8 + k] = 3e38f;
+                    rec[16 + k] = 3e38f;
+                    rec[24 + k] = -3e38f;
+                    rec[32 + k] = -3e38f;
+                    rec[40 + k] = -3e38f;
+                    continue;
+                }
+                rec[0 + k] = B.rows_box[ch].lo.x;
+                rec[8 + k] = B.rows_box[ch].lo.y;
+                rec[16 + k] = B.rows_box[ch].lo.z;
+                rec[24 + k] = B.rows_box[ch].hi.x;
+                rec[32 + k] = B.rows_box[ch].hi.y;
+                rec[40 + k] = B.rows_box[ch].hi.z;
+                const int32_t code = B.rows_is_leaf[ch]
+                    ? static_cast<int32_t>(~B.leaf_renumber[ch])
+                    : static_cast<int32_t>(B.wide_of_bnode[ch]);
                 std::memcpy(rec + 48 + k, &code, 4);
             }
         }

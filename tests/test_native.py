@@ -34,3 +34,26 @@ def test_native_count_nodes():
     table, n_rows, n_leaves, depth, root_code = packed
     assert table.shape == (n_rows, 128)
     assert n_leaves >= 1 and depth >= 1
+
+
+def test_native_split_matches_numpy():
+    """Native split-table (MXU) emission is bit-identical to the numpy
+    mirror (codes are bitcast int32 -> compare raw bits, not floats)."""
+    import numpy as np
+    from dxrpathtracer_tpu.accel import native
+    from dxrpathtracer_tpu.accel.lbvh import build_split_tables_numpy_sah
+
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    m = 5000
+    v0 = (rng.standard_normal((m, 3)) * 4).astype(np.float32)
+    v1 = v0 + rng.standard_normal((m, 3)).astype(np.float32) * 0.5
+    v2 = v0 + rng.standard_normal((m, 3)).astype(np.float32) * 0.5
+    nat = native.build_packed_sah_split(v0, v1, v2, 64)
+    ref = build_split_tables_numpy_sah(v0, v1, v2, 64)
+    assert nat is not None
+    assert np.array_equal(nat[0].view(np.uint32), ref[0].view(np.uint32))
+    assert np.array_equal(nat[1].view(np.uint32), ref[1].view(np.uint32))
+    assert nat[2:] == ref[2:]
