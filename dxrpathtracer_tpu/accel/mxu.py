@@ -1,42 +1,38 @@
-"""MXU packet traversal — fat-leaf BVH with leaf intersection as matmuls.
+"""Fat-leaf split-table packet traversal (walk + queued leaf drain).
 
-The TPU-first redesign of TraceRay (RayTrace.hlsl:138): where accel/packet.py
-intersects 12-triangle leaves on the VPU (~40 elementwise ops per ray-tri
-pair), this traversal makes leaves FAT (MXU_LEAF=64 triangles) and computes
-all four Moller-Trumbore quantities for a 128-ray packet x 64-triangle leaf
-as THREE small batched matmuls on the MXU:
+The second-generation packet traversal (accel/packet.py is the first): the
+unified 512 B record with 12-triangle leaves is split into 256 B internal
+records and FAT 64-triangle leaf records (lbvh.SplitBVH), and the single
+lockstep loop is split into two phases so a leaf's 64-wide intersection test
+only runs on iterations that actually consume a leaf:
 
-    ray features   F = [d, m, o', 1]        (K, 10), m = o' x d (Plucker
-                                            moment about the leaf anchor)
-    det' = [d]        @ [e2 x e1]           (K,3) @ (3,L)
-    u'   = [d, m]     @ [-(e2 x v0') ; e2]  (K,6) @ (6,L)
-    v'   = [d, m]     @ [-(v0' x e1) ; -e1] (K,6) @ (6,L)
-    t'   = [o', 1]    @ [e1 x e2 ; -v0'.n]  (K,4) @ (4,L)
-    u = u'/det', v = v'/det', t = t'/det'
-
-Anchoring o' = o - leaf_center and storing v0' leaf-local keeps every factor
-leaf-scale, so precision matches classic f32 Moller-Trumbore (validated: 0
-hit/miss disagreements vs f64 on 600k random pairs; tests/test_mxu.py pins
-agreement against accel/traverse.py on scenes). Triangle feature columns are
-built on the VPU per leaf VISIT (~50 flops/tri, shared by all 128 rays) from
-the raw v0'/e1/e2 record, so the leaf table stays compact.
-
-Fat leaves make the tree ~4x shallower than the 12-tri unified layout: the
-lockstep walk runs ~5x fewer iterations (each ~130 us of while_loop fixed
-cost on this platform), and the per-pair intersection flops move to the MXU
-which has ~20-100x the VPU's f32 throughput.
-
-Structure: an outer while_loop alternates two inner phases —
-  walk:  8-ary ordered descent over the 256 B internal records (same
-         (node, mask) short-stack scheme as accel/packet.py), but leaf
-         children are ENQUEUED (id + packet-min entry t) instead of visited;
+  walk:  8-ary ordered descent over the internal table (same (node, mask)
+         short-stack scheme as accel/packet.py), but leaf children are
+         ENQUEUED (id + packet-min entry t) instead of visited — walk
+         iterations touch only 256 B rows and the (8, K) slab test;
   drain: the queue is sorted front-to-back (odd-even transposition — no
          axis-1 gathers inside loop bodies, which miscompile on the axon
-         stack; PERF_NOTES.md) and leaves are intersected one per iteration
-         with early-stop once the next entry t can no longer beat any ray's
-         current best.
-A packet whose queue nears capacity stalls walking until the next drain, so
-queue overflow is impossible and every leaf is processed exactly once.
+         stack; PERF_NOTES.md) and leaves are Moller-Trumbore-tested one per
+         iteration on (L, K) VPU blocks, with early-stop once the next entry
+         t can no longer beat any live ray's best.
+
+An outer while_loop alternates the phases (a packet whose queue nears
+capacity stalls walking until the next drain, so overflow is impossible);
+python-level phases compact finished PACKETS between rounds exactly like
+accel/packet.py (the lockstep loop pays every iteration for all packets).
+Any-hit walks stall at a small queue depth so found-status propagates to the
+walk's pruning quickly.
+
+History, measured on the v5e (tools note in PERF_NOTES.md): the first
+version of this module computed the leaf test as batched MXU matmuls of
+anchored Plucker ray features x precomputed triangle columns (det' = d.
+(e2xe1), u' = [d,m].[-(e2xv0');e2], ...; validated to f32-MT precision).
+It measured 2.7-4.8x SLOWER than accel/packet.py everywhere: a (128x10) @
+(10x256) batched matmul cannot feed the 128x128 systolic array — per-batch
+fill dominates, x6 for HIGHEST precision. The MXU is the wrong unit for
+low-rank bilinear forms; the fat-leaf/two-phase structure is kept, the
+epilogue is classic component-wise VPU Moller-Trumbore (translation by the
+leaf anchor keeps it bit-comparable to the unified path's math).
 
 Semantics match accel/traverse.py (closest: nearest hit; any-hit:
 ACCEPT_FIRST_HIT_AND_END_SEARCH) for accept_fn=None; alpha-tested rays use
@@ -46,12 +42,12 @@ the per-ray path, exactly like accel/packet.py.
 import jax
 import jax.numpy as jnp
 
-from .lbvh import MXU_LEAF, SplitBVH, WIDTH
-from .traverse import HitRecord, _argmin8_block, _bitcast_i32, _safe_inv, _BIG
+from .lbvh import SplitBVH, WIDTH
+from .traverse import (HitRecord, MAX_COMPACT_PHASES, MIN_COMPACT_SIZE, _BIG,
+                       _argmin8_block, _bitcast_i32, _compact_perm, _safe_inv)
 
 PACKET = 128
 QUEUE = 32          # leaf-queue slots per packet
-_HIGH = jax.lax.Precision.HIGHEST
 
 
 def _oddeven_sort_pairs(key, val):
@@ -94,7 +90,7 @@ def _mxu_traverse(bvh: SplitBVH, ray_o, ray_d, t_min, t_max, active,
     n = ray_o.shape[0]
     if n % PACKET != 0:
         raise ValueError(f"mxu traversal needs N % {PACKET} == 0, got {n}")
-    p = n // PACKET
+    p0 = n // PACKET
     K = PACKET
     L = bvh.leaf_size
     Q = QUEUE
@@ -102,15 +98,9 @@ def _mxu_traverse(bvh: SplitBVH, ray_o, ray_d, t_min, t_max, active,
     i32 = jnp.int32
 
     def pk(x):
-        return x.reshape(p, K)
+        return x.reshape(p0, K)
 
-    ox, oy, oz = pk(ray_o[:, 0]), pk(ray_o[:, 1]), pk(ray_o[:, 2])
-    dx, dy, dz = pk(ray_d[:, 0]), pk(ray_d[:, 1]), pk(ray_d[:, 2])
     inv_d = _safe_inv(ray_d)
-    ivx, ivy, ivz = pk(inv_d[:, 0]), pk(inv_d[:, 1]), pk(inv_d[:, 2])
-    tmin = pk(t_min.astype(f32))
-    act = pk(active)
-
     done = jnp.int32(bvh.num_int_rows)   # cur == done => walk finished
     stack_depth = bvh.max_depth + 2
     levels = jnp.arange(stack_depth, dtype=i32)[:, None]
@@ -118,49 +108,53 @@ def _mxu_traverse(bvh: SplitBVH, ray_o, ray_d, t_min, t_max, active,
     qcols = jnp.arange(Q, dtype=i32)[None, :]
     max_walk = bvh.num_int_rows * 2 + stack_depth + 8
     max_outer = bvh.num_leaves + 4
+    # any-hit: stall the walk at a shallow queue so drained found-status
+    # prunes further walking quickly; closest: fill the queue
+    qcap = WIDTH if first_hit else Q - WIDTH
 
-    packet_live0 = jnp.any(act, axis=1)
+    act0 = pk(active)
+    packet_live0 = jnp.any(act0, axis=1)
     if bvh.root_code >= 0:
         cur0 = jnp.where(packet_live0, jnp.int32(bvh.root_code), done)
-        qn0 = jnp.zeros((p,), i32)
-        qid0 = jnp.zeros((p, Q), i32)
-        qt0 = jnp.full((p, Q), _BIG, f32)
+        qn0 = jnp.zeros((p0,), i32)
+        qid0 = jnp.zeros((p0, Q), i32)
+        qt0 = jnp.full((p0, Q), _BIG, f32)
     else:
         # single-leaf scene: enqueue the root leaf directly
-        cur0 = jnp.full((p,), done, i32)
+        cur0 = jnp.full((p0,), done, i32)
         qn0 = jnp.where(packet_live0, 1, 0).astype(i32)
-        qid0 = jnp.zeros((p, Q), i32).at[:, 0].set(jnp.int32(~bvh.root_code))
-        qt0 = jnp.full((p, Q), _BIG, f32).at[:, 0].set(
-            jnp.where(packet_live0, jnp.minimum(jnp.min(tmin, axis=1), _BIG),
-                      _BIG))
+        qid0 = jnp.zeros((p0, Q), i32).at[:, 0].set(jnp.int32(~bvh.root_code))
+        qt0 = jnp.full((p0, Q), _BIG, f32).at[:, 0].set(0.0)
 
     state = dict(
-        cur=cur0, pmask=jnp.full((p,), 0xFF, i32),
-        snode=jnp.zeros((stack_depth, p), i32),
-        smask=jnp.zeros((stack_depth, p), i32),
-        sp=jnp.zeros((p,), i32),
+        idx=jnp.arange(p0, dtype=i32),
+        ox=pk(ray_o[:, 0]), oy=pk(ray_o[:, 1]), oz=pk(ray_o[:, 2]),
+        dx=pk(ray_d[:, 0]), dy=pk(ray_d[:, 1]), dz=pk(ray_d[:, 2]),
+        ivx=pk(inv_d[:, 0]), ivy=pk(inv_d[:, 1]), ivz=pk(inv_d[:, 2]),
+        tmin=pk(t_min.astype(f32)), act=act0,
+        cur=cur0, pmask=jnp.full((p0,), 0xFF, i32),
+        snode=jnp.zeros((stack_depth, p0), i32),
+        smask=jnp.zeros((stack_depth, p0), i32),
+        sp=jnp.zeros((p0,), i32),
         qn=qn0, qid=qid0, qt=qt0,
         bt=pk(t_max.astype(f32)),
-        btri=jnp.full((p, K), -1, i32),
-        bu=jnp.zeros((p, K), f32),
-        bv=jnp.zeros((p, K), f32),
-        it=jnp.zeros((), i32),
+        btri=jnp.full((p0, K), -1, i32),
+        bu=jnp.zeros((p0, K), f32),
+        bv=jnp.zeros((p0, K), f32),
+        it=jnp.zeros((), i32), oit=jnp.zeros((), i32),
     )
 
     def ray_live_of(s):
         if first_hit:
-            return act & (s["btri"] < 0)
-        return act
+            return s["act"] & (s["btri"] < 0)
+        return s["act"]
 
     # ---------------- walk phase ----------------
     def walk_body(s):
         cur = s["cur"]
         alive = cur != done
-        # stall when the queue can't absorb a full node's worth of leaves
-        walkable = alive & (s["qn"] <= Q - WIDTH)
-        ray_live = act
-        if first_hit:
-            ray_live = ray_live & (s["btri"] < 0)
+        walkable = alive & (s["qn"] <= qcap)
+        ray_live = ray_live_of(s)
 
         row = jnp.where(walkable, cur, 0)
         rec = jnp.take(bvh.int_table, row, axis=0, mode="clip")  # (p, 64)
@@ -174,11 +168,11 @@ def _mxu_traverse(bvh: SplitBVH, ray_o, ray_d, t_min, t_max, active,
             b = (hi[:, :, None] - o[:, None, :]) * iv[:, None, :]
             return jnp.minimum(a, b), jnp.maximum(a, b)
 
-        nx, xx_ = axis_minmax(lox, hix, ox, ivx)
-        ny, xy_ = axis_minmax(loy, hiy, oy, ivy)
-        nz, xz_ = axis_minmax(loz, hiz, oz, ivz)
+        nx, xx_ = axis_minmax(lox, hix, s["ox"], s["ivx"])
+        ny, xy_ = axis_minmax(loy, hiy, s["oy"], s["ivy"])
+        nz, xz_ = axis_minmax(loz, hiz, s["oz"], s["ivz"])
         tn = jnp.maximum(jnp.maximum(nx, ny),
-                         jnp.maximum(nz, tmin[:, None, :]))
+                         jnp.maximum(nz, s["tmin"][:, None, :]))
         tf = jnp.minimum(jnp.minimum(xx_, xy_),
                          jnp.minimum(xz_, s["bt"][:, None, :]))
         valid8 = lox <= hix
@@ -231,7 +225,7 @@ def _mxu_traverse(bvh: SplitBVH, ray_o, ray_d, t_min, t_max, active,
         sp_next = jnp.where(need_pop & can_pop, sp_pushed - 1, sp_pushed)
 
         if first_hit:
-            all_found = ~jnp.any(act & (s["btri"] < 0), axis=1)
+            all_found = ~jnp.any(s["act"] & (s["btri"] < 0), axis=1)
             cur_next = jnp.where(all_found, done, cur_next)
             sp_next = jnp.where(all_found, 0, sp_next)
             qn = jnp.where(all_found, 0, qn)
@@ -241,12 +235,10 @@ def _mxu_traverse(bvh: SplitBVH, ray_o, ray_d, t_min, t_max, active,
                     it=s["it"] + 1)
 
     def walk_cond(s):
-        walkable = (s["cur"] != done) & (s["qn"] <= Q - WIDTH)
+        walkable = (s["cur"] != done) & (s["qn"] <= qcap)
         return jnp.any(walkable) & (s["it"] < max_walk)
 
     # ---------------- drain phase ----------------
-    tmin3 = tmin[:, :, None]
-
     def drain_body(ds):
         s, dp = ds
         live = dp < s["qn"]
@@ -277,61 +269,44 @@ def _mxu_traverse(bvh: SplitBVH, ray_o, ray_d, t_min, t_max, active,
         cy = lrec[:, 10 * L + 1:10 * L + 2]
         cz = lrec[:, 10 * L + 2:10 * L + 3]
 
-        # ray features about the leaf anchor
-        opx, opy, opz = ox - cx, oy - cy, oz - cz                 # (p, K)
-        mx = opy * dz - opz * dy
-        my = opz * dx - opx * dz
-        mz = opx * dy - opy * dx
-
-        # triangle columns (component math on (p, L) blocks)
-        axc = e2y * e1z - e2z * e1y
-        ayc = e2z * e1x - e2x * e1z
-        azc = e2x * e1y - e2y * e1x
-        bxc = -(e2y * v0z - e2z * v0y)
-        byc = -(e2z * v0x - e2x * v0z)
-        bzc = -(e2x * v0y - e2y * v0x)
-        cxc = -(v0y * e1z - v0z * e1y)
-        cyc = -(v0z * e1x - v0x * e1z)
-        czc = -(v0x * e1y - v0y * e1x)
-        nxc = e1y * e2z - e1z * e2y
-        nyc = e1z * e2x - e1x * e2z
-        nzc = e1x * e2y - e1y * e2x
-        d0c = -(v0x * nxc + v0y * nyc + v0z * nzc)
-
-        F3 = jnp.stack([dx, dy, dz], axis=2)                      # (p, K, 3)
-        F6 = jnp.stack([dx, dy, dz, mx, my, mz], axis=2)          # (p, K, 6)
-        F4 = jnp.stack([opx, opy, opz, jnp.ones_like(opx)], axis=2)
-
-        Cdet = jnp.stack([axc, ayc, azc], axis=1)                 # (p, 3, L)
-        Cu = jnp.stack([bxc, byc, bzc, e2x, e2y, e2z], axis=1)    # (p, 6, L)
-        Cv = jnp.stack([cxc, cyc, czc, -e1x, -e1y, -e1z], axis=1)
-        Ct = jnp.stack([nxc, nyc, nzc, d0c], axis=1)              # (p, 4, L)
-
-        mm = lambda a, b: jax.lax.dot_general(
-            a, b, (((2,), (1,)), ((0,), (0,))), precision=_HIGH)
-        det = mm(F3, Cdet)                                        # (p, K, L)
-        up = mm(F6, Cu)
-        vp = mm(F6, Cv)
-        tp = mm(F4, Ct)
-
+        # classic Moller-Trumbore on (p, L, K) blocks (the MXU-matmul
+        # formulation measured 2.7-4.8x slower — module docstring). Origins
+        # are leaf-anchored (vertices are stored anchor-relative).
+        opx = (s["ox"] - cx)[:, None, :]                          # (p, 1, K)
+        opy = (s["oy"] - cy)[:, None, :]
+        opz = (s["oz"] - cz)[:, None, :]
+        rdx, rdy, rdz = (s["dx"][:, None, :], s["dy"][:, None, :],
+                         s["dz"][:, None, :])
+        px_ = rdy * e2z[:, :, None] - rdz * e2y[:, :, None]
+        py_ = rdz * e2x[:, :, None] - rdx * e2z[:, :, None]
+        pz_ = rdx * e2y[:, :, None] - rdy * e2x[:, :, None]
+        det = (e1x[:, :, None] * px_ + e1y[:, :, None] * py_
+               + e1z[:, :, None] * pz_)
         inv_det = jnp.where(jnp.abs(det) > 1e-12,
                             1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-        u = up * inv_det
-        v = vp * inv_det
-        t = tp * inv_det
-        ok = (process[:, None, None] & ray_live[:, :, None]
-              & (tid >= 0)[:, None, :] & (jnp.abs(det) > 1e-12)
+        tx = opx - v0x[:, :, None]
+        ty = opy - v0y[:, :, None]
+        tz = opz - v0z[:, :, None]
+        u = (tx * px_ + ty * py_ + tz * pz_) * inv_det
+        qx_ = ty * e1z[:, :, None] - tz * e1y[:, :, None]
+        qy_ = tz * e1x[:, :, None] - tx * e1z[:, :, None]
+        qz_ = tx * e1y[:, :, None] - ty * e1x[:, :, None]
+        v = (rdx * qx_ + rdy * qy_ + rdz * qz_) * inv_det
+        t = (e2x[:, :, None] * qx_ + e2y[:, :, None] * qy_
+             + e2z[:, :, None] * qz_) * inv_det
+        ok = (process[:, None, None] & ray_live[:, None, :]
+              & (tid >= 0)[:, :, None] & (jnp.abs(det) > 1e-12)
               & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (t >= tmin3) & (t < s["bt"][:, :, None]))
+              & (t >= s["tmin"][:, None, :]) & (t < s["bt"][:, None, :]))
 
-        key = jnp.where(ok, t, _BIG)                              # (p, K, L)
-        ck = jnp.min(key, axis=2)                                 # (p, K)
-        slot = jnp.arange(L, dtype=i32)[None, None, :]
-        min_slot = jnp.min(jnp.where(key <= ck[:, :, None], slot, L), axis=2)
-        first = slot == min_slot[:, :, None]
-        ctid = jnp.sum(jnp.where(first, tid[:, None, :], 0), axis=2)
-        cu = jnp.sum(jnp.where(first, u, 0.0), axis=2)
-        cv = jnp.sum(jnp.where(first, v, 0.0), axis=2)
+        key = jnp.where(ok, t, _BIG)                              # (p, L, K)
+        ck = jnp.min(key, axis=1)                                 # (p, K)
+        slot = jnp.arange(L, dtype=i32)[None, :, None]
+        min_slot = jnp.min(jnp.where(key <= ck[:, None, :], slot, L), axis=1)
+        first = slot == min_slot[:, None, :]
+        ctid = jnp.sum(jnp.where(first, tid[:, :, None], 0), axis=1)
+        cu = jnp.sum(jnp.where(first, u, 0.0), axis=1)
+        cv = jnp.sum(jnp.where(first, v, 0.0), axis=1)
         win = ck < _BIG
         s = dict(s,
                  btri=jnp.where(win, ctid, s["btri"]),
@@ -344,37 +319,74 @@ def _mxu_traverse(bvh: SplitBVH, ray_o, ray_d, t_min, t_max, active,
         s, dp = ds
         return jnp.any(dp < s["qn"])
 
-    # ---------------- outer loop ----------------
-    def outer_body(os_):
-        s, oit = os_
+    # ---------------- outer loop (walk | sort | drain) ----------------
+    def outer_body(s):
         s = jax.lax.while_loop(walk_cond, walk_body, s)
         key, vals = _oddeven_sort_pairs(
-            jnp.where(qcols < s["qn"][:, None], s["qt"], _BIG),
+            jnp.where(qcols[:, :s["qt"].shape[1]] < s["qn"][:, None],
+                      s["qt"], _BIG),
             s["qid"])
         s = dict(s, qt=key, qid=vals)
-        s, _dp = jax.lax.while_loop(drain_cond, drain_body,
-                                    (s, jnp.zeros((p,), i32)))
-        s = dict(s, qn=jnp.zeros((p,), i32), qt=jnp.full((p, Q), _BIG, f32))
-        return (s, oit + 1)
+        s, _dp = jax.lax.while_loop(
+            drain_cond, drain_body,
+            (s, jnp.zeros(s["qn"].shape, i32)))
+        s = dict(s, qn=jnp.zeros_like(s["qn"]),
+                 qt=jnp.full_like(s["qt"], _BIG))
+        return dict(s, oit=s["oit"] + 1)
 
-    def outer_cond(os_):
-        s, oit = os_
-        unfinished = (s["cur"] != done) | (s["qn"] > 0)
-        return jnp.any(unfinished) & (oit < max_outer)
+    def unfinished(s):
+        return (s["cur"] != done) | (s["qn"] > 0)
 
-    state, outer_iters = jax.lax.while_loop(outer_cond, outer_body,
-                                            (state, jnp.zeros((), i32)))
+    # ---------------- packet-compaction phases ----------------
+    out_t = pk(t_max.astype(f32))
+    out_tri = jnp.full((p0, K), -1, i32)
+    out_u = jnp.zeros((p0, K), f32)
+    out_v = jnp.zeros((p0, K), f32)
 
-    rec = HitRecord(t=state["bt"].reshape(n), tri_id=state["btri"].reshape(n),
-                    u=state["bu"].reshape(n), v=state["bv"].reshape(n))
+    min_packets = max(MIN_COMPACT_SIZE // PACKET, 32)
+    sizes = [p0]
+    while (len(sizes) <= MAX_COMPACT_PHASES
+           and (sizes[-1] + 3) // 4 >= min_packets):
+        sizes.append((sizes[-1] + 3) // 4)
+
+    for pi, size in enumerate(sizes):
+        final = pi == len(sizes) - 1
+        if final:
+            def cond(s):
+                return jnp.any(unfinished(s)) & (s["oit"] < max_outer)
+        else:
+            next_size = sizes[pi + 1]
+
+            def cond(s, _ns=next_size):
+                alive = jnp.sum(unfinished(s).astype(i32))
+                return (alive > _ns) & (s["oit"] < max_outer)
+
+        state = jax.lax.while_loop(cond, outer_body, state)
+
+        out_t = out_t.at[state["idx"]].set(state["bt"], mode="drop")
+        out_tri = out_tri.at[state["idx"]].set(state["btri"], mode="drop")
+        out_u = out_u.at[state["idx"]].set(state["bu"], mode="drop")
+        out_v = out_v.at[state["idx"]].set(state["bv"], mode="drop")
+
+        if not final:
+            perm = _compact_perm(~unfinished(state), size)[:sizes[pi + 1]]
+            state = {k: (v if k in ("it", "oit")
+                         else jnp.take(v, perm, axis=1)
+                         if k in ("snode", "smask")
+                         else jnp.take(v, perm, axis=0))
+                     for k, v in state.items()}
+
+    rec = HitRecord(t=out_t.reshape(n), tri_id=out_tri.reshape(n),
+                    u=out_u.reshape(n), v=out_v.reshape(n))
     if stats:
-        return rec, {"walk_iters": state["it"], "outer_iters": outer_iters}
+        return rec, {"walk_iters": state["it"], "outer_iters": state["oit"],
+                     "sizes": tuple(sizes)}
     return rec
 
 
 def mxu_closest_hit(bvh: SplitBVH, ray_o, ray_d, t_min, t_max, active=None):
-    """Closest-hit over coherent 128-ray packets via the MXU leaf matmuls.
-    accept_fn unsupported — alpha-tested rays use accel.traverse."""
+    """Closest-hit over coherent 128-ray packets via the fat-leaf walk/drain
+    traversal. accept_fn unsupported — alpha-tested rays use accel.traverse."""
     n = ray_o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

@@ -188,6 +188,17 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
     n = ray_o.shape[0]
     inv_d = _safe_inv(ray_d)
     done_code = jnp.int32(bvh.num_rows)  # cur == done_code => lane finished
+
+    # Pallas loop body (accel/pallas_body.py): reads each gathered 512 B
+    # record tile into VMEM once and runs the body component-major (rays on
+    # the VPU lanes) — the XLA body re-streams rows ~5x and wastes lanes on
+    # 8/12-wide blocks. Alpha-tested traversals keep the XLA body (the
+    # accept_fn needs texture gathers).
+    from . import pallas_body as _pb
+    use_pallas = (accept_fn is None and _pb.enabled()
+                  and (n % _pb.TILE == 0
+                       or (n <= _pb.TILE and n % 128 == 0)))
+    pallas_interpret = jax.default_backend() == "cpu"
     # (node, mask) entries: at most one live entry per tree level.
     stack_depth = bvh.max_depth + 2
     levels = jnp.arange(stack_depth, dtype=jnp.int32)[:, None]
@@ -221,6 +232,24 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         (idx, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
          cur, pmask, snode, smask, sp,
          best_t, best_tri, best_u, best_v, it) = s
+
+        if use_pallas:
+            alive_p = cur != done_code
+            is_leaf_p = alive_p & (cur < 0)
+            is_int_p = alive_p & (cur >= 0)
+            row_p = jnp.where(is_leaf_p, ~cur, jnp.where(is_int_p, cur, 0))
+            rec_p = jnp.take(bvh.table, row_p, axis=0, mode="clip")
+            (cur2, pmask2, sp2, snode2, smask2,
+             bt2, btri2, bu2, bv2) = _pb.pallas_step(
+                rec_p, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
+                cur, pmask, sp, snode, smask,
+                best_t, best_tri, best_u, best_v,
+                first_hit=first_hit, done_code=int(bvh.num_rows),
+                stack_depth=int(snode.shape[0]),
+                interpret=pallas_interpret)
+            return (idx, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
+                    cur2, pmask2, snode2, smask2, sp2,
+                    bt2, btri2, bu2, bv2, it + 1)
 
         alive = cur != done_code
         is_leaf = alive & (cur < 0)

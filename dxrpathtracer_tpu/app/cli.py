@@ -110,7 +110,8 @@ def cmd_bake(args):
 
     settings = _settings_from_args(args)
     sess = RenderSession(settings=settings, width=8, height=8)
-    baker = Baker(sess, resolution=args.resolution)
+    baker = Baker(sess, resolution=args.resolution,
+                  atlas_mode=getattr(args, "atlas", "charts"))
     t0 = time.time()
     for i in range(args.samples):
         baker.bake_step()
@@ -131,14 +132,21 @@ def cmd_bake(args):
 
 
 def cmd_uvviz(args):
-    from ..bake.lightmap_uv import build_lightmap_atlas
     from ..render.uvviz import visualize_uvs
     from ..render.film import write_png
     from ..scene.registry import load_scene
 
     settings = _settings_from_args(args)
     scene, _ = load_scene(settings.current_scene)
-    atlas = build_lightmap_atlas(int(scene.num_triangles))
+    if getattr(args, "atlas", "charts") == "charts":
+        import numpy as _np
+        from ..bake.charts import build_charted_atlas
+        atlas = build_charted_atlas(_np.asarray(scene.positions),
+                                    _np.asarray(scene.tri_idx),
+                                    ref_resolution=args.resolution)
+    else:
+        from ..bake.lightmap_uv import build_lightmap_atlas
+        atlas = build_lightmap_atlas(int(scene.num_triangles))
     img = visualize_uvs(atlas, args.resolution)
     write_png(args.output, img)
     print(f"# wrote {args.output}", file=sys.stderr)
@@ -166,6 +174,10 @@ def main(argv=None):
     p_bake = sub.add_parser("bake", help="bake a GI lightmap")
     p_bake.add_argument("--resolution", type=int, default=1024)
     p_bake.add_argument("--samples", type=int, default=64)
+    p_bake.add_argument("--atlas", type=str, default="charts",
+                        choices=["charts", "pairs"],
+                        help="lightmap UV atlas: charted (xatlas-equivalent)"
+                             " or the analytic per-triangle pair packer")
     p_bake.add_argument("--denoise", type=str, default=None,
                         choices=[None, "median", "atrous"])
     p_bake.add_argument("--output", type=str, default="lightmap.png")
@@ -192,6 +204,8 @@ def main(argv=None):
 
     p_uv = sub.add_parser("uvviz", help="visualize the lightmap UV layout")
     p_uv.add_argument("--resolution", type=int, default=1024)
+    p_uv.add_argument("--atlas", type=str, default="charts",
+                      choices=["charts", "pairs"])
     p_uv.add_argument("--output", type=str, default="uvs.png")
     _add_settings_flags(p_uv)
     p_uv.set_defaults(fn=cmd_uvviz)

@@ -72,11 +72,12 @@ class AppSettings:
     # traversal in hardware): route coherent rays (primaries, depth-1 sun
     # NEE) through the 128-wide packet traversal (accel/packet.py).
     enable_packet_traversal: bool = True
-    # TPU-only: fat-leaf split-table traversal whose leaf intersection runs
-    # as batched MXU matmuls (accel/mxu.py). Applies wherever packets apply;
-    # requires the session to have built the SplitBVH (RenderSession does
-    # when this is on).
-    enable_mxu_traversal: bool = True
+    # TPU-only: fat-leaf split-table walk/drain traversal (accel/mxu.py).
+    # Default OFF: measured on the v5e it loses to the packet traversal on
+    # every ray class (75 vs 60 ms d1 closest, 375 vs 155 ms d2 sun any at
+    # 960x540 Sponza-class; PERF_NOTES.md round-3). Kept as a validated
+    # alternate engine (0/518k hit mismatches vs per-ray on TPU).
+    enable_mxu_traversal: bool = False
     # TPU-only: route depth>=2 sun NEE and terminal visibility rays through
     # the packet/MXU path too (off = per-ray, the round-2 measured optimum
     # for the VPU packet path; re-measured per backend on the real chip).

@@ -140,10 +140,22 @@ class Baker:
     # Rays per dispatched slab (same device limit as app/session.py).
     MAX_SLAB_RAYS = 4 * 131072
 
-    def __init__(self, session, resolution: int = 512):
+    def __init__(self, session, resolution: int = 512,
+                 atlas_mode: str = "charts"):
         self.session = session
         self.resolution = resolution
-        self.atlas = build_lightmap_atlas(int(session.scene_host.num_triangles))
+        if atlas_mode == "charts":
+            # xatlas-equivalent charted atlas: area-proportional texel
+            # density + packed charts (bake/charts.py; Model.cpp:608-719)
+            from .charts import build_charted_atlas
+            import numpy as np
+            self.atlas = build_charted_atlas(
+                np.asarray(session.scene_host.positions),
+                np.asarray(session.scene_host.tri_idx),
+                ref_resolution=resolution)
+        else:
+            self.atlas = build_lightmap_atlas(
+                int(session.scene_host.num_triangles))
         self.surface_maps = build_surface_maps(session.scene_host, self.atlas,
                                                resolution)
         # Row-slab state: full-resolution bakes (the reference's 4096^2,

@@ -15,10 +15,20 @@ from ..scene.textures import sample_bilinear_wrap
 from .lightmap_uv import LightmapAtlas, texel_to_triangle
 
 
-def build_surface_maps(scene, atlas: LightmapAtlas, resolution: int):
+def atlas_texel_map(atlas, resolution: int):
+    """(tri_map, bu, bv) for either atlas flavor: closed form for the
+    analytic pair atlas, rasterization + gutter dilation for ChartedAtlas."""
+    from .charts import ChartedAtlas, rasterize_texel_map
+    if isinstance(atlas, ChartedAtlas):
+        tri_map, bu, bv, _cov = rasterize_texel_map(atlas.tri_uv, resolution)
+        return tri_map, bu, bv
+    return texel_to_triangle(atlas, resolution)
+
+
+def build_surface_maps(scene, atlas, resolution: int):
     """Returns dict of device arrays:
     position (S,S,4) [xyz | coverage], normal (S,S,3), albedo (S,S,3)."""
-    tri_map, bu, bv = texel_to_triangle(atlas, resolution)
+    tri_map, bu, bv = atlas_texel_map(atlas, resolution)
     tri_map_d = jnp.asarray(tri_map.reshape(-1))
     bu_d = jnp.asarray(bu.reshape(-1))
     bv_d = jnp.asarray(bv.reshape(-1))

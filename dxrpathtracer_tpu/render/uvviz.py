@@ -8,14 +8,15 @@ visualization marks coverage and edge proximity directly.
 
 import numpy as np
 
-from ..bake.lightmap_uv import LightmapAtlas, texel_to_triangle
+from ..bake.lightmap_uv import LightmapAtlas  # noqa: F401
+from ..bake.surface_map import atlas_texel_map
 
 
-def visualize_uvs(atlas: LightmapAtlas, resolution: int = 1024,
+def visualize_uvs(atlas, resolution: int = 1024,
                   edge_width: float = 0.02) -> np.ndarray:
     """(S, S, 3) uint-friendly float image: charts tinted per triangle, edges
     drawn bright (the wireframe equivalent), uncovered texels black."""
-    tri, bu, bv = texel_to_triangle(atlas, resolution)
+    tri, bu, bv = atlas_texel_map(atlas, resolution)
     covered = tri >= 0
 
     # barycentric distance to the nearest edge
