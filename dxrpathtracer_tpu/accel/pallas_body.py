@@ -20,7 +20,14 @@ test needs texture fetches -> XLA body). Math is expression-for-expression
 identical to accel/traverse.py's body — results are bit-identical, enforced
 by tests/test_pallas_body.py and tools/crosscheck_tpu.py.
 
-Enable via DXRPT_PALLAS_BODY=1|0 (default: auto = on for TPU backends).
+Measured on the v5e (960x540 Sponza-class, PERF_NOTES.md round 3): the
+kernel is bit-exact vs the XLA body ON DEVICE (0/518400 mismatches across
+closest/any/terminal populations) but 15-35% SLOWER (d2 sun any 244 vs
+179 ms): the per-tile (T,128)->(128,T) sublane/lane transpose plus the
+per-iteration pallas_call cost exceed what the re-streaming saves at
+post-compaction lane counts. Default OFF; enable with DXRPT_PALLAS_BODY=1
+for A/Bs. It remains the reference Pallas implementation of the traversal
+body and a third cross-validating engine.
 """
 
 import functools
@@ -38,13 +45,8 @@ TILE = 2048
 
 
 def enabled() -> bool:
-    mode = os.environ.get("DXRPT_PALLAS_BODY", "auto")
-    if mode == "auto":
-        try:
-            return jax.default_backend() not in ("cpu",)
-        except Exception:
-            return False
-    return mode not in ("0", "", "off")
+    mode = os.environ.get("DXRPT_PALLAS_BODY", "0")
+    return mode not in ("0", "", "off", "auto")
 
 
 def _kernel(first_hit: bool, done_code: int, stack_depth: int,
@@ -57,7 +59,7 @@ def _kernel(first_hit: bool, done_code: int, stack_depth: int,
     f32 = jnp.float32
     i32 = jnp.int32
     L = LEAF_SIZE
-    T = rec_ref.shape[0]
+    T = rec_ref.shape[0]  # lane tile
 
     # one VMEM transpose per tile -> every op below is (components, T)
     # with rays on the 128-lane minor dimension
@@ -76,8 +78,8 @@ def _kernel(first_hit: bool, done_code: int, stack_depth: int,
     cur = cur_ref[0, :]
     pmask = pmask_ref[0, :]
     sp = sp_ref[0, :]
-    snode = snode_ref[:, 0, :]                # (S, T)
-    smask = smask_ref[:, 0, :]
+    snode = snode_ref[:, :]                   # (S, T)
+    smask = smask_ref[:, :]
     best_t = bt_ref[0, :]
     best_tri = btri_ref[0, :]
     best_u = bu_ref[0, :]
@@ -195,54 +197,68 @@ def _kernel(first_hit: bool, done_code: int, stack_depth: int,
     o_cur[0, :] = cur_next
     o_pmask[0, :] = pmask_next
     o_sp[0, :] = sp_next
-    o_snode[:, 0, :] = snode
-    o_smask[:, 0, :] = smask
+    o_snode[:, :] = snode
+    o_smask[:, :] = smask
     o_bt[0, :] = best_t
     o_btri[0, :] = best_tri
     o_bu[0, :] = best_u
     o_bv[0, :] = best_v
 
 
+def pick_tile(m: int, max_tile: int = TILE):
+    """Largest lane-tile t with t | m, t % 128 == 0, t <= max_tile — the
+    Mosaic block rule needs the last dim tiled in 128s; None when m has no
+    such divisor (caller falls back to the XLA body)."""
+    if m % 128 != 0:
+        return None
+    q = m // 128
+    best = None
+    for d in range(1, min(q, max_tile // 128) + 1):
+        if q % d == 0:
+            best = d * 128
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("first_hit", "done_code",
-                                             "stack_depth", "interpret"))
+                                             "stack_depth", "tile",
+                                             "interpret"))
 def pallas_step(rec, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
                 cur, pmask, sp, snode, smask, bt, btri, bu, bv,
                 first_hit: bool, done_code: int, stack_depth: int,
-                interpret: bool = False):
+                tile: int, interpret: bool = False):
     """One traversal step for all m lanes via the Pallas body kernel.
 
     rec: (m, RECORD) gathered records; lane vectors (m,); stacks (S, m).
-    Returns (cur, pmask, sp, snode, smask, bt, btri, bu, bv)."""
+    Lane vectors ride as (1, m) arrays blocked (1, t): the sublane dim then
+    equals the array dim (Mosaic's block rule) and rays stay on the VPU
+    lane dimension. Returns (cur, pmask, sp, snode, smask, bt, btri, bu,
+    bv)."""
     m = rec.shape[0]
-    t = min(TILE, m)
-    assert m % t == 0, (m, t)
+    t = tile
+    assert m % t == 0 and t % 128 == 0, (m, t)
     g = m // t
     s = stack_depth
 
-    def v2(x):   # (m,) -> (g, t)
-        return x.reshape(g, t)
+    def v2(x):   # (m,) -> (1, m)
+        return x.reshape(1, m)
 
-    def s3(x):   # (S, m) -> (S, g, t)
-        return x.reshape(s, g, t)
-
-    vspec = pl.BlockSpec((1, t), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((s, 1, t), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, t), lambda i: (0, i), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((s, t), lambda i: (0, i), memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((t, RECORD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
 
     f32 = jnp.float32
     i32 = jnp.int32
     out_shapes = (
-        jax.ShapeDtypeStruct((g, t), i32),      # cur
-        jax.ShapeDtypeStruct((g, t), i32),      # pmask
-        jax.ShapeDtypeStruct((g, t), i32),      # sp
-        jax.ShapeDtypeStruct((s, g, t), i32),   # snode
-        jax.ShapeDtypeStruct((s, g, t), i32),   # smask
-        jax.ShapeDtypeStruct((g, t), f32),      # bt
-        jax.ShapeDtypeStruct((g, t), i32),      # btri
-        jax.ShapeDtypeStruct((g, t), f32),      # bu
-        jax.ShapeDtypeStruct((g, t), f32),      # bv
+        jax.ShapeDtypeStruct((1, m), i32),      # cur
+        jax.ShapeDtypeStruct((1, m), i32),      # pmask
+        jax.ShapeDtypeStruct((1, m), i32),      # sp
+        jax.ShapeDtypeStruct((s, m), i32),      # snode
+        jax.ShapeDtypeStruct((s, m), i32),      # smask
+        jax.ShapeDtypeStruct((1, m), f32),      # bt
+        jax.ShapeDtypeStruct((1, m), i32),      # btri
+        jax.ShapeDtypeStruct((1, m), f32),      # bu
+        jax.ShapeDtypeStruct((1, m), f32),      # bv
     )
     kern = functools.partial(_kernel, first_hit, done_code, stack_depth)
     outs = pl.pallas_call(
@@ -256,9 +272,9 @@ def pallas_step(rec, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
         interpret=interpret,
     )(rec, v2(ox), v2(oy), v2(oz), v2(dx), v2(dy), v2(dz),
       v2(ivx), v2(ivy), v2(ivz), v2(tmin),
-      v2(cur), v2(pmask), v2(sp), s3(snode), s3(smask),
+      v2(cur), v2(pmask), v2(sp), snode, smask,
       v2(bt), v2(btri), v2(bu), v2(bv))
     cur2, pmask2, sp2, snode2, smask2, bt2, btri2, bu2, bv2 = outs
     return (cur2.reshape(m), pmask2.reshape(m), sp2.reshape(m),
-            snode2.reshape(s, m), smask2.reshape(s, m),
+            snode2, smask2,
             bt2.reshape(m), btri2.reshape(m), bu2.reshape(m), bv2.reshape(m))

@@ -195,9 +195,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
     # 8/12-wide blocks. Alpha-tested traversals keep the XLA body (the
     # accept_fn needs texture gathers).
     from . import pallas_body as _pb
-    use_pallas = (accept_fn is None and _pb.enabled()
-                  and (n % _pb.TILE == 0
-                       or (n <= _pb.TILE and n % 128 == 0)))
+    pallas_enabled = accept_fn is None and _pb.enabled()
     pallas_interpret = jax.default_backend() == "cpu"
     # (node, mask) entries: at most one live entry per tree level.
     stack_depth = bvh.max_depth + 2
@@ -233,7 +231,11 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
          cur, pmask, snode, smask, sp,
          best_t, best_tri, best_u, best_v, it) = s
 
-        if use_pallas:
+        # per-trace decision: the body is retraced at each compaction
+        # phase's lane count, and the kernel needs a 128-multiple lane tile
+        # dividing it
+        pallas_tile = _pb.pick_tile(cur.shape[0]) if pallas_enabled else None
+        if pallas_tile is not None:
             alive_p = cur != done_code
             is_leaf_p = alive_p & (cur < 0)
             is_int_p = alive_p & (cur >= 0)
@@ -245,7 +247,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
                 cur, pmask, sp, snode, smask,
                 best_t, best_tri, best_u, best_v,
                 first_hit=first_hit, done_code=int(bvh.num_rows),
-                stack_depth=int(snode.shape[0]),
+                stack_depth=int(snode.shape[0]), tile=pallas_tile,
                 interpret=pallas_interpret)
             return (idx, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
                     cur2, pmask2, snode2, smask2, sp2,
@@ -336,7 +338,11 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
     sizes = [n]
     while (len(sizes) <= MAX_COMPACT_PHASES
            and sizes[-1] // 2 >= MIN_COMPACT_SIZE):
-        sizes.append(sizes[-1] // 2)
+        nxt = sizes[-1] // 2
+        if nxt >= 2048:
+            # multiples of 2048 give the Pallas body its full lane tile
+            nxt = (nxt // 2048) * 2048
+        sizes.append(nxt)
 
     # Two traversal steps per while_loop iteration: a loop iteration carries
     # ~130 us fixed cost regardless of lane count (tools/costmodel.py), and

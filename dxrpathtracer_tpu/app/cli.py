@@ -179,7 +179,7 @@ def main(argv=None):
                         help="lightmap UV atlas: charted (xatlas-equivalent)"
                              " or the analytic per-triangle pair packer")
     p_bake.add_argument("--denoise", type=str, default=None,
-                        choices=[None, "median", "atrous"])
+                        choices=[None, "median", "atrous", "guided"])
     p_bake.add_argument("--output", type=str, default="lightmap.png")
     p_bake.add_argument("--progress", action="store_true", default=True)
     _add_settings_flags(p_bake)

@@ -101,6 +101,73 @@ MOVE_SPEED = 0.5   # per keypress (the reference uses 5.0 * dt held-key)
 ROT_SPEED = 0.12
 
 
+class SettingsMenu:
+    """Runtime settings editor auto-generated from the AppSettings registry
+    — the terminal ImGui equivalent (the reference reflects AppSettings.cs
+    into an ImGui panel, Settings.cpp:176-332; here the same dataclass that
+    generates CLI flags generates the menu). Changes go through
+    settings.replace(), so restart_key() dirty-tracking resets the
+    progressive accumulation exactly like a CLI/ImGui change would.
+
+    Keys: j/k move, h/l adjust (floats step, ints +-1, bools/enums cycle),
+    enter toggles, o or x closes."""
+
+    _FLOAT_STEPS = {"exposure": 0.5, "bloom_exposure": 0.5, "sun_size": 0.1,
+                    "turbidity": 0.25, "bloom_magnitude": 0.1,
+                    "bloom_blur_sigma": 0.25, "roughness_scale": 0.05,
+                    "metallic_scale": 0.05}
+
+    def __init__(self, app):
+        import dataclasses as _dc
+        self.app = app
+        self.fields = [f for f in _dc.fields(AppSettings)
+                       if not isinstance(f.default, tuple)]
+        self.cursor = 0
+        self.closed = False
+
+    def _adjust(self, field, direction):
+        import enum as _enum
+        s = self.app.session.settings
+        cur = getattr(s, field.name)
+        if isinstance(cur, bool):
+            new = not cur
+        elif isinstance(cur, _enum.IntEnum):
+            members = list(type(cur))
+            new = members[(members.index(cur) + direction) % len(members)]
+        elif isinstance(cur, int):
+            new = max(cur + direction, 0)
+        elif isinstance(cur, float):
+            new = cur + direction * self._FLOAT_STEPS.get(field.name, 0.1)
+        else:
+            return
+        self.app.session.settings = s.replace(**{field.name: new})
+
+    def handle_key(self, key):
+        if key in ("o", "x", "\x1b"):
+            self.closed = True
+        elif key in ("j", "s"):
+            self.cursor = (self.cursor + 1) % len(self.fields)
+        elif key in ("k", "w"):
+            self.cursor = (self.cursor - 1) % len(self.fields)
+        elif key in ("l", "+", "=", "\r", "\n"):
+            self._adjust(self.fields[self.cursor], +1)
+        elif key in ("h", "-"):
+            self._adjust(self.fields[self.cursor], -1)
+
+    def render_lines(self, max_rows=18):
+        s = self.app.session.settings
+        half = max_rows // 2
+        lo = max(0, min(self.cursor - half, len(self.fields) - max_rows))
+        out = ["--- settings (j/k move, h/l adjust, o close) ---"]
+        for i in range(lo, min(lo + max_rows, len(self.fields))):
+            f = self.fields[i]
+            v = getattr(s, f.name)
+            v = v.name if hasattr(v, "name") else v
+            mark = ">" if i == self.cursor else " "
+            out.append(f"{mark} {f.name:<42} {v}")
+        return out
+
+
 class InteractiveApp:
     """Update/Render loop around RenderSession (App::Run, SampleFramework12
     App.cpp:55-87 + DXRPathTracer::Update/Render)."""
@@ -113,6 +180,7 @@ class InteractiveApp:
         self.session = RenderSession(settings=self.settings, width=width,
                                      height=height)
         self.display = _supports_color() if display is None else display
+        self.menu = None
         self.raster_mode = False
         self.quit = False
         self.frame_times = []
@@ -120,6 +188,17 @@ class InteractiveApp:
 
     # -- input handling (DXRPathTracer.cpp:1353-1381) --
     def handle_key(self, key):
+        if getattr(self, "menu", None) is not None:
+            self.menu.handle_key(key)
+            if self.menu.closed:
+                self.menu = None
+            return
+        if key == "o":
+            # runtime settings editor over the FULL registry — the
+            # terminal equivalent of the reference's auto-generated ImGui
+            # editor (Settings.cpp:176-332)
+            self.menu = SettingsMenu(self)
+            return
         cam = self.session.camera
         s = self.session.settings
         fwd = cam.forward()
@@ -183,7 +262,10 @@ class InteractiveApp:
         self.frame_times.append(time.perf_counter() - t0)
 
     def current_display_image(self):
-        return np.asarray(self.session.display_image())
+        """Full-resolution display image (screenshots): chunked readback —
+        large single transfers can hang the tunneled device."""
+        from ..utils.transfer import device_to_host
+        return device_to_host(self.session.display_image())
 
     def hud_line(self):
         """HUD text (the reference's ImGui overlay, DXRPathTracer.cpp:2151-90):
@@ -202,13 +284,36 @@ class InteractiveApp:
                 f"{'raster' if self.raster_mode else 'path'}  "
                 f"[wasdqe move, ijkl look, p shot, x quit]")
 
+    # terminal cell budget (ansi_halfblock_frame: 2 pixels per text row)
+    PRESENT_COLS = 120
+    PRESENT_ROWS = 112
+
     def present(self):
+        """Pipelined present: the session tone-maps + downsamples ON DEVICE
+        to the terminal's ~120x112 pixels (~40 KB readback instead of the
+        full HDR frame — ~1 s at 960x540 over the ~40 MB/s tunnel), the
+        copy to host is started asynchronously, and the PREVIOUS frame's
+        already-arrived thumbnail is drawn — so the tunnel RTT overlaps the
+        next sample's dispatch (the reference's frame-latency-2 swap chain,
+        DX12.cpp:263-305)."""
         if not self.display:
             return
-        img = to_rgb8(self.current_display_image())
+        cols = min(self.PRESENT_COLS, self.width)
+        rows = min(self.PRESENT_ROWS, self.height)
+        thumb = self.session.display_thumbnail(cols, rows)
+        try:
+            thumb.copy_to_host_async()
+        except AttributeError:
+            pass
+        prev = getattr(self, "_pending_thumb", None)
+        self._pending_thumb = thumb
+        if prev is None:
+            return
         sys.stdout.write("\x1b[H\x1b[2J")
-        sys.stdout.write(ansi_halfblock_frame(img))
+        sys.stdout.write(ansi_halfblock_frame(np.asarray(prev)))
         sys.stdout.write("\n" + self.hud_line() + "\n")
+        if self.menu is not None:
+            sys.stdout.write("\n".join(self.menu.render_lines()) + "\n")
         sys.stdout.flush()
 
     # -- loops --

@@ -284,20 +284,35 @@ class RenderSession:
 
         self._update_sky()
         sun_shadow_pcf = None
+        spot_shadow_pcf = None
         if shadow_mode == "pcf":
+            from ..app.settings import SPOT_SHADOW_NEAR_CLIP
+            from ..render.integrator import _make_alpha_test
             from ..render.shadows import (prepare_cascades,
-                                          render_cascade_depth_maps)
+                                          prepare_spot_shadows,
+                                          render_cascade_depth_maps,
+                                          render_spot_depth_maps)
+            accept = _make_alpha_test(self.scene, self.settings)
             sun_dir = np.asarray(self.settings.sun_direction, np.float32)
             cascades = prepare_cascades(self.camera,
                                         sun_dir / np.linalg.norm(sun_dir),
                                         map_size=shadow_map_size)
-            from ..render.integrator import _make_alpha_test
             with self.profiler.gpu_scope("RenderSunShadowMap") as scope:
                 depth_maps = render_cascade_depth_maps(
-                    self.bvh, cascades, shadow_map_size,
-                    accept_fn=_make_alpha_test(self.scene, self.settings))
+                    self.bvh, cascades, shadow_map_size, accept_fn=accept)
                 scope.result = depth_maps
             sun_shadow_pcf = (depth_maps, cascades)
+            if self.scene_host.lights.num_lights > 0:
+                # per-spot perspective depth + the same PCF kernel
+                # (MeshRenderer.cpp:568-608)
+                spots = prepare_spot_shadows(self.scene_host.lights,
+                                             SPOT_SHADOW_NEAR_CLIP)
+                with self.profiler.gpu_scope("RenderSpotShadowMap") as scope:
+                    spot_maps = render_spot_depth_maps(
+                        self.bvh, spots,
+                        min(shadow_map_size * 2, 1024), accept_fn=accept)
+                    scope.result = spot_maps
+                spot_shadow_pcf = (spot_maps, spots)
         spheres, dims = froxel_bounding_spheres(self.width, self.height, self.camera)
         with self.profiler.gpu_scope("RenderClusters") as scope:
             masks = build_cluster_masks(jax.device_put(self.scene.lights),
@@ -312,7 +327,8 @@ class RenderSession:
                 masks, dims, self.camera.forward(),
                 self.camera.near_clip, self.camera.far_clip,
                 lightmap=lightmap, lightmap_uvs=lightmap_uvs,
-                sun_shadow_pcf=sun_shadow_pcf)
+                sun_shadow_pcf=sun_shadow_pcf,
+                spot_shadow_pcf=spot_shadow_pcf)
         return img
 
     def display_image(self):
@@ -320,6 +336,38 @@ class RenderSession:
         s = self.settings
         return post_process(self.accum, s.exposure, s.bloom_exposure,
                             s.bloom_magnitude, s.bloom_blur_sigma)
+
+    def display_thumbnail(self, cols: int, rows: int):
+        """Device-side downsampled tone-mapped uint8 preview for the
+        interactive present: the terminal needs <= ~120x112 pixels, so
+        tone-map a strided subsample ON DEVICE and read back ~40 KB instead
+        of the full HDR frame (a full-frame np.asarray costs ~1 s at
+        960x540 over the ~40 MB/s tunnel; PERF_NOTES.md). Bloom is skipped
+        in the preview (it needs the full-res image; screenshots still use
+        display_image). Returns a device (rows, cols, 3) uint8 array."""
+        key = (cols, rows)
+        if getattr(self, "_thumb_key", None) != key:
+            ys = np.linspace(0, self.height - 1, rows).astype(np.int32)
+            xs = np.linspace(0, self.width - 1, cols).astype(np.int32)
+            self._thumb_ys = jnp.asarray(ys)
+            self._thumb_xs = jnp.asarray(xs)
+            self._thumb_key = key
+
+            @jax.jit
+            def thumb(slabs, exposure):
+                from ..render.postfx import tone_map_filmic_alu
+                from ..core.constants import FP16Scale
+                img = slabs[0] if len(slabs) == 1 else jnp.concatenate(
+                    slabs, axis=0)
+                small = jnp.take(jnp.take(img, self._thumb_ys, axis=0),
+                                 self._thumb_xs, axis=1)
+                disp = tone_map_filmic_alu(
+                    small * (2.0 ** exposure) / FP16Scale)
+                return jnp.clip(disp * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+            self._thumb_fn = thumb
+        return self._thumb_fn(self._accum_slabs,
+                              jnp.float32(self.settings.exposure))
 
     def checkpoint_state(self):
         """Progressive-render checkpoint: {accum, sample_idx} (SURVEY.md §5.4)."""

@@ -214,9 +214,19 @@ class Baker:
         return lightmap_from_accum(self.accum)
 
     def denoised_lightmap(self, mode: str = "median"):
-        from ..render.denoise import atrous_denoise, median_filter_3x3
+        """median: DenoiseMedian.hlsl parity; atrous: unguided wavelet;
+        guided: surface-map-guided joint bilateral (the OIDN-class option —
+        guides are the bake's own albedo/normal G-buffer, same auxiliary
+        features OIDN RTLightmap uses)."""
+        from ..render.denoise import (atrous_denoise,
+                                      guided_bilateral_denoise,
+                                      median_filter_3x3)
         lm = self.lightmap()
         if mode == "median":
             return median_filter_3x3(lm)
         valid = self.accum[..., 3] > 0.0
+        if mode == "guided":
+            return guided_bilateral_denoise(
+                lm, self.surface_maps["albedo"],
+                self.surface_maps["normal"], valid=valid)
         return atrous_denoise(lm, valid=valid)

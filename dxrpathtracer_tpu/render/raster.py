@@ -49,7 +49,8 @@ MSAA_OFFSETS = {
 def shade_pixels(scene, bvh, rec, ray_o, ray_d, settings: AppSettings,
                  frame: FrameConstants, sky_sh, cluster_masks, cluster_dims,
                  pixel_xy, width, height, camera_forward, near_clip, far_clip,
-                 lightmap=None, lightmap_uvs=None, sun_shadow_pcf=None):
+                 lightmap=None, lightmap_uvs=None, sun_shadow_pcf=None,
+                 spot_shadow_pcf=None):
     """ShadePixel (Shading.hlsl:79-240) over a flat batch of primary hits.
 
     sun_shadow_pcf: optional (depth_maps, cascades) pair switching sun
@@ -165,11 +166,19 @@ def shade_pixels(scene, bvh, rec, ray_o, ray_d, settings: AppSettings,
             falloff = saturate(1.0 - dd ** 4)
             falloff = (falloff * falloff) / (dist * dist + 1.0)
             relevant = hit & in_cluster & (ang > 0.0)
-            vis = any_hit(bvh, pos + normal * 0.01, to_light,
-                          SPOT_SHADOW_NEAR_CLIP,
-                          jnp.maximum(dist - SPOT_SHADOW_NEAR_CLIP,
-                                      SPOT_SHADOW_NEAR_CLIP),
-                          relevant, accept_fn=alpha_test)
+            if spot_shadow_pcf is not None:
+                # per-spot 1024^2 depth map + the shared 7x7 PCF
+                # (MeshRenderer.cpp:568-608); exact rays otherwise
+                from .shadows import spot_visibility_pcf
+                spot_maps, spot_cams = spot_shadow_pcf
+                vis = spot_visibility_pcf(spot_maps, spot_cams, li, pos,
+                                          normal, dot(normal, to_light))
+            else:
+                vis = any_hit(bvh, pos + normal * 0.01, to_light,
+                              SPOT_SHADOW_NEAR_CLIP,
+                              jnp.maximum(dist - SPOT_SHADOW_NEAR_CLIP,
+                                          SPOT_SHADOW_NEAR_CLIP),
+                              relevant, accept_fn=alpha_test)
             light = brdf_lib.calc_lighting(
                 normal, to_light, lint * (ang * falloff)[..., None],
                 diffuse_albedo, specular_albedo, roughness, pos,
@@ -250,7 +259,8 @@ def forward_render(scene, bvh, sky_cube, sky_sh, settings: AppSettings,
                    frame: FrameConstants, width: int, height: int,
                    cluster_masks, cluster_dims, camera_forward,
                    near_clip: float, far_clip: float,
-                   lightmap=None, lightmap_uvs=None, sun_shadow_pcf=None):
+                   lightmap=None, lightmap_uvs=None, sun_shadow_pcf=None,
+                 spot_shadow_pcf=None):
     """Full raster-mode frame: MSAA subsample shading + weighted resolve.
 
     Returns (H, W, 3) radiance (pre-tonemap, FP16Scale units).
@@ -289,7 +299,8 @@ def forward_render(scene, bvh, sky_cube, sky_sh, settings: AppSettings,
                               sky_sh, cluster_masks, cluster_dims, pixel_xy,
                               width, height, camera_forward, near_clip, far_clip,
                               lightmap=lightmap, lightmap_uvs=lightmap_uvs,
-                              sun_shadow_pcf=sun_shadow_pcf)
+                              sun_shadow_pcf=sun_shadow_pcf,
+                              spot_shadow_pcf=spot_shadow_pcf)
         # Sky for misses (skybox.RenderSky, DXRPathTracer.cpp:1791)
         if s.enable_sky and sky_cube is not None:
             sky = sample_cubemap(sky_cube, ray_dir)

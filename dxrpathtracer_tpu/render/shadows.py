@@ -222,6 +222,17 @@ def sun_visibility_pcf(depth_maps, cascades, pos_ws, normal_ws, n_dot_l,
     hz = (p[:, 0] * vp[:, 0, 2] + p[:, 1] * vp[:, 1, 2]
           + p[:, 2] * vp[:, 2, 2] + vp[:, 3, 2])
     light_depth = hz - PCF_BIAS
+    return _pcf_filter(depth_maps.reshape(-1), cidx * (s * s), s,
+                       hx, hy, light_depth)
+
+
+def _pcf_filter(flat, base, s, hx, hy, light_depth):
+    """The 7x7 disc-weighted PCF comparison filter shared by the sun CSM and
+    spot shadow paths (SampleShadowMapGatherPCF, Shadows.hlsl:165-286: the
+    GatherCmp code is an optimized evaluation of exactly this bilinear-
+    weighted comparison). flat: flattened depth maps; base: per-lane flat
+    offset of the selected map; hx/hy: NDC in [-1, 1]."""
+    import jax.numpy as jnp
 
     # Fractional texel position (stc/tcs/fc of SampleShadowMapGatherPCF).
     stc_x = (hx * 0.5 + 0.5) * s  # texel-edge coords; texel j covers [j, j+1)
@@ -232,9 +243,6 @@ def sun_visibility_pcf(depth_maps, cascades, pos_ws, normal_ws, n_dot_l,
     fy = stc_y - 0.5 - base_y
     bx = base_x.astype(jnp.int32)
     by = base_y.astype(jnp.int32)
-
-    flat = depth_maps.reshape(-1)
-    cbase = cidx * (s * s)
 
     # 8x8 comparison grid around the footprint; weights = the 7x7 disc kernel
     # convolved with the per-lane bilinear foot (the exact filter the Gruen
@@ -258,6 +266,123 @@ def sun_visibility_pcf(depth_maps, cascades, pos_ws, normal_ws, n_dot_l,
             if w is None:
                 continue  # corner texels outside every tap's foot
             tx = jnp.clip(bx + (gx - 3), 0, s - 1)
-            d = jnp.take(flat, cbase + ty * s + tx, axis=0)
+            d = jnp.take(flat, base + ty * s + tx, axis=0)
             vis = vis + w * (light_depth <= d).astype(jnp.float32)
     return vis / PCF_W.sum()
+
+
+# ---------------------------------------------------------------------------
+# Spot-light shadow maps (RenderSpotLightShadowMap, MeshRenderer.cpp:568-608:
+# one 1024^2 perspective depth map per spot, DepthOnly pass + the same PCF).
+
+@dataclasses.dataclass(frozen=True)
+class SpotShadow:
+    view_proj: np.ndarray   # (4, 4) row-vector LH perspective transform
+    position: np.ndarray    # (3,) light position
+    forward: np.ndarray     # (3,) light direction (normalized)
+    near: float
+    far: float
+
+
+def prepare_spot_shadows(lights, near_clip: float, light_range=None):
+    """One perspective shadow camera per spot light (MeshRenderer.cpp:
+    568-585: PerspectiveCamera with fov = the cone's outer angle, near =
+    SpotShadowNearClip, far = SpotLightRange)."""
+    from .camera import perspective_fov_lh
+
+    out = []
+    n = int(lights.num_lights)
+    for li in range(n):
+        lp = np.asarray(lights.position[li], np.float64)
+        ld = np.asarray(lights.direction[li], np.float64)
+        ld = ld / max(np.linalg.norm(ld), 1e-20)
+        cos_outer = float(np.asarray(lights.angular_attenuation_y[li]))
+        far = float(np.asarray(lights.range[li])) if light_range is None \
+            else float(light_range)
+        fov = 2.0 * float(np.arccos(np.clip(cos_outer, -1.0, 1.0)))
+        fov = min(max(fov * 1.02, 0.05), np.pi * 0.98)  # filter margin
+        up = (np.array([0.0, 0.0, 1.0]) if abs(ld[1]) > 0.9
+              else np.array([0.0, 1.0, 0.0]))
+        view = _look_at_lh(lp, lp + ld, up)
+        proj = perspective_fov_lh(fov, 1.0, near_clip, far).astype(np.float64)
+        out.append(SpotShadow(
+            view_proj=(view @ proj).astype(np.float32),
+            position=lp.astype(np.float32), forward=ld.astype(np.float32),
+            near=near_clip, far=far))
+    return out
+
+
+def render_spot_depth_maps(bvh, spots, map_size: int = SPOT_SHADOW_MAP_SIZE,
+                           accept_fn=None):
+    """Per-spot perspective ray-cast depth (the DepthOnly pass from the
+    light's point of view). Returns (L, S, S) f32 LINEAR depth fraction
+    (zview - near) / (far - near) in [0, 1], 1 where nothing was hit —
+    linear depth avoids the z/w precision cliff and compares exactly against
+    the fraction computed at shading time."""
+    import jax.numpy as jnp
+
+    from ..accel.traverse import closest_hit
+
+    s = map_size
+    maps = []
+    for sp in spots:
+        inv_vp = np.linalg.inv(sp.view_proj.astype(np.float64))
+        jj, ii = np.meshgrid(np.arange(s), np.arange(s), indexing="xy")
+        x = (jj.reshape(-1) + 0.5) / s * 2.0 - 1.0
+        y = (ii.reshape(-1) + 0.5) / s * 2.0 - 1.0
+        h1 = np.stack([x, y, np.ones_like(x), np.ones_like(x)], -1) @ inv_vp
+        far_pt = h1[:, :3] / h1[:, 3:4]
+        o = np.broadcast_to(sp.position.astype(np.float64), far_pt.shape)
+        seg = far_pt - o
+        ray_len = np.linalg.norm(seg, axis=-1)
+        d = (seg / ray_len[:, None]).astype(np.float32)
+        rec = closest_hit(bvh, jnp.asarray(o.astype(np.float32)),
+                          jnp.asarray(d), 0.0,
+                          jnp.asarray(ray_len.astype(np.float32)),
+                          accept_fn=accept_fn)
+        cos_f = jnp.asarray((d @ sp.forward).astype(np.float32))
+        zview = rec.t * cos_f
+        frac = (zview - sp.near) / (sp.far - sp.near)
+        frac = jnp.where(rec.tri_id >= 0, jnp.clip(frac, 0.0, 1.0), 1.0)
+        maps.append(frac.reshape(s, s))
+    return jnp.stack(maps) if maps else jnp.zeros((0, s, s), jnp.float32)
+
+
+def spot_visibility_pcf(depth_maps, spots, light_idx: int, pos_ws, normal_ws,
+                        n_dot_l):
+    """Spot-light shadow visibility with the shared 7x7 PCF
+    (Shadows.hlsl spot path + MeshRenderer.cpp:568-608 intent)."""
+    import jax.numpy as jnp
+
+    sp = spots[light_idx]
+    _l, s, _ = depth_maps.shape
+    vp = jnp.asarray(sp.view_proj)
+
+    # normal-offset bias scaled by the local texel footprint (perspective:
+    # texel world size grows linearly with view depth)
+    zview = ((pos_ws - jnp.asarray(sp.position)[None, :])
+             @ jnp.asarray(sp.forward))
+    texel_ws = 2.0 * zview / s  # ~frustum width at depth / map size
+    offset = (normal_ws * ((1.0 - jnp.clip(n_dot_l, 0.0, 1.0))
+                           * 4.0 * texel_ws)[..., None])
+    p = pos_ws + offset
+    hx = (p[:, 0] * vp[0, 0] + p[:, 1] * vp[1, 0]
+          + p[:, 2] * vp[2, 0] + vp[3, 0])
+    hy = (p[:, 0] * vp[0, 1] + p[:, 1] * vp[1, 1]
+          + p[:, 2] * vp[2, 1] + vp[3, 1])
+    hw = (p[:, 0] * vp[0, 3] + p[:, 1] * vp[1, 3]
+          + p[:, 2] * vp[2, 3] + vp[3, 3])
+    safe_w = jnp.where(jnp.abs(hw) < 1e-8, 1e-8, hw)
+    ndc_x = hx / safe_w
+    ndc_y = hy / safe_w
+    zo = ((p - jnp.asarray(sp.position)[None, :]) @ jnp.asarray(sp.forward))
+    light_depth = (zo - sp.near) / (sp.far - sp.near) - PCF_BIAS
+
+    flat = depth_maps.reshape(-1)
+    base = jnp.full(pos_ws.shape[:1], light_idx * (s * s), jnp.int32)
+    vis = _pcf_filter(flat, base, s, ndc_x, ndc_y, light_depth)
+    # outside the shadow frustum -> lit (matches the cone attenuation
+    # already zeroing contributions outside the outer angle)
+    inside = ((jnp.abs(ndc_x) <= 1.0) & (jnp.abs(ndc_y) <= 1.0)
+              & (hw > 0.0) & (light_depth <= 1.0))
+    return jnp.where(inside, vis, 1.0)

@@ -4,6 +4,14 @@ import os
 # tests run on a simulated mesh (SURVEY.md §4 — the CPU backend is our "WARP
 # software raytracing" equivalent for CI).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+# Never let test numerics depend on the persistent compile cache: XLA:CPU
+# entries are host-AOT binaries, and entries whose LLVM feature set differs
+# from this host's LOAD with an error log but can execute with silently
+# wrong numerics (observed twice: round-1 furnace regression; round-3
+# "+prefer-no-scatter not supported on the host" loads). The cache remains
+# on for TPU runs (bench/tools), where executables are portable.
+os.environ["DXRPT_NO_COMPILATION_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

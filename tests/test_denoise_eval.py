@@ -1,0 +1,85 @@
+"""Denoiser evaluation harness (VERDICT r2 item 7): a fixed noisy low-spp
+bake, RMSE against the converged bake, for median / a-trous / the
+surface-map-guided joint bilateral. The guided filter must win — it is the
+OIDN-class replacement (OidnDenoiser.cpp:39-94 intent)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dxrpathtracer_tpu.app.session import RenderSession
+from dxrpathtracer_tpu.app.settings import AppSettings, Scenes
+from dxrpathtracer_tpu.bake.baker import Baker
+from dxrpathtracer_tpu.render.denoise import (atrous_denoise,
+                                              guided_bilateral_denoise,
+                                              median_filter_3x3)
+
+
+@pytest.fixture(scope="module")
+def bakes():
+    settings = AppSettings(current_scene=Scenes.BoxTest, sqrt_num_samples=16)
+    sess = RenderSession(settings=settings, width=32, height=32)
+    baker = Baker(sess, resolution=64)
+    noisy = None
+    for i in range(48):
+        baker.bake_step()
+        if i == 2:  # 3-spp snapshot = the noisy input
+            noisy = np.asarray(baker.lightmap())
+    converged = np.asarray(baker.lightmap())
+    valid = np.asarray(baker.accum[..., 3] > 0.0)
+    albedo = np.asarray(baker.surface_maps["albedo"])
+    normal = np.asarray(baker.surface_maps["normal"])
+    return noisy, converged, valid, albedo, normal
+
+
+def _rmse(a, b, mask):
+    """log1p-space RMSE: the right HDR metric — in linear space a single
+    rare-path firefly in the 64-spp REFERENCE itself (measured: one texel
+    at 1018 vs p99 17.5) dominates every method's score identically."""
+    la = np.log1p(np.maximum(a, 0.0))
+    lb = np.log1p(np.maximum(b, 0.0))
+    d = (la - lb)[mask]
+    return float(np.sqrt(np.mean(d * d)))
+
+
+def test_guided_beats_median_and_atrous(bakes):
+    noisy, converged, valid, albedo, normal = bakes
+    base = _rmse(noisy, converged, valid)
+    med = _rmse(np.asarray(median_filter_3x3(jnp.asarray(noisy))),
+                converged, valid)
+    atr = _rmse(np.asarray(atrous_denoise(jnp.asarray(noisy),
+                                          valid=jnp.asarray(valid))),
+                converged, valid)
+    gui = _rmse(np.asarray(guided_bilateral_denoise(
+        jnp.asarray(noisy), jnp.asarray(albedo), jnp.asarray(normal),
+        valid=jnp.asarray(valid))), converged, valid)
+    print(f"\nRMSE vs converged: noisy {base:.4f} median {med:.4f} "
+          f"atrous {atr:.4f} guided {gui:.4f}")
+    assert gui < base, "guided filter must improve on the raw bake"
+    assert gui < med, "guided filter must beat the median filter"
+    assert gui < atr, "guided filter must beat the unguided a-trous"
+
+
+def test_guided_preserves_geometry_edges():
+    """Synthetic bleed test: two flat regions with different normals and
+    different constant irradiance + noise; after filtering, each region's
+    mean must stay put (no cross-surface bleeding through the normal
+    guide)."""
+    rng = np.random.default_rng(0)
+    h = w = 64
+    img = np.zeros((h, w, 3), np.float32)
+    normal = np.zeros((h, w, 3), np.float32)
+    albedo = np.full((h, w, 3), 0.5, np.float32)
+    img[:, : w // 2] = 1.0
+    img[:, w // 2:] = 5.0
+    normal[:, : w // 2] = (0, 0, 1)
+    normal[:, w // 2:] = (1, 0, 0)
+    img += rng.normal(0, 0.2, img.shape).astype(np.float32)
+    out = np.asarray(guided_bilateral_denoise(
+        jnp.asarray(img), jnp.asarray(albedo), jnp.asarray(normal)))
+    left = out[:, : w // 2 - 4].mean()
+    right = out[:, w // 2 + 4:].mean()
+    assert abs(left - 1.0) < 0.1, left
+    assert abs(right - 5.0) < 0.1, right
+    # and noise within each region must shrink
+    assert out[:, : w // 2 - 4].std() < img[:, : w // 2 - 4].std() * 0.5

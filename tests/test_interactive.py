@@ -82,3 +82,53 @@ def test_to_rgb8_range():
     x = np.asarray([[[-0.5, 0.5, 2.0]]], np.float32)
     out = to_rgb8(x)
     assert out.tolist() == [[[0, 127, 255]]]
+
+
+def test_settings_menu_edits_and_restarts():
+    """The 'o' menu edits any registry setting via replace(); restart-watched
+    changes reset progressive accumulation (Settings.cpp:176-332 equivalent)."""
+    from dxrpathtracer_tpu.app.interactive import InteractiveApp
+
+    app = InteractiveApp(width=32, height=32, display=False)
+    app.render_one()
+    assert app.session.sample_idx == 1
+    app.handle_key("o")
+    assert app.menu is not None
+    # navigate to a known field and adjust it
+    names = [f.name for f in app.menu.fields]
+    app.menu.cursor = names.index("sqrt_num_samples")
+    before = app.session.settings.sqrt_num_samples
+    app.handle_key("l")
+    assert app.session.settings.sqrt_num_samples == before + 1
+    # bool toggle
+    app.menu.cursor = names.index("enable_normal_maps")
+    app.handle_key("l")
+    assert app.session.settings.enable_normal_maps is False
+    # menu close
+    app.handle_key("o")
+    assert app.menu is None
+    # a restart-watched change resets accumulation on the next frame
+    app.render_one()
+    assert app.session.sample_idx == 1  # restarted, then rendered sample 0
+
+
+def test_present_thumbnail_pipeline():
+    """present() pulls only a device-downsampled uint8 thumbnail (~40 KB)
+    and pipelines it one frame behind (VERDICT round-2 item 10)."""
+    from dxrpathtracer_tpu.app.interactive import InteractiveApp
+
+    app = InteractiveApp(width=64, height=64, display=True)
+    import io, contextlib, sys as _sys
+    app.render_one()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        app.present()   # frame 0: starts the async copy, nothing drawn yet
+    assert buf.getvalue() == ""
+    thumb = app._pending_thumb
+    assert thumb.dtype == np.uint8
+    assert thumb.shape[0] <= app.PRESENT_ROWS and thumb.shape[1] <= app.PRESENT_COLS
+    app.render_one()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        app.present()   # frame 1: draws frame 0's thumbnail
+    assert "▀" in buf.getvalue()
