@@ -33,11 +33,21 @@ def run_one(width, height, frames, scene_name):
     from dxrpathtracer_tpu.app.session import RenderSession
     from dxrpathtracer_tpu.app.settings import AppSettings, Scenes
 
-    settings = AppSettings(current_scene=Scenes[scene_name],
+    scene = preset = None
+    if scene_name == "SponzaAlpha":
+        # alpha-test configuration (Timing.txt:6-8 axis): the Sponza-class
+        # stand-in + foliage cards bound to SunTemple's real BC4 opacity map
+        from dxrpathtracer_tpu.scene.registry import sponza_alpha_standin
+        scene, preset = sponza_alpha_standin()
+        settings_scene = Scenes.Sponza
+    else:
+        settings_scene = Scenes[scene_name]
+    settings = AppSettings(current_scene=settings_scene,
                            sqrt_num_samples=100,  # don't early-out during bench
                            max_path_length=3)
     t0 = time.time()
-    sess = RenderSession(settings=settings, width=width, height=height)
+    sess = RenderSession(settings=settings, width=width, height=height,
+                         scene=scene, preset=preset)
     print(f"# init {time.time() - t0:.1f}s scene={scene_name} "
           f"tris={sess.scene_host.num_triangles} bvh_rows={sess.bvh.num_rows} "
           f"{width}x{height}", file=sys.stderr, flush=True)

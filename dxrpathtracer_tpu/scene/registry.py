@@ -236,6 +236,58 @@ def load_scene_meshes(preset: ScenePreset,
     return _sponza_standin_meshes()
 
 
+FOLIAGE_DDS = ("Content/Models/SunTemple/Textures/"
+               "T_M_Tree_Branches_0_A.dds")
+
+
+def sponza_alpha_standin(num_cards: int = 384, seed: int = 7):
+    """The Sponza-class stand-in plus instanced alpha-tested foliage cards
+    bound to SunTemple's REAL on-disk BC4 opacity map — alpha testing is a
+    first-class perf axis in the reference (Timing.txt:6-8; BC4 opacity
+    maps are line 7's exact configuration; the any-hit path is
+    RayTrace.hlsl:485-507). Returns (scene, preset) like load_scene.
+
+    The cards sit in the atrium at randomized positions/orientations,
+    material 1 = opacity-mapped (has_opacity -> alpha-test hit records,
+    DXRPathTracer.cpp:1176-1199); everything else stays default-opaque."""
+    from pathlib import Path
+
+    from ..core.quaternion import quat_from_roll_pitch_yaw
+    from .dds import load_dds
+    from .procedural import make_plane
+    from .textures import AtlasBuilder, default_material_table
+
+    meshes = _sponza_standin_meshes()
+    rng = np.random.RandomState(seed)
+    for _ in range(num_cards):
+        pos = (rng.uniform(-10.0, 10.0), rng.uniform(0.3, 7.0),
+               rng.uniform(-4.5, 4.5))
+        size = rng.uniform(0.6, 1.6)
+        # stand the xz-plane card upright with a random yaw
+        q = quat_from_roll_pitch_yaw(np.pi / 2.0,
+                                     rng.uniform(0.0, np.pi), 0.0)
+        meshes.append(make_plane((size, size), pos, orientation=q,
+                                 material_idx=1))
+
+    builder = AtlasBuilder()
+    materials = default_material_table(2, builder)
+    dds_path = Path("/root/reference") / FOLIAGE_DDS
+    if dds_path.exists():
+        mask = load_dds(dds_path).data  # (H, W, 1) BC4U opacity
+        op_idx = builder.add("tree_branches_opacity", mask)
+    else:  # pragma: no cover - snapshot always carries it
+        op_idx = builder.default_white
+    opacity = np.asarray(materials.opacity).copy()
+    opacity[1] = op_idx
+    has_op = np.asarray(materials.has_opacity).copy()
+    has_op[1] = True
+    materials = dataclasses.replace(
+        materials, opacity=opacity, has_opacity=has_op, any_opacity=True)
+
+    scene = build_scene(meshes, materials=materials, atlas_builder=builder)
+    return scene, PRESETS[Scenes.Sponza]
+
+
 def load_scene(scene_enum: Scenes,
                strict: bool | None = None) -> tuple[Scene, ScenePreset]:
     """Returns (scene, preset). The scene pytree has HOST numpy leaves — move
