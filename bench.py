@@ -58,7 +58,7 @@ def run_one(width, height, frames, scene_name):
     print(f"# compile+first-frame {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     best_dt = float("inf")
-    for _ in range(2):  # best-of-2 trials to dodge tunnel noise
+    for _ in range(3):  # best-of-3 trials to dodge tunnel noise
         t0 = time.time()
         for _ in range(frames):
             frame = sess.frame_constants(sess.sample_idx)
@@ -95,17 +95,17 @@ def run_one(width, height, frames, scene_name):
 def main():
     if os.environ.get("BENCH_CHILD"):
         run_one(int(os.environ["BENCH_WIDTH"]), int(os.environ["BENCH_HEIGHT"]),
-                int(os.environ.get("BENCH_FRAMES", 2)),
+                int(os.environ.get("BENCH_FRAMES", 3)),
                 os.environ.get("BENCH_SCENE", "Sponza"))
         return
 
     scene = os.environ.get("BENCH_SCENE", "Sponza")
-    frames = os.environ.get("BENCH_FRAMES", "2")
+    frames = os.environ.get("BENCH_FRAMES", "3")
     if os.environ.get("BENCH_WIDTH"):
         resolutions = [(int(os.environ["BENCH_WIDTH"]), int(os.environ["BENCH_HEIGHT"]))]
     else:
         resolutions = RESOLUTIONS
-    timeout_s = int(os.environ.get("BENCH_TIMEOUT", 420))
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT", 1200))
 
     for width, height in resolutions:
         env = dict(os.environ, BENCH_CHILD="1", BENCH_WIDTH=str(width),
