@@ -153,6 +153,61 @@ def _make_alpha_test(scene, settings: AppSettings):
     return accept
 
 
+def _punch_through_closest(closest_fn, accept, o, d, t_min, t_max, active,
+                           max_rounds: int = 8):
+    """Closest-hit with alpha testing as PUNCH-THROUGH: traverse with
+    FORCE_OPAQUE semantics, evaluate the opacity accept_fn ONCE per
+    candidate hit OUTSIDE the traversal loop, and re-traverse past rejected
+    hits (t_min advanced beyond them) until every lane holds an accepted
+    hit or a miss.
+
+    Why: DXR's MIMD any-hit shader (RayTrace.hlsl:485-507) evaluates alpha
+    only at actual candidate hits; putting the accept_fn INSIDE the
+    lockstep loop instead evaluates 4-tap bilinear texture gathers on
+    every leaf slot of every lane every iteration — measured 28x slower
+    than opaque at 960x540 on the alpha bench scene (PERF_NOTES.md round
+    3). Punch-through restores sparse evaluation AND re-enables the packet
+    traversal for alpha scenes (the inner traversal is accept-free).
+
+    Identical results to the in-loop accept_fn for rejection chains up to
+    max_rounds deep (foliage is 1-3); deeper chains fall back to treating
+    the surviving surface as opaque (pinned in tests)."""
+    n = o.shape[0]
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    def cond(s):
+        und = s[0]
+        return jnp.any(und) & (s[5] < max_rounds)
+
+    def body(s):
+        und, bt, btri, bu, bv, r, cur_tmin = s
+        rec = closest_fn(o, d, cur_tmin, t_max, und)
+        hit = und & (rec.tri_id >= 0)
+        acc = accept(rec.tri_id, rec.u, rec.v)
+        last = r >= max_rounds - 1
+        take = hit & (acc | last)   # final round: surviving surface = opaque
+        bt = jnp.where(take, rec.t, jnp.where(und & ~hit, t_max, bt))
+        btri = jnp.where(take, rec.tri_id, jnp.where(und & ~hit, -1, btri))
+        bu = jnp.where(take, rec.u, bu)
+        bv = jnp.where(take, rec.v, bv)
+        rejected = hit & ~acc & ~last
+        # strictly beyond the rejected surface (relative + absolute nudge)
+        cur_tmin = jnp.where(rejected, rec.t * (1.0 + 4e-6) + 1e-6, cur_tmin)
+        return (rejected, bt, btri, bu, bv, r + 1, cur_tmin)
+
+    state = (active,
+             t_max.astype(f32) if hasattr(t_max, "astype")
+             else jnp.full((n,), t_max, f32),
+             jnp.full((n,), -1, i32),
+             jnp.zeros((n,), f32), jnp.zeros((n,), f32),
+             jnp.zeros((), i32),
+             jnp.broadcast_to(jnp.asarray(t_min, f32), (n,)).astype(f32))
+    out = jax.lax.while_loop(cond, body, state)
+    from ..accel.traverse import HitRecord
+    return HitRecord(t=out[1], tri_id=out[2], u=out[3], v=out[4])
+
+
 def _to_tangent(v_ws, tan, bit, nrm):
     """Row-vector mul by transpose(tangentToWorld): project onto T/B/N."""
     return jnp.stack([dot(v_ws, tan), dot(v_ws, bit), dot(v_ws, nrm)], axis=-1)
@@ -479,12 +534,22 @@ def _flush_shadow(bvh, shadow_reqs, plan, alpha_test):
     and MEASURED SLOWER on the v5e: 397 ms for the 1.04M-lane merged call vs
     150+170 ms separate at 960x540 — the merged lockstep loop pays the union
     of both sets' worst rays at every iteration and compaction phases match
-    the mix worse than each set alone."""
+    the mix worse than each set alone.
+
+    Alpha-tested visibility punches through instead of running the
+    accept_fn inside the lockstep loop (28x measured; see
+    _punch_through_closest): closest-hit semantics are required for
+    correctness (a first-found hit could be advanced past while a CLOSER
+    accepted occluder was never visited)."""
     vis_out = []
     for r, (_kind, use_alpha) in zip(shadow_reqs, plan):
-        acc = alpha_test if use_alpha else None
-        vis_out.append(any_hit(bvh, r[0], r[1], r[2], r[3], r[4],
-                               accept_fn=acc))
+        if use_alpha:
+            rec = _punch_through_closest(partial(closest_hit, bvh),
+                                         alpha_test, r[0], r[1], r[2], r[3],
+                                         r[4])
+            vis_out.append(jnp.where(r[4] & (rec.tri_id >= 0), 0.0, 1.0))
+        else:
+            vis_out.append(any_hit(bvh, r[0], r[1], r[2], r[3], r[4]))
     return vis_out
 
 
@@ -593,15 +658,20 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         # coherence to win (measured 148 ms packet vs 167-183 per-ray for
         # depth-2 closest at 960x540). Shadow/terminal rays at depth >= 2
         # stay per-ray (packets measured slower there).
-        if use_packet and not alpha_now:
+        if alpha_now:
+            base = (pk_closest if use_packet
+                    else partial(closest_hit, bvh))
+            rec = _punch_through_closest(
+                base, alpha_test, state["ray_o"], state["ray_d"],
+                state["t_min"], state["t_max"], state["active"])
+        elif use_packet:
             rec = pk_closest(
                 state["ray_o"], state["ray_d"], state["t_min"],
                 state["t_max"], state["active"])
         else:
             rec = closest_hit(
                 bvh, state["ray_o"], state["ray_d"], state["t_min"],
-                state["t_max"], state["active"],
-                accept_fn=alpha_test if alpha_now else None)
+                state["t_max"], state["active"])
         state, reqs, mid = _shade_vertex(
             scene, sky_cube, s, frame, depth, flags, state, rec, pixel_idx,
             total_num_pixels, first_set_idx, cmj_sample_idx)
@@ -615,13 +685,21 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 pk_kind = (kind == "sun"
                            or (kind == "terminal"
                                and s.packet_shadows_all_depths))
-                if pk_kind and not use_alpha:
-                    # Sun shadow rays from packet-coherent primary hits share
-                    # one direction — prime packet-traversal material
-                    # (measured 4x vs per-ray at 960x540).
-                    r = reqs[i]
+                if not pk_kind:
+                    continue
+                # Sun shadow rays from packet-coherent primary hits share
+                # one direction — prime packet-traversal material
+                # (measured 4x vs per-ray at 960x540). Alpha-tested
+                # visibility punches through with the PACKET closest-hit.
+                r = reqs[i]
+                if use_alpha:
+                    rec = _punch_through_closest(
+                        pk_closest, alpha_test, r[0], r[1], r[2], r[3], r[4])
+                    vis_list[i] = jnp.where(r[4] & (rec.tri_id >= 0),
+                                            0.0, 1.0)
+                else:
                     vis_list[i] = pk_any(r[0], r[1], r[2], r[3], r[4])
-                    rest.remove(i)
+                rest.remove(i)
         if rest:
             sub = _flush_shadow(bvh, [reqs[i] for i in rest],
                                 [plan[i] for i in rest], alpha_test)

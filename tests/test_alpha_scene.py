@@ -101,3 +101,42 @@ def test_alpha_scene_renders_finite(alpha_scene):
     arr = np.asarray(sess.accum)
     assert np.isfinite(arr).all()
     assert arr.max() > 0.0
+
+
+def test_punch_through_matches_inloop_accept(alpha_scene):
+    """The punch-through alpha traversal (accept evaluated sparsely outside
+    the loop) returns exactly what the in-loop accept_fn oracle returns."""
+    import jax
+    from functools import partial
+    from dxrpathtracer_tpu.accel.lbvh import build_bvh_for_scene
+    from dxrpathtracer_tpu.accel.traverse import closest_hit
+    from dxrpathtracer_tpu.render.integrator import (_make_alpha_test,
+                                                     _punch_through_closest)
+    from dxrpathtracer_tpu.app.settings import AppSettings
+
+    scene, _ = alpha_scene
+    scene_dev = jax.device_put(scene)
+    bvh = build_bvh_for_scene(scene_dev,
+                              positions=np.asarray(scene.positions),
+                              tri_idx=np.asarray(scene.tri_idx))
+    accept = _make_alpha_test(scene_dev, AppSettings())
+
+    rng = np.random.default_rng(0)
+    n = 1024
+    o = np.stack([rng.uniform(-10, 10, n), rng.uniform(0.5, 7, n),
+                  rng.uniform(-4, 4, n)], -1).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.asarray(o)
+    d = jnp.asarray(d)
+    tmax = jnp.full((n,), 50.0)
+    act = jnp.ones((n,), bool)
+
+    ref = closest_hit(bvh, o, d, 1e-4, tmax, act, accept_fn=accept)
+    got = _punch_through_closest(partial(closest_hit, bvh), accept,
+                                 o, d, jnp.full((n,), 1e-4), tmax, act)
+    same_tri = np.asarray(ref.tri_id) == np.asarray(got.tri_id)
+    assert same_tri.mean() > 0.999, f"{(~same_tri).sum()} mismatches"
+    both = (np.asarray(ref.tri_id) >= 0) & same_tri
+    np.testing.assert_allclose(np.asarray(got.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-5)
