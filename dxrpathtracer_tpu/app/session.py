@@ -94,6 +94,13 @@ class RenderSession:
         self._sky_cube_dev = None
         self._update_sky()
 
+        # Sun-space occlusion grid (accel/sunspace.py): rebuilt whenever the
+        # sun direction changes (the reference's restart watch list analog —
+        # sun moves restart accumulation anyway, DXRPathTracer.cpp:1416-1461).
+        self.sun_grid = None
+        self._sun_grid_key = None
+        self._update_sun_grid()
+
         self.sample_idx = 0
         self._last_restart_key = None
         self._slab_h = self._slab_rows()
@@ -101,6 +108,25 @@ class RenderSession:
         self._step = self._build_step()
 
     # ------------------------------------------------------------------
+    def _update_sun_grid(self):
+        s = self.settings
+        want = (s.enable_sunspace_shadows and s.enable_sun
+                and not s.enable_white_furnace_mode)
+        key = tuple(np.asarray(s.sun_direction, np.float32)) if want else None
+        if key == self._sun_grid_key:
+            return
+        self._sun_grid_key = key
+        if not want:
+            self.sun_grid = None
+            return
+        from ..accel.sunspace import build_sun_grid_for_scene
+        with self.profiler.cpu_scope("BuildSunGrid"):
+            sun_dir = np.asarray(s.sun_direction, np.float32)
+            self.sun_grid = build_sun_grid_for_scene(
+                self.scene_host, sun_dir / np.linalg.norm(sun_dir),
+                positions=np.asarray(self.scene_host.positions),
+                tri_idx=np.asarray(self.scene_host.tri_idx))
+
     def _update_sky(self):
         s = self.settings
         changed = self.sky.update(np.asarray(s.sun_direction, np.float32),
@@ -149,11 +175,11 @@ class RenderSession:
         if not os.environ.get("DXRPT_STAGED"):
             @partial(jax.jit, static_argnames=("settings",), donate_argnums=(3,))
             def step_slab(scene, bvh, bvh2, accum_slab, sky_cube, frame, row0,
-                          settings):
+                          sun_grid, settings):
                 return render_sample(scene, bvh, sky_cube, settings, frame,
                                      width, slab_h, accum_slab,
                                      row_offset=row0, total_height=height,
-                                     bvh2=bvh2)
+                                     bvh2=bvh2, sun_bvh=sun_grid)
         else:
             tracer = StagedTracer()
 
@@ -170,7 +196,7 @@ class RenderSession:
                 return radiance + (accum_slab - radiance) * lerp
 
             def step_slab(scene, bvh, _bvh2, accum_slab, sky_cube, frame,
-                          row0, settings):
+                          row0, _sun_grid, settings):
                 o, d, length, pix = raygen_slab(frame, row0, settings)
                 radiance = tracer.trace(scene, bvh, sky_cube, settings, frame,
                                         o, d, length, pix, width * height,
@@ -183,7 +209,7 @@ class RenderSession:
 
         def step(scene, bvh, slabs, sky_cube, frame, settings):
             return [step_slab(scene, bvh, bvh2, slab, sky_cube, frame, r0,
-                              settings)
+                              self.sun_grid, settings)
                     for slab, r0 in zip(slabs, row0_dev)]
 
         return step
@@ -213,6 +239,7 @@ class RenderSession:
         """Per-frame update: sky rebuild + restart detection
         (DXRPathTracer::Update, :1338-1461)."""
         self._update_sky()
+        self._update_sun_grid()
         key = (self.settings.restart_key(), self.camera.state_tuple(),
                self.width, self.height)
         if key != self._last_restart_key or self.settings.always_reset_path_trace:

@@ -82,6 +82,10 @@ class AppSettings:
     # the packet/MXU path too (off = per-ray, the round-2 measured optimum
     # for the VPU packet path; re-measured per backend on the real chip).
     packet_shadows_all_depths: bool = False
+    # TPU-only: answer sun-NEE shadow rays with the sun-space point-descent
+    # grid (accel/sunspace.py) instead of the 3D BVH. Bit-identical
+    # visibility by construction; the grid rebuilds when the sun moves.
+    enable_sunspace_shadows: bool = True
     clamp_roughness: bool = False
     avoid_caustic_paths: bool = False
     sqrt_num_samples: int = 4

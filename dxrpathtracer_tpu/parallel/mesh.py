@@ -43,17 +43,18 @@ def make_sharded_step(mesh: Mesh, settings, width: int, height: int,
     # constants (node pointers, sentinel t values) that JAX's varying-manual-
     # axes checker would otherwise require to be explicitly pvary'd per axis.
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(repl, repl, P(axis_name), repl, repl, repl),
+             in_specs=(repl, repl, P(axis_name), repl, repl, repl, repl),
              out_specs=P(axis_name), check_vma=False)
-    def sharded(scene, bvh, accum_block, sky_cube, frame, bvh2):
+    def sharded(scene, bvh, accum_block, sky_cube, frame, bvh2, sun_grid):
         row0 = jax.lax.axis_index(axis_name) * rows_per
         return render_sample(scene, bvh, sky_cube, settings, frame,
                              width, rows_per, accum_block,
-                             row_offset=row0, total_height=height, bvh2=bvh2)
+                             row_offset=row0, total_height=height, bvh2=bvh2,
+                             sun_bvh=sun_grid)
 
     @jax.jit
-    def step(scene, bvh, accum, sky_cube, frame, bvh2=None):
-        return sharded(scene, bvh, accum, sky_cube, frame, bvh2)
+    def step(scene, bvh, accum, sky_cube, frame, bvh2=None, sun_grid=None):
+        return sharded(scene, bvh, accum, sky_cube, frame, bvh2, sun_grid)
 
     return step
 

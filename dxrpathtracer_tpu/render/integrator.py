@@ -610,7 +610,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 ray_o, ray_d, t_max, pixel_idx, total_num_pixels: int,
                 first_set_idx: int = 1, initial_is_diffuse: bool = False,
                 t_min0=0.0, active0=None, sample_idx=None,
-                packet_coherent: bool = False, bvh2=None):
+                packet_coherent: bool = False, bvh2=None, sun_bvh=None):
     """Trace a wavefront of rays to completion; returns (N, 3) radiance.
 
     ray_o/ray_d/t_max describe the depth-1 rays (already jittered primaries for
@@ -680,12 +680,38 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         plan = _shadow_plan(scene, s, depth, has_alpha, flags)
         vis_list = [None] * len(reqs)
         rest = list(range(len(reqs)))
+        if sun_bvh is not None:
+            # Sun NEE rays share ONE direction per restart: answer them with
+            # the sun-space point-descent grid (accel/sunspace.py) — ~10
+            # gathers per ray vs ~40-90 lockstep BVH steps, at every depth.
+            # Alpha tests run in-loop (the descent is short enough that the
+            # punch-through redesign isn't needed here).
+            from ..accel.sunspace import sun_any_hit
+            for i, (kind, use_alpha) in enumerate(plan):
+                if kind != "sun" or use_alpha:
+                    # Alpha-tested sun rays stay on the punch-through path
+                    # below: an in-loop accept_fn inside the grid walk costs
+                    # 12 candidate x 4-tap opacity gathers on EVERY lane
+                    # EVERY record (measured 3.0 s/frame vs punch-through's
+                    # 1.4 s on SponzaAlpha 960x540).
+                    continue
+                if depth == 1 and use_packet:
+                    # depth-1 opaque sun rays: the packet traversal is
+                    # faster (80 vs 115 ms at 960x540 — primary-tile
+                    # coherence collapses its gathers 50x; the grid walk
+                    # can't amortize across lanes). Depth >= 2 sun rays go
+                    # to the grid: 119 vs 172 ms per-ray / 255 ms packet.
+                    continue
+                r = reqs[i]
+                vis_list[i] = sun_any_hit(
+                    sun_bvh, r[0], r[1], r[2], r[3], r[4])
+                rest.remove(i)
         if use_packet and (depth == 1 or s.packet_shadows_all_depths):
             for i, (kind, use_alpha) in enumerate(plan):
                 pk_kind = (kind == "sun"
                            or (kind == "terminal"
                                and s.packet_shadows_all_depths))
-                if not pk_kind:
+                if not pk_kind or i not in rest:
                     continue
                 # Sun shadow rays from packet-coherent primary hits share
                 # one direction — prime packet-traversal material
@@ -924,7 +950,7 @@ def _untile_order(x, height, width, ty, tx):
 
 def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                   width: int, height: int, accum, row_offset=0,
-                  total_height=None, bvh2=None):
+                  total_height=None, bvh2=None, sun_bvh=None):
     """One progressive sample: raygen + trace + running-mean accumulation
     (RaygenShader, RayTrace.hlsl:92-149). Returns the new accumulation image
     (height, width, 3) f32.
@@ -955,7 +981,8 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
         def trace_tile(args):
             t_o, t_d, t_len, t_pix = args
             return trace_paths(scene, bvh, sky_cube, s, frame,
-                               t_o, t_d, t_len, t_pix, n, first_set_idx=1)
+                               t_o, t_d, t_len, t_pix, n, first_set_idx=1,
+                               sun_bvh=sun_bvh)
 
         radiance = jax.lax.map(trace_tile, (
             ray_start.reshape(n_tiles, tile, 3),
@@ -973,12 +1000,13 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
             _tile_order(ray_dir, height, width, ty, tx),
             _tile_order(ray_len, height, width, ty, tx),
             _tile_order(pixel_idx, height, width, ty, tx),
-            n, first_set_idx=1, packet_coherent=True, bvh2=bvh2)
+            n, first_set_idx=1, packet_coherent=True, bvh2=bvh2,
+            sun_bvh=sun_bvh)
         radiance = _untile_order(radiance, height, width, ty, tx)
     else:
         radiance = trace_paths(scene, bvh, sky_cube, s, frame,
                                ray_start, ray_dir, ray_len, pixel_idx, n,
-                               first_set_idx=1)
+                               first_set_idx=1, sun_bvh=sun_bvh)
     radiance = radiance.reshape(height, width, 3)
 
     lerp_factor = (frame.curr_sample_idx.astype(f32)
