@@ -176,10 +176,28 @@ def _load_fbx_scene_full(preset: ScenePreset, strict: bool = False):
                     return f
         return None
 
+    # Per-color-map roughness bindings produced by the content-fixup tool
+    # (tools/fix_roughness_maps.py — the Fix*RoughnessMaps.py analog):
+    # consulted when a material has no explicit roughness slot.
+    rough_bindings = {}
+    bindings_path = tex_dir / "roughness_bindings.json"
+    if bindings_path.exists():
+        try:
+            import json
+            rough_bindings = json.loads(bindings_path.read_text())
+        except Exception as e:
+            if strict:
+                raise
+            log.warning("unreadable %s: %s", bindings_path, e)
+
     has_opacity = np.zeros(n_mats, bool)
     for mi, slots in enumerate(fbx.material_textures):
         for slot in table:
-            name = slots.get(slot) or dir_fallback(slot)
+            name = slots.get(slot)
+            if not name and slot == "roughness" and slots.get("albedo"):
+                name = rough_bindings.get(slots["albedo"])
+            if not name:
+                name = dir_fallback(slot)
             tex_idx = defaults[slot]
             if name:
                 cand = tex_dir / name
@@ -303,9 +321,18 @@ def load_scene(scene_enum: Scenes,
         return build_scene(box_test_meshes()), preset
     if preset.fbx_path is not None:
         from pathlib import Path
-        if (Path("/root/reference") / preset.fbx_path).exists():
+        fbx_abs = Path("/root/reference") / preset.fbx_path
+        if fbx_abs.exists():
+            # Binary model cache (Model::CreateFromMeshData/Serialization.h
+            # analog): content-hash keyed, best-effort, loader-versioned.
+            from .cache import load_cached_scene, store_cached_scene
+            cached = load_cached_scene(str(fbx_abs), preset)
+            if cached is not None:
+                return cached, preset
             try:
-                return _load_fbx_scene_full(preset, strict=strict), preset
+                scene = _load_fbx_scene_full(preset, strict=strict)
+                store_cached_scene(str(fbx_abs), preset, scene)
+                return scene, preset
             except Exception as e:
                 if strict:
                     raise

@@ -12,6 +12,11 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # "+prefer-no-scatter not supported on the host" loads). The cache remains
 # on for TPU runs (bench/tools), where executables are portable.
 os.environ["DXRPT_NO_COMPILATION_CACHE"] = "1"
+
+# Tests must always exercise the real scene parsers — a stale scene-cache hit
+# would mask parser regressions (the same class of silent degradation the
+# bare-except removal addressed). Cache tests opt back in via monkeypatch.
+os.environ["DXRPT_SCENE_CACHE"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
