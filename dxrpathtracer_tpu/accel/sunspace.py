@@ -198,13 +198,18 @@ def build_sun_grid(v0, v1, v2, sun_dir, leaf_cap: int = 24, dup_max: int = 9,
 
     def build_node(idx, ix0, ix1, iy0, iy1, suffix_code, suffix_zmax):
         span = ix1 - ix0
-        if idx.size <= leaf_cap or span <= 1:
+        if idx.size <= leaf_cap or span < 8:
+            # span < 8 would make step 0 below; emit the whole range as one
+            # chain (correct for ANY grid_size, not just powers of 8 — a
+            # non-power-of-8 size at 1024 silently mis-binned before this
+            # guard: 64k wrong lanes in the A/B)
             code, _ = emit_chain(idx, suffix_code, suffix_zmax)
             fill(ix0, ix1, iy0, iy1, code)
             return
-        step = span // 8  # power-of-8 grid: exact integer subranges
+        step = span // 8
         # child-range span per triangle (integer math, exactly the ranges
-        # the recursion uses)
+        # the recursion uses; child 7 absorbs the remainder when span is
+        # not divisible by 8, matching the //step binning with clip to 7)
         cx0 = np.clip((fcx0[idx] - ix0) // step, 0, 7)
         cx1 = np.clip((fcx1[idx] - ix0) // step, 0, 7)
         cy0 = np.clip((fcy0[idx] - iy0) // step, 0, 7)
@@ -218,14 +223,16 @@ def build_sun_grid(v0, v1, v2, sun_dir, leaf_cap: int = 24, dup_max: int = 9,
         scy0, scy1 = cy0[~resident], cy1[~resident]
         for cy in range(8):
             ym = (scy0 <= cy) & (cy <= scy1)
+            jy0 = iy0 + cy * step
+            jy1 = iy1 if cy == 7 else jy0 + step
             for cx in range(8):
                 m = ym & (scx0 <= cx) & (cx <= scx1)
                 jx0 = ix0 + cx * step
-                jy0 = iy0 + cy * step
+                jx1 = ix1 if cx == 7 else jx0 + step
                 if not m.any():
-                    fill(jx0, jx0 + step, jy0, jy0 + step, res_code)
+                    fill(jx0, jx1, jy0, jy1, res_code)
                     continue
-                build_node(small[m], jx0, jx0 + step, jy0, jy0 + step,
+                build_node(small[m], jx0, jx1, jy0, jy1,
                            res_code, res_zmax)
 
     build_node(np.arange(T, dtype=np.int64), 0, S, 0, S, DONE, NEG_INF)

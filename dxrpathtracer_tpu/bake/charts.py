@@ -13,9 +13,12 @@ replacement:
   2. each chart is projected onto its seed plane, so chart UVs are in WORLD
      units — one global scale makes texel density proportional to world area
      by construction (fixing the pair packer's uniform-density flaw),
-  3. charts pack into shelves (sorted by height, rotated to landscape,
-     several candidate atlas widths, best coverage wins) with a world-space
-     gutter derived from the requested texel gutter.
+  3. every chart packs through one occupancy grid by bottom-left-fill
+     against exact per-column edge profiles (biggest first, first-fit
+     lowest-(y, x)), with the pack width iterated toward a square layout
+     and a world-space gutter derived from the requested texel gutter
+     (measured 0.94 packing efficiency on theInn vs 0.795 for the earlier
+     skyline+hole-fill hybrid — PERF_NOTES.md round 3).
 
 The texel -> (triangle, barycentric) inverse map — which the analytic atlas
 got in closed form — becomes a host-side rasterization over chart triangles
@@ -156,24 +159,6 @@ def _chart_overlap_frac(uv2, res=64):
     return multi.sum() / max(covered.sum(), 1)
 
 
-def _shelf_pack(sizes, atlas_w):
-    """Shelf packing: sizes (N, 2) [w, h], sorted by h desc by the caller.
-    Returns (positions (N, 2), used_w, used_h)."""
-    pos = np.zeros_like(sizes)
-    x = y = shelf_h = 0.0
-    used_w = 0.0
-    for i, (w, h) in enumerate(sizes):
-        if x + w > atlas_w and x > 0.0:
-            y += shelf_h
-            x = 0.0
-            shelf_h = 0.0
-        pos[i] = (x, y)
-        x += w
-        shelf_h = max(shelf_h, h)
-        used_w = max(used_w, x)
-    return pos, used_w, y + shelf_h
-
-
 def _chart_profiles(uvs, w_cols, cell, pad):
     """Exact per-column (bottom, top) y-profiles of a chart's triangle
     EDGES, inflated by `pad` (the gutter) on every side.
@@ -233,91 +218,112 @@ def _chart_profiles(uvs, w_cols, cell, pad):
     return bottom, top
 
 
-def _skyline_pack(chart_uvs, widths, heights, atlas_w, cell, pad):
-    """Skyline packing with per-column profiles: charts nest vertically into
-    the gaps bbox shelves would waste (sloped roofs, triangles, L-shapes).
+def _grid_fill(occ, spans_list, heights_cells, band: int = 128):
+    """Place charts into ANY free pocket of the occupancy grid (the skyline
+    can only stack on top; this recovers the trapped air under and between
+    the big charts). occ: (R, C) bool; spans_list[i] = (b, t) cell spans
+    per column of chart i (len w_i). Returns (placements (N, 2) cell coords
+    or -1, occ updated in place).
 
-    chart_uvs: list of (C_i, 3, 2) chart-local uvs shifted by +pad; widths/
-    heights are the padded extents. Returns (origins of the PADDED box
-    (N, 2), used_w, used_h). Charts processed in the caller's order (sort by
-    height desc)."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    g_cols = max(int(math.ceil(atlas_w / cell)), 1)
-    sky = np.zeros(g_cols + 1)
-    origins = np.zeros((len(chart_uvs), 2))
-    used_w = used_h = 0.0
-    for i, uvs in enumerate(chart_uvs):
-        w = widths[i]
-        h = heights[i]
-        w_cols = max(int(math.ceil(w / cell)), 1)
-        if w_cols > g_cols:
-            w_cols = g_cols
-        bottom, top = _chart_profiles(uvs, w_cols, cell, pad)
-        windows = sliding_window_view(sky[:g_cols], w_cols)  # (P, w_cols)
-        lift = windows - bottom[None, :]
-        y_place = np.maximum(lift.max(axis=1), 0.0)
-        # waste-aware placement: trapped air under this placement is
-        # sum_i (y_place - lift_i); minimize (trapped, y) — plain
-        # bottom-left skyline measured 0.56 packing efficiency on theInn,
-        # waste-aware recovers most of it
-        trapped = y_place * w_cols - lift.sum(axis=1)
-        pick = np.lexsort((np.arange(y_place.size), trapped, y_place))
-        x_best = int(pick[0])
-        y_best = float(y_place[x_best])
-        origins[i] = (x_best * cell, y_best)
-        new_cols = y_best + top
-        seg = sky[x_best:x_best + w_cols]
-        sky[x_best:x_best + w_cols] = np.maximum(seg, new_cols)
-        used_w = max(used_w, x_best * cell + w)
-        used_h = max(used_h, y_best + h)
-    return origins, used_w, used_h
-
-
-def _grid_fill(occ, spans_list, heights_cells):
-    """Place small charts into ANY free pocket of the occupancy grid (the
-    skyline can only stack on top; this recovers the trapped air under and
-    between the big charts). occ: (R, C) bool; spans_list[i] = (b, t) cell
-    spans per column of chart i (len w_i). Returns (placements (N, 2) cell
-    coords or -1, occ updated in place)."""
+    First-fit lowest-(y, x), searched in row bands from the bottom so the
+    cost scales with where the chart lands, not the grid height; the
+    column-prefix-sum table is patched incrementally per placement (a full
+    rebuild per chart measured 50 s of a 141 s theInn build)."""
     r, c = occ.shape
     out = np.full((len(spans_list), 2), -1, np.int64)
-    cum = None
-    dirty = True
+    cum = np.zeros((r + 1, c), np.int64)
+    np.cumsum(occ, axis=0, out=cum[1:])
     for i, (b, t) in enumerate(spans_list):
         w = b.shape[0]
         h = heights_cells[i]
         if w > c or h >= r:
             continue
-        if dirty:
-            cum = np.zeros((r + 1, c), np.int64)
-            np.cumsum(occ, axis=0, out=cum[1:])
-            dirty = False
         ymax = r - h
         xmax = c - w + 1
         if ymax <= 0 or xmax <= 0:
             continue
-        ok = np.ones((ymax, xmax), bool)
-        for k in range(w):
-            ok &= (cum[t[k]:t[k] + ymax, k:k + xmax]
-                   - cum[b[k]:b[k] + ymax, k:k + xmax]) == 0
-        ys, xs = np.nonzero(ok)
-        if ys.size == 0:
+        found = None
+        for y0 in range(0, ymax, band):
+            yb = min(band, ymax - y0)
+            ok = np.ones((yb, xmax), bool)
+            for k in range(w):
+                ok &= (cum[t[k] + y0:t[k] + y0 + yb, k:k + xmax]
+                       - cum[b[k] + y0:b[k] + y0 + yb, k:k + xmax]) == 0
+            ys, xs = np.nonzero(ok)
+            if ys.size:
+                j = np.lexsort((xs, ys))[0]
+                found = (int(ys[j]) + y0, int(xs[j]))
+                break
+        if found is None:
             continue
-        j = np.lexsort((xs, ys))[0]
-        y, x = int(ys[j]), int(xs[j])
+        y, x = found
         out[i] = (x, y)
         for k in range(w):
             occ[y + b[k]:y + t[k], x + k] = True
-        dirty = True
+            np.cumsum(occ[:, x + k], out=cum[1:, x + k])
     return out
+
+
+def _blf_pack(uvs_of, chart_uv, chart_of, pad_w, pad_h, g, total,
+              grid_cols, f):
+    """One bottom-left-fill pass at width factor `f`.
+
+    Returns (origin (N, 2) world-unit chart origins, side, balance) where
+    side is the final square edge and balance = used_h / atlas_w (the
+    caller's width-iteration signal)."""
+    n_charts = pad_w.shape[0]
+    atlas_w = max(math.sqrt(total) * f, pad_w.max() + 1e-12)
+    cell = atlas_w / grid_cols
+    order = np.argsort(-(pad_w * pad_h), kind="stable")
+    rows = grid_cols * 3  # generous: narrow passes stack high
+    spans = []
+    hcells = []
+    for c in order:
+        w_cols = max(int(math.ceil(pad_w[c] / cell)), 1)
+        prof_b, prof_t = _chart_profiles(uvs_of[c],
+                                         min(w_cols, grid_cols), cell, g)
+        spans.append((np.clip(np.floor(prof_b / cell).astype(int), 0, rows),
+                      np.clip(np.ceil(prof_t / cell).astype(int), 0, rows)))
+        hcells.append(int(math.ceil(pad_h[c] / cell)) + 1)
+    occ = np.zeros((rows, grid_cols), bool)
+    placed = _grid_fill(occ, spans, hcells)
+
+    origin = np.zeros((n_charts, 2))
+    # anything the grid could not fit goes on a shelf above everything
+    # (only reachable at extreme width factors)
+    ys = np.nonzero(occ.any(axis=1))[0]
+    top_y = (int(ys.max()) + 1) * cell if ys.size else 0.0
+    x = 0.0
+    shelf_h = 0.0
+    for j, c in enumerate(order):
+        if placed[j][0] >= 0:
+            origin[c] = (placed[j][0] * cell + g, placed[j][1] * cell + g)
+            continue
+        if x + pad_w[c] > atlas_w and x > 0.0:
+            top_y += shelf_h
+            x = 0.0
+            shelf_h = 0.0
+        origin[c] = (x + g, top_y + g)
+        x += pad_w[c]
+        shelf_h = max(shelf_h, pad_h[c])
+
+    final = chart_uv + origin[chart_of][:, None, :]
+    ext = final.reshape(-1, 2).max(axis=0) + g
+    side = float(max(ext[0], ext[1]))
+    return origin, side, float(ext[1]) / atlas_w
 
 
 def build_charted_atlas(positions, tri_idx, gutter_texels: float = 2.0,
                         ref_resolution: int = 1024, max_angle_deg: float = 60.0,
                         max_chart_tris: int = 4000,
-                        overlap_tolerance: float = 0.02) -> ChartedAtlas:
-    """Chart, project, and pack lightmap UVs for the given mesh."""
+                        overlap_tolerance: float = 0.02,
+                        grid_cols: int = 1024,
+                        pack_iters: int = 4) -> ChartedAtlas:
+    """Chart, project, and pack lightmap UVs for the given mesh.
+
+    grid_cols: packing-grid resolution (cost ~ grid_cols²; 512 is ~4x
+    faster within ~1-2 coverage points — tests use it).
+    pack_iters: width-iteration passes of the BLF packer."""
     positions = np.asarray(positions, np.float64)
     tri_idx = np.asarray(tri_idx, np.int64)
     t = tri_idx.shape[0]
@@ -390,85 +396,41 @@ def build_charted_atlas(positions, tri_idx, gutter_texels: float = 2.0,
     pad_w = bbox_w + 2.0 * g
     pad_h = bbox_h + 2.0 * g
 
-    # --- pack: skyline for big charts, grid hole-filling for small ones ---
-    # (pure skyline measured 0.72 packing efficiency on theInn — the trapped
-    # air under big placements is only reachable by a true 2D fill)
+    # --- pack: bottom-left-fill EVERY chart through the occupancy grid ---
+    # All charts, biggest first, first-fit lowest-(y, x) against exact
+    # per-column profiles, so small charts nest into the trapped air under
+    # and between big placements as they are packed (skyline-for-big +
+    # grid-fill-for-small measured 0.795 packing efficiency on theInn; full
+    # BLF at the balanced width measures ~0.94 — PERF_NOTES.md round 3).
+    #
+    # The atlas is square (side = max extent), so a tall-and-narrow or
+    # short-and-wide layout wastes the envelope: iterate the pack width by
+    # the measured height/width imbalance, keeping the best final side.
     total = float((pad_w * pad_h).sum())
-    grid_cols = 1024
-    small_cols = 16
 
     uvs_of = [None] * n_charts
     for c in range(n_charts):
         uvs_of[c] = chart_uv[group_order[bounds[c]:bounds[c + 1]]] + g
 
-    # choose the atlas width with the big charts only (fast)
-    cell_probe = math.sqrt(total) / grid_cols
-    is_small = pad_w <= small_cols * cell_probe
-    big = np.nonzero(~is_small)[0]
-    small = np.nonzero(is_small)[0]
-    big_order = big[np.argsort(-pad_h[big], kind="stable")]
-    big_lists = [uvs_of[c] for c in big_order]
+    # The coverage peak in f is sharp (±0.01 moves it several points) and
+    # does NOT transfer across grid resolutions, so the iteration runs at
+    # the full grid resolution.
     best = None
-    for f in (1.0, 1.12, 1.3, 0.9):
-        atlas_w = max(math.sqrt(total) * f, pad_w.max())
-        cell = atlas_w / grid_cols
-        pos_b, uw, uh = _skyline_pack(big_lists, pad_w[big_order],
-                                      pad_h[big_order], atlas_w, cell, g)
-        score = max(uw, uh)
-        if best is None or score < best[0]:
-            best = (score, pos_b, atlas_w, cell, uh)
-    _, pos_b, atlas_w, cell, big_h = best
-
-    origin = np.zeros((n_charts, 2))
-    origin[big_order] = pos_b + g
-
-    # occupancy of the big placements (per-column exact profiles)
-    rows = int(math.ceil(big_h / cell * 1.25)) + 64
-    occ = np.zeros((rows, grid_cols), bool)
-    for j, c in enumerate(big_order):
-        w_cols = max(int(math.ceil(pad_w[c] / cell)), 1)
-        prof_b, prof_t = _chart_profiles(uvs_of[c],
-                                         min(w_cols, grid_cols), cell, g)
-        x0 = min(int(round(pos_b[j][0] / cell)), grid_cols - prof_b.shape[0])
-        y0 = pos_b[j][1]
-        bc = np.clip(np.floor((y0 + prof_b) / cell).astype(int), 0, rows)
-        tc = np.clip(np.ceil((y0 + prof_t) / cell).astype(int), 0, rows)
-        for k in range(prof_b.shape[0]):
-            occ[bc[k]:tc[k], x0 + k] = True
-
-    # grid-fill the small charts, biggest first
-    small_order = small[np.argsort(-(pad_w[small] * pad_h[small]),
-                                   kind="stable")]
-    spans = []
-    hcells = []
-    for c in small_order:
-        w_cols = max(int(math.ceil(pad_w[c] / cell)), 1)
-        prof_b, prof_t = _chart_profiles(uvs_of[c],
-                                         min(w_cols, grid_cols), cell, g)
-        spans.append((np.clip(np.floor(prof_b / cell).astype(int), 0, rows),
-                      np.clip(np.ceil(prof_t / cell).astype(int), 0, rows)))
-        hcells.append(int(math.ceil(pad_h[c] / cell)) + 1)
-    placed = _grid_fill(occ, spans, hcells)
-    overflow = []
-    for j, c in enumerate(small_order):
-        if placed[j][0] >= 0:
-            origin[c] = (placed[j][0] * cell + g, placed[j][1] * cell + g)
-        else:
-            overflow.append(c)
-    # anything the grid could not fit goes on a shelf above everything
-    if overflow:
-        ys, xs = np.nonzero(occ.any(axis=1)[:, None])
-        top_y = (int(ys.max()) + 1) * cell if ys.size else big_h
-        x = 0.0
-        shelf_h = 0.0
-        for c in overflow:
-            if x + pad_w[c] > atlas_w and x > 0.0:
-                top_y += shelf_h
-                x = 0.0
-                shelf_h = 0.0
-            origin[c] = (x + g, top_y + g)
-            x += pad_w[c]
-            shelf_h = max(shelf_h, pad_h[c])
+    f = 1.0
+    seen = set()
+    for _ in range(max(pack_iters, 1)):
+        key = round(f, 3)
+        if key in seen:
+            break
+        seen.add(key)
+        origin_f, side_f, balance = _blf_pack(
+            uvs_of, chart_uv, chart_of, pad_w, pad_h, g, total, grid_cols, f)
+        if best is None or side_f < best[0]:
+            best = (side_f, origin_f)
+        # move toward used_h == atlas_w (area is ~conserved, so the
+        # balanced width is ~ sqrt(atlas_w * used_h))
+        f *= math.sqrt(min(max(balance, 0.25), 4.0))
+    side, origin = best
 
     final_raw = chart_uv + origin[chart_of][:, None, :]
     ext = final_raw.reshape(-1, 2).max(axis=0) + g

@@ -98,12 +98,14 @@ def test_theinn_coverage_beats_pair_packer():
     tri = np.asarray(scene.tri_idx)
     if tri.shape[0] < 10000:
         pytest.skip("theInn FBX not available (stand-in scene)")
-    # At the 4096 bake resolution the measured coverage is 0.697 (vs the
-    # pair packer's 0.693 — but area-proportional instead of uniform
-    # density); the test runs the cheaper 1024-gutter configuration where
-    # wider relative gutters cost ~13 points.
-    atlas = build_charted_atlas(pos, tri, ref_resolution=1024)
-    assert atlas.coverage > 0.55, f"coverage {atlas.coverage:.3f}"
+    # Measured at the 4096 bake resolution: 0.826 with the production BLF
+    # packer (grid_cols=1024, pack_iters=4; the round-2 skyline+hole-fill
+    # hybrid packed 0.697, the pair packer 0.693 at uniform density). The
+    # test runs the cheap grid_cols=512/pack_iters=3 configuration, which
+    # measures 0.779 in ~45 s.
+    atlas = build_charted_atlas(pos, tri, ref_resolution=4096,
+                                grid_cols=512, pack_iters=3)
+    assert atlas.coverage > 0.72, f"coverage {atlas.coverage:.3f}"
     # density check on the real scene too
     v0, v1, v2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
     wa = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)

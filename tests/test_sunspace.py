@@ -22,15 +22,21 @@ def _random_rays(rng, n, scale=12.0):
     return jnp.asarray(o)
 
 
-@pytest.mark.parametrize("seed,t", [(0, 37), (1, 500), (2, 4000)])
-def test_matches_any_hit_random(seed, t):
+@pytest.mark.parametrize("seed,t,grid_size", [
+    (0, 37, 512), (1, 500, 512), (2, 4000, 512),
+    # Non-power-of-8 sizes: child 7 absorbs the remainder and sub-8 spans
+    # emit whole-range chains (1024 silently mis-binned 64k lanes before
+    # that guard landed — the on-TPU A/B caught it).
+    (3, 1500, 1024), (4, 1500, 96),
+])
+def test_matches_any_hit_random(seed, t, grid_size):
     """Visibility equals traverse.any_hit EXACTLY (same world-space
     Moller-Trumbore, conservative grid) on random soups at several scales."""
     rng = np.random.default_rng(seed)
     v0, v1, v2 = _random_tris(rng, t)
     sun = np.asarray([0.3, 0.9, -0.2], np.float32)
     sun /= np.linalg.norm(sun)
-    grid = build_sun_grid(v0, v1, v2, sun)
+    grid = build_sun_grid(v0, v1, v2, sun, grid_size=grid_size)
     bvh = build_bvh(v0, v1, v2)
     n = 2048
     o = _random_rays(rng, n)
