@@ -62,3 +62,49 @@ def make_sharded_step(mesh: Mesh, settings, width: int, height: int,
 def shard_accum(mesh: Mesh, accum, axis_name: str = "rows"):
     """Place an accumulation image with row sharding on the mesh."""
     return jax.device_put(accum, NamedSharding(mesh, P(axis_name)))
+
+
+def make_sharded_bake_step(mesh: Mesh, settings, resolution: int,
+                           axis_name: str = "rows"):
+    """Build a jitted multi-chip lightmap-bake step (the second dispatch
+    surface after rendering: the reference's DispatchRays(4096, 4096),
+    DXRPathTracer.cpp:1974-1985).
+
+    Texel rows shard over the mesh exactly like pixel rows in
+    make_sharded_step: scene/BVH/sky replicated, surface maps + (sum,count)
+    accumulation row-sharded, CMJ texel indices kept GLOBAL via the
+    per-device row offset — so a sharded bake equals the single-chip bake
+    to fusion-order ULPs and there are no hot-loop collectives.
+
+    Returns step(scene, bvh, accum, sky_cube, frame, pos, nrm,
+    sample_index, sun_grid=None) -> new accum.
+    """
+    from ..bake.baker import bake_sample
+
+    n_dev = mesh.devices.size
+    assert resolution % n_dev == 0, (
+        f"resolution {resolution} must divide over {n_dev} devices")
+    rows_per = resolution // n_dev
+    total = resolution * resolution
+
+    repl = P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(repl, repl, P(axis_name), repl, repl, P(axis_name),
+                       P(axis_name), repl, repl),
+             out_specs=P(axis_name), check_vma=False)
+    def sharded(scene, bvh, accum_block, sky_cube, frame, pos_block,
+                nrm_block, sample_index, sun_grid):
+        row0 = (jax.lax.axis_index(axis_name) * rows_per).astype(jnp.uint32)
+        return bake_sample(scene, bvh, sky_cube, settings, frame,
+                           pos_block, nrm_block, accum_block, sample_index,
+                           row_offset=row0, total_texels=total,
+                           sun_bvh=sun_grid)
+
+    @jax.jit
+    def step(scene, bvh, accum, sky_cube, frame, pos, nrm, sample_index,
+             sun_grid=None):
+        return sharded(scene, bvh, accum, sky_cube, frame, pos, nrm,
+                       sample_index, sun_grid)
+
+    return step

@@ -52,3 +52,43 @@ def test_sharded_equals_single():
     # rounding; require near-bitwise agreement.
     assert np.allclose(sharded, single, rtol=1e-5, atol=1e-5), (
         np.abs(sharded - single).max())
+
+
+def test_sharded_bake_equals_single():
+    """The bake dispatch (the reference's DispatchRays(4096,4096)) sharded
+    by texel rows equals the single-chip bake_sample (global CMJ indices
+    come from the per-device row offset)."""
+    assert len(jax.devices()) >= 8
+    from dxrpathtracer_tpu.app.session import RenderSession
+    from dxrpathtracer_tpu.bake.baker import Baker, bake_sample
+    from dxrpathtracer_tpu.parallel.mesh import make_sharded_bake_step
+
+    res = 32
+    sess = RenderSession(settings=AppSettings(current_scene=Scenes.BoxTest),
+                         width=8, height=8)
+    baker = Baker(sess, resolution=res)
+    assert len(baker._accum_slabs) == 1, "expected a single slab at 32x32"
+    pos = baker._pos_slabs[0]
+    nrm = baker._nrm_slabs[0]
+    frame = sess.frame_constants(0)
+
+    single = np.asarray(bake_sample(
+        sess.scene, sess.bvh, sess._sky_cube_dev, sess.settings, frame,
+        pos, nrm, jnp.zeros((res, res, 4), jnp.float32), jnp.uint32(0),
+        row_offset=jnp.uint32(0), total_texels=res * res,
+        sun_bvh=sess.sun_grid))
+
+    mesh = make_render_mesh(jax.devices()[:8])
+    step = make_sharded_bake_step(mesh, sess.settings, res)
+    accum = shard_accum(mesh, jnp.zeros((res, res, 4), jnp.float32))
+    pos_sh = shard_accum(mesh, pos)
+    nrm_sh = shard_accum(mesh, nrm)
+    sharded = np.asarray(step(sess.scene, sess.bvh, accum,
+                              sess._sky_cube_dev, frame, pos_sh, nrm_sh,
+                              jnp.uint32(0), sess.sun_grid))
+
+    assert sharded.shape == single.shape
+    # the bake chain (trace + firefly clamp + validity) is longer than the
+    # render path, so fusion-order rounding accumulates a little more
+    assert np.allclose(sharded, single, rtol=1e-4, atol=1e-4), (
+        np.abs(sharded - single).max())
