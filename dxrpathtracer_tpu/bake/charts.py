@@ -430,7 +430,7 @@ def build_charted_atlas(positions, tri_idx, gutter_texels: float = 2.0,
         # move toward used_h == atlas_w (area is ~conserved, so the
         # balanced width is ~ sqrt(atlas_w * used_h))
         f *= math.sqrt(min(max(balance, 0.25), 4.0))
-    side, origin = best
+    _, origin = best
 
     final_raw = chart_uv + origin[chart_of][:, None, :]
     ext = final_raw.reshape(-1, 2).max(axis=0) + g

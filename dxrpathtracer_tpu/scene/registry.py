@@ -26,6 +26,17 @@ from .types import Scene
 log = logging.getLogger(__name__)
 
 
+class _WarningCounter(logging.Handler):
+    """Counts WARNING+ records during a scene load (cache-write gate)."""
+
+    def __init__(self):
+        super().__init__(level=logging.WARNING)
+        self.count = 0
+
+    def emit(self, record):
+        self.count += 1
+
+
 def _strict_default() -> bool:
     return bool(os.environ.get("DXRPT_STRICT_SCENE_LOAD"))
 
@@ -330,8 +341,21 @@ def load_scene(scene_enum: Scenes,
             if cached is not None:
                 return cached, preset
             try:
-                scene = _load_fbx_scene_full(preset, strict=strict)
-                store_cached_scene(str(fbx_abs), preset, scene)
+                # Count load warnings (texture decode fallbacks etc.): a
+                # DEGRADED scene must never be cached — a later load would
+                # silently serve default texels even after the content is
+                # fixed or strict mode is turned on.
+                counter = _WarningCounter()
+                log.addHandler(counter)
+                try:
+                    scene = _load_fbx_scene_full(preset, strict=strict)
+                finally:
+                    log.removeHandler(counter)
+                if counter.count == 0:
+                    store_cached_scene(str(fbx_abs), preset, scene)
+                else:
+                    log.info("scene cache write skipped: %d load warnings",
+                             counter.count)
                 return scene, preset
             except Exception as e:
                 if strict:
