@@ -14,11 +14,13 @@ replacement:
      units — one global scale makes texel density proportional to world area
      by construction (fixing the pair packer's uniform-density flaw),
   3. every chart packs through one occupancy grid by bottom-left-fill
-     against exact per-column edge profiles (biggest first, first-fit
+     against exact MULTI-SPAN per-column masks (biggest first, first-fit
      lowest-(y, x)), with the pack width iterated toward a square layout
-     and a world-space gutter derived from the requested texel gutter
-     (measured 0.94 packing efficiency on theInn vs 0.795 for the earlier
-     skyline+hole-fill hybrid — PERF_NOTES.md round 3).
+     and a world-space gutter derived from the requested texel gutter.
+     Multi-span masks claim only a chart's true dilated footprint — holes
+     inside concave charts stay free and later charts nest into them
+     (the single-span profile packer this replaces trapped ~13 coverage
+     points of interior air on theInn — PERF_NOTES.md round 3).
 
 The texel -> (triangle, barycentric) inverse map — which the analytic atlas
 got in closed form — becomes a host-side rasterization over chart triangles
@@ -128,13 +130,18 @@ def _plane_basis(n):
 
 
 def _chart_overlap_frac(uv2, res=64):
-    """Fraction of a chart's rasterized texels covered by >= 2 triangles
-    (shared edges contribute ~0; folds contribute a lot). uv2: (C, 3, 2)."""
+    """Folded-chart detector: how much of the chart's total triangle area
+    exceeds its rasterized UNION area (a fold stacks area on top of itself,
+    so sum(|tri area|) > union). Counting texels claimed by >= 2 triangles
+    misfires on charts of SKINNY triangles, whose shared-edge texels
+    dominate the rasterization (a connected ring of 8 thin triangles read
+    as 15% 'overlap'); the area ratio only sees genuine double coverage.
+    uv2: (C, 3, 2). Returns ~0 for fold-free charts."""
     lo = uv2.min(axis=(0, 1))
     hi = uv2.max(axis=(0, 1))
     ext = np.maximum(hi - lo, 1e-12)
     q = (uv2 - lo) / ext * (res - 1)
-    count = np.zeros((res, res), np.int32)
+    covered = np.zeros((res, res), bool)
     for tri in q:
         bb_lo = np.floor(tri.min(axis=0)).astype(int)
         bb_hi = np.ceil(tri.max(axis=0)).astype(int) + 1
@@ -152,78 +159,296 @@ def _chart_overlap_frac(uv2, res=64):
         u = (d[..., 0] * e2[1] - d[..., 1] * e2[0]) / det
         v = (e1[0] * d[..., 1] - e1[1] * d[..., 0]) / det
         inside = (u >= -1e-6) & (v >= -1e-6) & (u + v <= 1.0 + 1e-6)
-        count[bb_lo[0]:bb_lo[0] + xs.size,
-              bb_lo[1]:bb_lo[1] + ys.size] += inside
-    covered = count > 0
-    multi = count > 1
-    return multi.sum() / max(covered.sum(), 1)
+        covered[bb_lo[0]:bb_lo[0] + xs.size,
+                bb_lo[1]:bb_lo[1] + ys.size] |= inside
+    e1 = q[:, 1] - q[:, 0]
+    e2 = q[:, 2] - q[:, 0]
+    area_sum = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]).sum()
+    # the inclusive raster OVERestimates the union by ~a one-texel perimeter
+    # band, biasing away from false fold reports on skinny charts
+    union = max(float(covered.sum()), 1.0)
+    return max(area_sum / union - 1.0, 0.0)
 
 
-def _chart_profiles(uvs, w_cols, cell, pad):
-    """Exact per-column (bottom, top) y-profiles of a chart's triangle
-    EDGES, inflated by `pad` (the gutter) on every side.
+def _min_bbox_area(pts, _angles=np.linspace(0.0, math.pi / 2.0, 16,
+                                            endpoint=False)):
+    """Minimal-area bounding-box area of a 2D point set over 16 rotations
+    (the same candidate set the packer's per-chart rotation step uses)."""
+    cs, sn = np.cos(_angles), np.sin(_angles)
+    xr = pts[:, 0:1] * cs[None, :] - pts[:, 1:2] * sn[None, :]
+    yr = pts[:, 0:1] * sn[None, :] + pts[:, 1:2] * cs[None, :]
+    w = xr.max(axis=0) - xr.min(axis=0)
+    h = yr.max(axis=0) - yr.min(axis=0)
+    return float((w * h).min())
 
-    uvs: (C, 3, 2) chart-local shifted so the padded chart starts at 0;
-    columns cover [0, w_cols*cell). Within a column strip [xa, xb], a
-    triangle's y-extremes occur at vertices inside the strip or at edge
-    crossings of xa/xb — both are computed, so sloped charts (roofs, lone
-    triangles) get true slanted profiles instead of bbox rectangles and can
-    nest into each other's slack."""
-    bottom = np.full(w_cols, np.inf)
-    top = np.full(w_cols, -np.inf)
-    # edges (E, 2 endpoints, 2 xy)
+
+def _merge_charts(positions, tri_idx, chart_of, chart_uv, n_charts,
+                  gutter_world, max_chart_tris=4000, overlap_tol=0.02,
+                  rounds=8, bbox_tol=1.0):
+    """Hinge-unfold chart merging — the LSCM-class defragmentation pass.
+
+    Hard-edged meshes fragment the cone-limited BFS growth into thousands of
+    2-4 triangle charts (theInn: 2956 charts for 19k tris), and per-chart
+    gutters + bbox slack then bound atlas coverage (~0.83 — PERF_NOTES.md).
+    Two charts meeting at a fold line can be joined EXACTLY by unfolding one
+    into the other's plane: in chart-UV space that is a rigid 2D transform
+    mapping B's image of the shared (welded) vertices onto A's. This is the
+    analytic special case of LSCM that architectural geometry is made of;
+    chains of merges unroll cylinders/arches one hinge at a time.
+
+    A merge commits only if
+      - every shared welded vertex lands within 0.5 gutter of its image in
+        A (sub-texel internal seams: bilinear taps across the fold then mix
+        GEOMETRIC neighbors, which is seamless, and any sub-texel gap is
+        healed by the rasterizer's dilation), and
+      - the union passes the fold detector (no stacked area), so B cannot
+        swing back over A, and
+      - the union's min-area bbox is no larger than the parts' bboxes
+        combined (bbox_tol): unguarded chain unfolds SPRAWL — arcs unroll
+        into crescents, stair chains into diagonals — and measured 10
+        coverage points WORSE on theInn (bbox fill 0.74 -> 0.55) because
+        the sprawl traps pocket air while consuming the small charts that
+        used to fill pockets. The guard keeps exactly the merges that pay:
+        near-coplanar plates joining into larger rectangles.
+
+    Mutates chart_of / chart_uv in place; returns the new chart id bound
+    (stale ids keep no triangles)."""
+    wtri = _weld_indices(positions, tri_idx)                   # (T, 3)
+    # cross-chart shared edges -> per chart-pair shared welded vertices
+    edges = np.concatenate([wtri[:, [0, 1]], wtri[:, [1, 2]],
+                            wtri[:, [2, 0]]], axis=0)
+    edges = np.sort(edges, axis=1)
+    owner = np.tile(np.arange(tri_idx.shape[0], dtype=np.int64), 3)
+    key = edges[:, 0] * (wtri.max() + 1) + edges[:, 1]
+    order = np.argsort(key, kind="stable")
+    same = key[order][1:] == key[order][:-1]
+    ta, tb = owner[order][:-1][same], owner[order][1:][same]
+    ea = edges[order][:-1][same]                               # (E, 2) welded
+
+    for _ in range(rounds):
+        ca, cb = chart_of[ta], chart_of[tb]
+        cross = ca != cb
+        if not cross.any():
+            break
+        lo_c = np.minimum(ca[cross], cb[cross])
+        hi_c = np.maximum(ca[cross], cb[cross])
+        ev = ea[cross]
+        # boundary edge count per chart pair (merge priority: longest seam)
+        pair_key = lo_c * (n_charts + 1) + hi_c
+        # group cross edges by pair
+        p_order = np.argsort(pair_key, kind="stable")
+        pk_s = pair_key[p_order]
+        starts = np.nonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])[0]
+        counts = np.diff(np.r_[starts, pk_s.size])
+
+        # chart triangle lists + total areas (for merge ordering)
+        g_order = np.argsort(chart_of, kind="stable")
+        bounds = np.searchsorted(chart_of[g_order], np.arange(n_charts + 1))
+        tri_count = np.diff(bounds)
+
+        # candidate merges, longest shared seam first
+        cand = np.argsort(-counts, kind="stable")
+        merged_into = np.arange(n_charts, dtype=np.int64)
+        touched = np.zeros(n_charts, bool)
+        n_merged = 0
+        for qi in cand:
+            s0 = starts[qi]
+            a = int(pk_s[s0] // (n_charts + 1))
+            b = int(pk_s[s0] % (n_charts + 1))
+            if touched[a] or touched[b]:
+                continue  # one hinge per chart per round (UVs move)
+            if tri_count[a] + tri_count[b] > max_chart_tris:
+                continue
+            shared_w = np.unique(ev[p_order[s0:s0 + counts[qi]]])
+            if shared_w.size < 2:
+                continue
+            sel_a = g_order[bounds[a]:bounds[a + 1]]
+            sel_b = g_order[bounds[b]:bounds[b + 1]]
+            # UV of each shared welded vertex in both charts (first corner)
+            uva = np.zeros((shared_w.size, 2))
+            uvb = np.zeros((shared_w.size, 2))
+            okw = True
+            for si, w in enumerate(shared_w):
+                ia = np.nonzero(wtri[sel_a] == w)
+                ib = np.nonzero(wtri[sel_b] == w)
+                if ia[0].size == 0 or ib[0].size == 0:
+                    okw = False
+                    break
+                uva[si] = chart_uv[sel_a[ia[0][0]], ia[1][0]]
+                uvb[si] = chart_uv[sel_b[ib[0][0]], ib[1][0]]
+            if not okw:
+                continue
+            # anchors: the two farthest-apart shared vertices in A's UV
+            d2 = ((uva[:, None, :] - uva[None, :, :]) ** 2).sum(-1)
+            i0, i1 = np.unravel_index(int(np.argmax(d2)), d2.shape)
+            av = uva[i1] - uva[i0]
+            la = float(np.hypot(*av))
+            bv = uvb[i1] - uvb[i0]
+            lb = float(np.hypot(*bv))
+            if la < 1e-9 or lb < 1e-9:
+                continue
+            anchor_b = uvb[i0].copy()
+            committed = False
+            for mirror in (False, True):
+                ub = uvb.copy()
+                buv = chart_uv[sel_b].reshape(-1, 2).copy()
+                if mirror:
+                    # reflect B across its anchor line (both anchors lie ON
+                    # the line, so they — and the rotation below — are
+                    # unchanged; only off-line vertices flip sides)
+                    u = bv / lb
+                    m00 = 2 * u[0] * u[0] - 1
+                    m01 = 2 * u[0] * u[1]
+                    m11 = 2 * u[1] * u[1] - 1
+                    for arr in (ub, buv):
+                        rel = arr - anchor_b
+                        arr[:] = anchor_b + np.stack(
+                            [rel[:, 0] * m00 + rel[:, 1] * m01,
+                             rel[:, 0] * m01 + rel[:, 1] * m11], axis=-1)
+                cs = (bv @ av) / (lb * la)
+                sn = (bv[0] * av[1] - bv[1] * av[0]) / (lb * la)
+                for arr in (ub, buv):
+                    rel = arr - anchor_b
+                    arr[:] = uva[i0] + np.stack(
+                        [rel[:, 0] * cs - rel[:, 1] * sn,
+                         rel[:, 0] * sn + rel[:, 1] * cs], axis=-1)
+                # all shared vertices must land sub-texel close
+                res = np.abs(ub - uva).max() if shared_w.size else 0.0
+                if res > 0.5 * gutter_world:
+                    continue
+                union_uv = np.concatenate(
+                    [chart_uv[sel_a], buv.reshape(-1, 3, 2)], axis=0)
+                if _chart_overlap_frac(union_uv) > overlap_tol:
+                    continue
+                pts_a = chart_uv[sel_a].reshape(-1, 2)
+                ba = _min_bbox_area(pts_a)
+                bb = _min_bbox_area(buv)
+                bu_area = _min_bbox_area(union_uv.reshape(-1, 2))
+                if bu_area > bbox_tol * (ba + bb):
+                    continue
+                chart_uv[sel_b] = buv.reshape(-1, 3, 2)
+                chart_of[sel_b] = a
+                merged_into[b] = a
+                touched[a] = touched[b] = True
+                tri_count[a] += tri_count[b]
+                tri_count[b] = 0
+                n_merged += 1
+                committed = True
+                break
+            if not committed:
+                continue
+        if n_merged == 0:
+            break
+    return n_charts
+
+
+def _chart_spans(uvs, w_cols, cell, pad, rows):
+    """Exact MULTI-SPAN per-column occupancy of a chart's triangles.
+
+    The single [bottom, top] envelope this replaces claimed every interior
+    hole of a concave chart (an L, a ring, a wall with a doorway), trapping
+    ~13 coverage points of air on theInn (PERF_NOTES.md round 3). Here each
+    TRIANGLE contributes its own exact per-column y-interval (vertices in
+    the strip + edge/boundary crossings — same machinery as the old
+    profiles, tagged by owning triangle), the intervals are unioned per
+    column, padded by the gutter on every side, and quantized outward — so
+    a chart's claim is its true dilated footprint and later (smaller)
+    charts can nest into its real holes.
+
+    uvs: (C, 3, 2) chart-local, shifted so the padded chart starts at 0.
+    Returns (cols (S,) i64, lo (S,) i64, hi (S,) i64) cell spans,
+    lo inclusive / hi exclusive, clipped to [0, rows]."""
+    c_tris = uvs.shape[0]
+    # edges (3C, 2 endpoints, 2 xy) tagged by owning triangle; the first
+    # endpoints px cover all three vertices of every triangle
     e = np.concatenate([uvs[:, [0, 1]], uvs[:, [1, 2]], uvs[:, [2, 0]]],
                        axis=0)
+    own = np.tile(np.arange(c_tris, dtype=np.int64), 3)
     px, py = e[:, 0, 0], e[:, 0, 1]
     qx, qy = e[:, 1, 0], e[:, 1, 1]
 
-    # vertex contributions: each endpoint lands in its own column
-    cols_v = np.clip((px / cell).astype(np.int64), 0, w_cols - 1)
-    np.minimum.at(bottom, cols_v, py)
-    np.maximum.at(top, cols_v, py)
+    lo_arr = np.full(c_tris * w_cols, np.inf)
+    hi_arr = np.full(c_tris * w_cols, -np.inf)
+
+    def add(cols, tris, ys):
+        keys = tris * w_cols + np.clip(cols, 0, w_cols - 1)
+        np.minimum.at(lo_arr, keys, ys)
+        np.maximum.at(hi_arr, keys, ys)
+
+    # vertex contributions: each vertex lands in its own column
+    add((px / cell).astype(np.int64), own, py)
 
     # crossing contributions: where an edge crosses a column boundary x=b,
-    # add the interpolated y to both adjacent columns
-    lo = np.minimum(px, qx)
-    hi = np.maximum(px, qx)
-    b0 = np.ceil(lo / cell).astype(np.int64)
-    b1 = np.floor(hi / cell).astype(np.int64)
-    for i in range(e.shape[0]):
-        if b1[i] < b0[i] or hi[i] - lo[i] < 1e-20:
-            continue
-        bs = np.arange(b0[i], b1[i] + 1)
-        xb = bs * cell
-        t = np.clip((xb - px[i]) / (qx[i] - px[i] + 1e-30), 0.0, 1.0)
-        yb = py[i] + t * (qy[i] - py[i])
-        cl = np.clip(bs - 1, 0, w_cols - 1)
-        cr = np.clip(bs, 0, w_cols - 1)
-        np.minimum.at(bottom, cl, yb)
-        np.minimum.at(bottom, cr, yb)
-        np.maximum.at(top, cl, yb)
-        np.maximum.at(top, cr, yb)
+    # the interpolated y bounds both adjacent columns (vectorized over ALL
+    # crossings of all edges at once)
+    lo_x = np.minimum(px, qx)
+    hi_x = np.maximum(px, qx)
+    b0 = np.ceil(lo_x / cell).astype(np.int64)
+    b1 = np.floor(hi_x / cell).astype(np.int64)
+    cnt = np.where((b1 >= b0) & (hi_x - lo_x > 1e-20), b1 - b0 + 1, 0)
+    total = int(cnt.sum())
+    if total:
+        eidx = np.repeat(np.arange(e.shape[0]), cnt)
+        start = np.cumsum(cnt) - cnt
+        bs = b0[eidx] + (np.arange(total) - start[eidx])
+        t = np.clip((bs * cell - px[eidx]) / (qx[eidx] - px[eidx] + 1e-30),
+                    0.0, 1.0)
+        yb = py[eidx] + t * (qy[eidx] - py[eidx])
+        add(bs - 1, own[eidx], yb)
+        add(bs, own[eidx], yb)
 
-    covered = np.isfinite(bottom)
-    bottom = np.where(covered, bottom - pad, np.inf)
-    top = np.where(np.isfinite(top), top + pad, -np.inf)
-    # inflate horizontally by pad: min/max over the neighbor window
+    keys = np.nonzero(np.isfinite(lo_arr))[0]
+    cols = keys % w_cols
+    lo_s = lo_arr[keys] - pad
+    hi_s = hi_arr[keys] + pad
+
+    # horizontal gutter: replicate every interval into columns within
+    # ceil(pad/cell) (the multi-span form of the old sliding min/max window)
     r = max(int(math.ceil(pad / cell)), 0)
     if r > 0:
-        padded_b = np.pad(bottom, r, constant_values=np.inf)
-        padded_t = np.pad(top, r, constant_values=-np.inf)
-        from numpy.lib.stride_tricks import sliding_window_view
-        bottom = sliding_window_view(padded_b, 2 * r + 1).min(axis=1)
-        top = sliding_window_view(padded_t, 2 * r + 1).max(axis=1)
-    bottom[~np.isfinite(bottom)] = 0.0
-    top[~np.isfinite(top)] = 0.0
-    return bottom, top
+        offs = np.arange(-r, r + 1, dtype=np.int64)
+        cols = (cols[:, None] + offs[None, :]).ravel()
+        lo_s = np.repeat(lo_s, 2 * r + 1)
+        hi_s = np.repeat(hi_s, 2 * r + 1)
+        keep = (cols >= 0) & (cols < w_cols)
+        cols, lo_s, hi_s = cols[keep], lo_s[keep], hi_s[keep]
+
+    # quantize outward (conservative), then union intervals per column
+    lo_c = np.clip(np.floor(lo_s / cell).astype(np.int64), 0, rows)
+    hi_c = np.clip(np.ceil(hi_s / cell).astype(np.int64), 0, rows)
+    ok = hi_c > lo_c
+    cols, lo_c, hi_c = cols[ok], lo_c[ok], hi_c[ok]
+    if cols.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    order = np.lexsort((lo_c, cols))
+    cols, lo_c, hi_c = cols[order], lo_c[order], hi_c[order]
+    out_c, out_l, out_h = [], [], []
+    cur_col, cur_lo, cur_hi = int(cols[0]), int(lo_c[0]), int(hi_c[0])
+    for i in range(1, cols.size):
+        c, l, h = int(cols[i]), int(lo_c[i]), int(hi_c[i])
+        if c == cur_col and l <= cur_hi:
+            cur_hi = max(cur_hi, h)
+        else:
+            out_c.append(cur_col)
+            out_l.append(cur_lo)
+            out_h.append(cur_hi)
+            cur_col, cur_lo, cur_hi = c, l, h
+    out_c.append(cur_col)
+    out_l.append(cur_lo)
+    out_h.append(cur_hi)
+    return (np.asarray(out_c, np.int64), np.asarray(out_l, np.int64),
+            np.asarray(out_h, np.int64))
 
 
 def _grid_fill(occ, spans_list, heights_cells, band: int = 128):
     """Place charts into ANY free pocket of the occupancy grid (the skyline
     can only stack on top; this recovers the trapped air under and between
-    the big charts). occ: (R, C) bool; spans_list[i] = (b, t) cell spans
-    per column of chart i (len w_i). Returns (placements (N, 2) cell coords
-    or -1, occ updated in place).
+    the big charts). occ: (R, C) bool; spans_list[i] = (cols, lo, hi)
+    multi-span cell intervals of chart i (lo inclusive, hi exclusive; a
+    column may carry several disjoint spans, so chart HOLES stay free and
+    later charts can nest inside them). Returns (placements (N, 2) cell
+    coords or -1, occ updated in place).
 
     First-fit lowest-(y, x), searched in row bands from the bottom so the
     cost scales with where the chart lands, not the grid height; the
@@ -233,8 +458,14 @@ def _grid_fill(occ, spans_list, heights_cells, band: int = 128):
     out = np.full((len(spans_list), 2), -1, np.int64)
     cum = np.zeros((r + 1, c), np.int64)
     np.cumsum(occ, axis=0, out=cum[1:])
-    for i, (b, t) in enumerate(spans_list):
-        w = b.shape[0]
+    for i, (cs, lo, hi) in enumerate(spans_list):
+        if cs.size == 0:
+            continue
+        # tallest spans first: they kill dead bands fastest, enabling the
+        # every-16-spans early exit below
+        korder = np.argsort(lo - hi, kind="stable")
+        cs, lo, hi = cs[korder], lo[korder], hi[korder]
+        w = int(cs.max()) + 1
         h = heights_cells[i]
         if w > c or h >= r:
             continue
@@ -246,9 +477,16 @@ def _grid_fill(occ, spans_list, heights_cells, band: int = 128):
         for y0 in range(0, ymax, band):
             yb = min(band, ymax - y0)
             ok = np.ones((yb, xmax), bool)
-            for k in range(w):
-                ok &= (cum[t[k] + y0:t[k] + y0 + yb, k:k + xmax]
-                       - cum[b[k] + y0:b[k] + y0 + yb, k:k + xmax]) == 0
+            dead = False
+            for k in range(cs.size):
+                ck = cs[k]
+                ok &= (cum[hi[k] + y0:hi[k] + y0 + yb, ck:ck + xmax]
+                       - cum[lo[k] + y0:lo[k] + y0 + yb, ck:ck + xmax]) == 0
+                if (k & 15) == 15 and not ok.any():
+                    dead = True
+                    break
+            if dead:
+                continue
             ys, xs = np.nonzero(ok)
             if ys.size:
                 j = np.lexsort((xs, ys))[0]
@@ -258,9 +496,11 @@ def _grid_fill(occ, spans_list, heights_cells, band: int = 128):
             continue
         y, x = found
         out[i] = (x, y)
-        for k in range(w):
-            occ[y + b[k]:y + t[k], x + k] = True
-            np.cumsum(occ[:, x + k], out=cum[1:, x + k])
+        for k in range(cs.size):
+            occ[y + lo[k]:y + hi[k], x + cs[k]] = True
+        c0 = x + int(cs.min())
+        c1 = x + int(cs.max()) + 1
+        np.cumsum(occ[:, c0:c1], axis=0, out=cum[1:, c0:c1])
     return out
 
 
@@ -280,11 +520,9 @@ def _blf_pack(uvs_of, chart_uv, chart_of, pad_w, pad_h, g, total,
     hcells = []
     for c in order:
         w_cols = max(int(math.ceil(pad_w[c] / cell)), 1)
-        prof_b, prof_t = _chart_profiles(uvs_of[c],
-                                         min(w_cols, grid_cols), cell, g)
-        spans.append((np.clip(np.floor(prof_b / cell).astype(int), 0, rows),
-                      np.clip(np.ceil(prof_t / cell).astype(int), 0, rows)))
-        hcells.append(int(math.ceil(pad_h[c] / cell)) + 1)
+        sp = _chart_spans(uvs_of[c], min(w_cols, grid_cols), cell, g, rows)
+        spans.append(sp)
+        hcells.append(int(sp[2].max()) if sp[2].size else 1)
     occ = np.zeros((rows, grid_cols), bool)
     placed = _grid_fill(occ, spans, hcells)
 
@@ -296,6 +534,8 @@ def _blf_pack(uvs_of, chart_uv, chart_of, pad_w, pad_h, g, total,
     x = 0.0
     shelf_h = 0.0
     for j, c in enumerate(order):
+        if uvs_of[c].shape[0] == 0:
+            continue  # id emptied by a merge — no geometry to place
         if placed[j][0] >= 0:
             origin[c] = (placed[j][0] * cell + g, placed[j][1] * cell + g)
             continue
@@ -361,6 +601,17 @@ def build_charted_atlas(positions, tri_idx, gutter_texels: float = 2.0,
         else:
             chart_uv[sel] = uv2
     n_charts = next_chart
+
+    # --- hinge-unfold merging: defragment the hard-edge splits (theInn:
+    # 2956 charts of mostly 2-4 tris; every chart pays gutter + bbox air).
+    # Residual bound uses a pre-pack gutter estimate (atlas side ~
+    # sqrt(2x triangle area), i.e. ~50% coverage — conservative: a smaller
+    # true side only TIGHTENS the seam bound used during merging).
+    g_est = (gutter_texels
+             * math.sqrt(max(2.0 * float(areas.sum()), 1e-20))
+             / ref_resolution)
+    _merge_charts(positions, tri_idx, chart_of, chart_uv, n_charts, g_est,
+                  max_chart_tris, overlap_tolerance)
 
     # --- rotate each chart to its minimum-area bbox; land in landscape ---
     ids = np.unique(chart_of)
@@ -441,7 +692,8 @@ def build_charted_atlas(positions, tri_idx, gutter_texels: float = 2.0,
     coverage = float(areas.sum() / (side * side))
 
     return ChartedAtlas(num_tris=t, tri_uv=final.astype(np.float32),
-                        num_charts=int(n_charts), coverage=coverage,
+                        num_charts=int(np.unique(chart_of).size),
+                        coverage=coverage,
                         gutter_texels=gutter_texels,
                         ref_resolution=ref_resolution)
 

@@ -89,6 +89,51 @@ def test_reconstruction_on_surface(boxtest_atlas):
     assert d.max() < 1e-4
 
 
+def _quad(verts, tris, x0, y0, x1, y1, z=0.0):
+    """Append a quad (two triangles) in the z=const plane."""
+    base = len(verts)
+    verts += [(x0, y0, z), (x1, y0, z), (x1, y1, z), (x0, y1, z)]
+    tris += [(base, base + 1, base + 2), (base, base + 2, base + 3)]
+
+
+def test_small_chart_nests_inside_ring_hole():
+    """The multi-span packer's reason to exist: a chart's interior HOLES must
+    stay free for later charts. A square ring (outer 10x10, hole 4x4) and a
+    separate 3x3 square: the square must land INSIDE the ring's hole, so the
+    atlas side stays ~the ring's outer edge (a single-span [bottom, top]
+    profile would claim the hole and push the square outside)."""
+    # one edge-connected ring: 4 outer + 4 inner corners, 8 triangles
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    inner = [(3, 3), (7, 3), (7, 7), (3, 7)]
+    verts = [(x, y, 0.0) for x, y in outer + inner]
+    tris = []
+    for k in range(4):
+        o0, o1 = k, (k + 1) % 4
+        i0, i1 = 4 + k, 4 + (k + 1) % 4
+        tris += [(o0, o1, i1), (o0, i1, i0)]
+    # disconnected small square (same plane, elsewhere in space)
+    _quad(verts, tris, 20, 20, 23, 23)
+    pos = np.asarray(verts, np.float64)
+    tri = np.asarray(tris, np.int64)
+    atlas = build_charted_atlas(pos, tri, grid_cols=512, pack_iters=2)
+
+    uv = atlas.tri_uv.astype(np.float64)
+    ring_uv = uv[:8].reshape(-1, 2)
+    sq_uv = uv[8:].reshape(-1, 2)
+    ring_lo, ring_hi = ring_uv.min(axis=0), ring_uv.max(axis=0)
+    sq_lo, sq_hi = sq_uv.min(axis=0), sq_uv.max(axis=0)
+    # the square sits strictly inside the ring's bbox (i.e., in its hole) …
+    assert (sq_lo > ring_lo - 1e-9).all() and (sq_hi < ring_hi + 1e-9).all(), \
+        f"square not nested: ring {ring_lo}-{ring_hi} square {sq_lo}-{sq_hi}"
+    # … and does not overlap any ring triangle (rasterize both, no texel
+    # claimed twice)
+    tm_f, _, _, _ = rasterize_texel_map(atlas.tri_uv, 256, dilate=0)
+    tm_r, _, _, _ = rasterize_texel_map(atlas.tri_uv[::-1], 256, dilate=0)
+    assert (((tm_f >= 0) != (tm_r >= 0)).mean()) < 1e-3
+    # nesting keeps the layout tight: ~93 world-area in a ~(10+gutters)^2 atlas
+    assert atlas.coverage > 0.7, f"coverage {atlas.coverage:.3f}"
+
+
 def test_theinn_coverage_beats_pair_packer():
     """The headline metric: texel coverage on theInn must beat the analytic
     pair packer's 69.3% uniform-density layout is replaced by
@@ -98,14 +143,14 @@ def test_theinn_coverage_beats_pair_packer():
     tri = np.asarray(scene.tri_idx)
     if tri.shape[0] < 10000:
         pytest.skip("theInn FBX not available (stand-in scene)")
-    # Measured at the 4096 bake resolution: 0.826 with the production BLF
-    # packer (grid_cols=1024, pack_iters=4; the round-2 skyline+hole-fill
-    # hybrid packed 0.697, the pair packer 0.693 at uniform density). The
-    # test runs the cheap grid_cols=512/pack_iters=3 configuration, which
-    # measures 0.779 in ~45 s.
+    # With the multi-span packer + bbox-guarded hinge-unfold merging the
+    # cheap grid_cols=512/pack_iters=3 configuration measures 0.820 in
+    # ~105 s (single-span profiles, no merge: 0.779; unguarded merge
+    # regressed to 0.678 — sprawling chain unfolds, see _merge_charts).
+    # Production (grid_cols=1024, pack_iters=4) numbers live in PERF_NOTES.
     atlas = build_charted_atlas(pos, tri, ref_resolution=4096,
                                 grid_cols=512, pack_iters=3)
-    assert atlas.coverage > 0.72, f"coverage {atlas.coverage:.3f}"
+    assert atlas.coverage > 0.78, f"coverage {atlas.coverage:.3f}"
     # density check on the real scene too
     v0, v1, v2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
     wa = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
