@@ -233,13 +233,14 @@ def build_table_numpy(v0, v1, v2, leaf_size: int = LEAF_SIZE):
     return table, int(n_rows), num_leaves, depth, root_code
 
 
-def _sah_topology(v0, v1, v2, leaf_size: int, bins: int = 16):
-    """Binned binary SAH + collapse to 8-wide: the shared topology phase of
-    both the unified-record emitter (build_table_numpy_sah) and the
+def _sah_topology(v0, v1, v2, leaf_size: int, bins: int = 16,
+                  width: int = WIDTH):
+    """Binned binary SAH + collapse to `width`-wide: the shared topology phase
+    of both the unified-record emitter (build_table_numpy_sah) and the
     split-table MXU emitter (build_split_tables_numpy_sah).
 
     Returns (order, rows_is_leaf, rows_range, rows_child, rows_box, depth)
-    where rows_* are BFS-ordered over the collapsed 8-wide tree. All FP
+    where rows_* are BFS-ordered over the collapsed wide tree. All FP
     decisions in f32 with the same expression order as
     native/sah_builder.cpp (bit-identity requirement)."""
     import sys
@@ -352,7 +353,7 @@ def _sah_topology(v0, v1, v2, leaf_size: int, bins: int = 16):
         rid = len(rows_is_leaf)
         rows_is_leaf.append(b_left[bn] < 0)
         rows_range.append((b_lo[bn], b_hi[bn]))
-        rows_child.append([-1] * WIDTH)
+        rows_child.append([-1] * width)
         rows_box.append((boxes_lo[bn], boxes_hi[bn]))
         return rid
 
@@ -366,7 +367,7 @@ def _sah_topology(v0, v1, v2, leaf_size: int, bins: int = 16):
         depth = max(depth, level + 1)
         if b_left[bn] >= 0:
             roots = [b_left[bn], b_right[bn]]
-            while len(roots) < WIDTH:
+            while len(roots) < width:
                 pick = -1
                 best_area = f32(-1.0)
                 for i, r in enumerate(roots):

@@ -101,6 +101,36 @@ def _fetch_vertex_attrs(scene, tri_id, u, v):
     return pos, nrm, uv, tan, bit
 
 
+def _fetch_shade_inputs(scene, tri_id, u, v):
+    """Surface + material inputs for _shade_vertex in ONE gather when the
+    scene carries the packed per-triangle shading rows (pack_tri_shade,
+    scene/types.py): rec = (n, 64) 256 B rows; the barycentric lerp runs as
+    one fused op over three contiguous 14-wide vertex blocks, and the
+    material index + packed material meta ride in the same row. Falls back
+    to the per-attribute gathers (~18 rows/vertex) on scenes without it."""
+    if scene.tri_shade is None:
+        pos, geo_n, uv_l, tan, bit = _fetch_vertex_attrs(scene, tri_id, u, v)
+        mat = jnp.take(scene.tri_material, jnp.maximum(tri_id, 0), axis=0)
+        packed_mm = _gather_packed_meta(scene, mat)
+        return pos, geo_n, uv_l, tan, bit, mat, packed_mm
+
+    from ..scene.types import TRI_SHADE_MAT, TRI_SHADE_META, TRI_SHADE_VTX
+    rec = jnp.take(scene.tri_shade, jnp.maximum(tri_id, 0), axis=0)  # (n, 64)
+    w = (1.0 - u - v)[..., None]
+    K = TRI_SHADE_VTX
+    blk = (rec[:, 0:K] * w + rec[:, K:2 * K] * u[..., None]
+           + rec[:, 2 * K:3 * K] * v[..., None])
+    pos = blk[:, 0:3]
+    geo_n = normalize(blk[:, 3:6], eps=1e-37)
+    uv_l = blk[:, 6:8]
+    tan = normalize(blk[:, 8:11], eps=1e-37)
+    bit = normalize(blk[:, 11:14], eps=1e-37)
+    mat = jax.lax.bitcast_convert_type(rec[:, TRI_SHADE_MAT], jnp.int32)
+    packed_mm = jax.lax.bitcast_convert_type(
+        rec[:, TRI_SHADE_META:TRI_SHADE_META + 20], jnp.int32)
+    return pos, geo_n, uv_l, tan, bit, mat, packed_mm
+
+
 def _sample_material(scene, mat_idx, uv, slot):
     tex_idx = jnp.take(getattr(scene.materials, slot), mat_idx, axis=0)
     return sample_bilinear_wrap(scene.textures, tex_idx, uv)
@@ -332,9 +362,8 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
         return state, (), {}
 
     # ---- Hit surface ----
-    pos, geo_n, uv, tan, bit = _fetch_vertex_attrs(scene, rec.tri_id, rec.u, rec.v)
-    mat = jnp.take(scene.tri_material, jnp.maximum(rec.tri_id, 0), axis=0)
-    packed_mm = _gather_packed_meta(scene, mat)
+    pos, geo_n, uv, tan, bit, mat, packed_mm = _fetch_shade_inputs(
+        scene, rec.tri_id, rec.u, rec.v)
     incoming_dir = ray_d
     incoming_origin = ray_o
 

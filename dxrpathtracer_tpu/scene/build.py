@@ -15,7 +15,7 @@ import dataclasses
 from .procedural import MeshData
 from .textures import AtlasBuilder, default_material_table
 from .types import (MaterialTable, Scene, SpotLights, make_spot_lights,
-                    pack_material_meta)
+                    pack_material_meta, pack_tri_shade)
 
 
 def flatten_meshes(meshes: list[MeshData]):
@@ -75,4 +75,6 @@ def build_scene(meshes: list[MeshData], materials: MaterialTable | None = None,
         materials=materials,
         textures=atlas,
         lights=lights,
+        tri_shade=pack_tri_shade(pos, nrm, uv, tan, bit, tri, tri_mat,
+                                 materials.packed_meta),
     )

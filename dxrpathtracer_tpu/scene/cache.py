@@ -30,7 +30,7 @@ log = logging.getLogger("dxrpathtracer_tpu.scene.cache")
 
 # Bump when the importer's output format changes (fields, packing, parity
 # fixes) — stale entries must not survive a loader change.
-LOADER_VERSION = 3
+LOADER_VERSION = 4
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,57 @@ def pack_material_meta(materials: "MaterialTable", atlas_meta) -> np.ndarray:
     return packed
 
 
+# Per-triangle packed shading row (see pack_tri_shade): 3 x 14-float vertex
+# blocks [pos(3) nrm(3) uv(2) tan(3) bit(3)], material id, pad, 20-int meta.
+TRI_SHADE_WIDTH = 64          # f32 slots (256 B row)
+TRI_SHADE_VTX = 14            # slots per vertex block
+TRI_SHADE_MAT = 42            # bitcast(int32 material idx)
+TRI_SHADE_META = 44           # bitcast(int32 packed_meta[20])
+
+
+def pack_tri_shade(positions, normals, uvs, tangents, bitangents,
+                   tri_idx, tri_material, packed_meta) -> np.ndarray:
+    """(T, 64) f32 packed shading rows — everything _shade_vertex needs about
+    a hit triangle in ONE gather.
+
+    The reference's GetHitSurface (RayTrace.hlsl:444-464) reads 3 vertices
+    from the bindless vertex buffer + the GeometryInfo/Material rows; the
+    straight port costs ~16 row-count-bound gathers per shading vertex
+    (tri_idx + 3 vertices x 5 attribute arrays) plus 2 material-meta gathers.
+    Gathers are ROW-count bound on this TPU (PERF_NOTES.md), so the packed
+    row collapses them to ONE (T, 64) 256 B gather; the barycentric lerp
+    becomes a single fused A*w + B*u + C*v over three contiguous 14-wide
+    blocks of the gathered row.
+
+    Layout per row:
+      [0:14)  vertex0 block: pos.xyz nrm.xyz uv.xy tan.xyz bit.xyz
+      [14:28) vertex1 block, [28:42) vertex2 block (same order)
+      [42]    bitcast(int32 material index)      [43] pad
+      [44:64) bitcast(int32 packed_meta row)  (pack_material_meta)
+    """
+    tri_idx = np.asarray(tri_idx, np.int64)
+    t = tri_idx.shape[0]
+    out = np.zeros((t, TRI_SHADE_WIDTH), np.float32)
+    attrs = (np.asarray(positions, np.float32),
+             np.asarray(normals, np.float32),
+             np.asarray(uvs, np.float32),
+             np.asarray(tangents, np.float32),
+             np.asarray(bitangents, np.float32))
+    for vslot in range(3):
+        sel = tri_idx[:, vslot]
+        base = vslot * TRI_SHADE_VTX
+        off = 0
+        for arr in attrs:
+            k = arr.shape[1]
+            out[:, base + off:base + off + k] = arr[sel]
+            off += k
+    out[:, TRI_SHADE_MAT] = np.asarray(tri_material, np.int32).view(np.float32)
+    pm = np.asarray(packed_meta, np.int32)
+    out[:, TRI_SHADE_META:TRI_SHADE_META + pm.shape[1]] = \
+        pm[np.asarray(tri_material, np.int64)].view(np.float32)
+    return out
+
+
 @partial(_register, meta=("num_lights",))
 @dataclasses.dataclass(frozen=True)
 class SpotLights:
@@ -116,6 +167,9 @@ class Scene:
     materials: MaterialTable
     textures: TextureAtlas
     lights: SpotLights
+    # (T, 64) f32 packed shading rows (pack_tri_shade); None on scenes built
+    # before it existed — _shade_vertex falls back to per-attribute gathers.
+    tri_shade: jax.Array | None = None
 
     @property
     def num_triangles(self):
