@@ -56,7 +56,7 @@ def _register(cls, meta=()):
 
 
 @partial(_register, meta=("num_rows", "num_tris", "num_leaves", "leaf_size",
-                          "max_depth", "root_code"))
+                          "max_depth", "root_code", "width"))
 @dataclasses.dataclass(frozen=True)
 class FlatBVH:
     table: jax.Array  # (num_rows, RECORD) f32 unified records
@@ -66,6 +66,10 @@ class FlatBVH:
     leaf_size: int = LEAF_SIZE
     max_depth: int = 16   # tree depth (stack sizing: (WIDTH-1) * max_depth)
     root_code: int = 0    # >= 0 internal row; < 0 ~leaf row (single-leaf scene)
+    # children per internal node. width == 8 is the classic f32-AABB layout;
+    # width in (16, 32) uses the bf16 internal layout (conservative directed
+    # rounding — see build_table_numpy_sah_wide), leaves unchanged in f32.
+    width: int = WIDTH
 
 
 def morton_codes_30(centroids: np.ndarray) -> np.ndarray:
@@ -87,13 +91,15 @@ def morton_codes_30(centroids: np.ndarray) -> np.ndarray:
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               leaf_size: int = LEAF_SIZE, use_native: bool = True,
-              mode: str = "sah") -> FlatBVH:
+              mode: str = "sah", width: int = WIDTH) -> FlatBVH:
     """Build a FlatBVH from (T, 3) triangle vertices (host numpy -> device).
 
-    mode="sah" (default) is the quality build — binned SAH collapsed to
-    8-wide, the analog of the reference's PREFER_FAST_TRACE driver build
+    mode="sah" (default) is the quality build — binned SAH collapsed wide,
+    the analog of the reference's PREFER_FAST_TRACE driver build
     (DXRPathTracer.cpp:2428); mode="morton" is the fast-build analog
-    (eighth-splits of the morton order). Uses the native C++ builders
+    (eighth-splits of the morton order). width=8 is the classic f32-AABB
+    layout; width in (16, 32) emits bf16 internal records
+    (build_table_numpy_sah_wide). Uses the native C++ builders
     (native/{sah,lbvh}_builder.cpp via ctypes) when available; the numpy
     paths are the bit-identical reference implementations.
     """
@@ -106,7 +112,14 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     assert mode in ("sah", "morton")
 
     packed = None
-    if use_native:
+    if width != WIDTH:
+        assert mode == "sah", "wide records are SAH-only"
+        from . import native
+        if use_native:
+            packed = native.build_packed_sah_wide(v0, v1, v2, leaf_size, width)
+        if packed is None:
+            packed = build_table_numpy_sah_wide(v0, v1, v2, leaf_size, width)
+    elif use_native:
         from . import native
         if mode == "sah":
             packed = native.build_packed_sah(v0, v1, v2, leaf_size)
@@ -120,7 +133,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     return FlatBVH(table=jnp.asarray(table), num_rows=int(num_rows),
                    num_tris=int(num_tris), num_leaves=int(num_leaves),
                    leaf_size=int(leaf_size), max_depth=int(depth) + 2,
-                   root_code=int(root_code))
+                   root_code=int(root_code), width=int(width))
 
 
 def build_table_numpy(v0, v1, v2, leaf_size: int = LEAF_SIZE):
@@ -436,6 +449,96 @@ def build_table_numpy_sah(v0, v1, v2, leaf_size: int = LEAF_SIZE, bins: int = 16
                 table[rid, [24 + k, 32 + k, 40 + k]] = chi
                 code = np.int32(~ch if rows_is_leaf[ch] else ch)
                 table[rid, 48 + k] = code.view(np.float32)
+
+    root_code = int(np.int32(~0 if rows_is_leaf[0] else 0))
+    return table, n_rows, num_leaves, depth, root_code
+
+
+def bf16_conservative(x: np.ndarray, up: bool) -> np.ndarray:
+    """Directed-rounded bfloat16 of f32 `x`, returned as uint16 bit patterns.
+
+    up=False rounds toward -inf (AABB lo), up=True toward +inf (AABB hi):
+    the bf16 box always CONTAINS the f32 box, so a wide-record traversal
+    over bf16 internal nodes stays exact — it can only admit spurious
+    descents (~2^-9 relative inflation), never miss a hit. Truncating the
+    low 16 bits rounds positive values toward -inf and negative values
+    toward +inf; the other direction bumps the magnitude one ulp."""
+    b = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    hi16 = b >> np.uint32(16)
+    rem = (b & np.uint32(0xFFFF)) != 0
+    neg = (b >> np.uint32(31)).astype(bool)
+    bump = rem & (~neg if up else neg)
+    return (hi16 + bump.astype(np.uint32)).astype(np.uint16)
+
+
+def build_table_numpy_sah_wide(v0, v1, v2, leaf_size: int = LEAF_SIZE,
+                               width: int = 16, bins: int = 16):
+    """SAH build emitting the WIDE unified 512 B record layout: `width`-ary
+    internal nodes with conservatively-rounded bfloat16 child AABBs, f32
+    leaves identical to the classic layout.
+
+    Motivation (tools/microbench_gather_width.py): the per-row gather cost is
+    flat in row width up to 512 B, so the only way to buy a wider fanout
+    (fewer internal visits per ray — tools/sim_record_width.py) without
+    paying wider rows is to halve the AABB bytes. bf16 with directed
+    rounding keeps results exact (leaf Moller-Trumbore stays f32).
+
+    Internal record layout (W = width, slots are f32):
+      [0 : 3W)   bf16 pairs: loX (W/2 slots) loY loZ hiX hiY hiZ —
+                 child 2k in the LOW 16 bits of slot k, child 2k+1 HIGH
+      [3W : 4W)  bitcast(int32 child codes)
+      W=16 uses 64 of 128 slots; W=32 exactly fills the 512 B record.
+    Returns (table, num_rows, num_leaves, depth, root_code)."""
+    f32 = np.float32
+    assert width in (16, 32) and width * 4 <= RECORD
+    v0 = np.asarray(v0, f32)
+    v1 = np.asarray(v1, f32)
+    v2 = np.asarray(v2, f32)
+    order, rows_is_leaf, rows_range, rows_child, rows_box, depth = \
+        _sah_topology(v0, v1, v2, leaf_size, bins, width=width)
+
+    n_rows = len(rows_is_leaf)
+    num_leaves = sum(rows_is_leaf)
+    table = np.zeros((n_rows, RECORD), np.float32)
+    neg1 = np.float32(np.int32(-1).view(np.float32))
+    L = LEAF_SIZE
+    W = width
+    for rid in range(n_rows):
+        if rows_is_leaf[rid]:
+            lo, hi = rows_range[rid]
+            sel = order[lo:hi]
+            m = len(sel)
+            table[rid, 9 * L:10 * L] = neg1
+            table[rid, 0 * L:0 * L + m] = v0[sel, 0]
+            table[rid, 1 * L:1 * L + m] = v0[sel, 1]
+            table[rid, 2 * L:2 * L + m] = v0[sel, 2]
+            table[rid, 3 * L:3 * L + m] = v1[sel, 0] - v0[sel, 0]
+            table[rid, 4 * L:4 * L + m] = v1[sel, 1] - v0[sel, 1]
+            table[rid, 5 * L:5 * L + m] = v1[sel, 2] - v0[sel, 2]
+            table[rid, 6 * L:6 * L + m] = v2[sel, 0] - v0[sel, 0]
+            table[rid, 7 * L:7 * L + m] = v2[sel, 1] - v0[sel, 1]
+            table[rid, 8 * L:8 * L + m] = v2[sel, 2] - v0[sel, 2]
+            table[rid, 9 * L:9 * L + m] = sel.astype(np.int32).view(np.float32)
+        else:
+            # gather child boxes/codes (empty slots: inverted bounds, code 0)
+            clo = np.full((W, 3), 3e38, f32)
+            chi = np.full((W, 3), -3e38, f32)
+            codes = np.zeros((W,), np.int32)
+            for k in range(W):
+                ch = rows_child[rid][k]
+                if ch < 0:
+                    continue
+                clo[k], chi[k] = rows_box[ch]
+                codes[k] = np.int32(~ch if rows_is_leaf[ch] else ch)
+            # bf16 pack: per axis, W lo values -> W/2 f32 slots (pair-packed)
+            vals16 = np.empty((6, W), np.uint16)
+            for ax in range(3):
+                vals16[ax] = bf16_conservative(clo[:, ax], up=False)
+                vals16[3 + ax] = bf16_conservative(chi[:, ax], up=True)
+            packed = (vals16[:, 0::2].astype(np.uint32)
+                      | (vals16[:, 1::2].astype(np.uint32) << np.uint32(16)))
+            table[rid, 0:3 * W] = packed.reshape(-1).view(np.float32)
+            table[rid, 3 * W:4 * W] = codes.view(np.float32)
 
     root_code = int(np.int32(~0 if rows_is_leaf[0] else 0))
     return table, n_rows, num_leaves, depth, root_code

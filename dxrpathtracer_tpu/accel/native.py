@@ -83,6 +83,17 @@ def _load_sah():
             lib.sah_build_split3.argtypes = [
                 _F32P, _F32P, _F32P, ctypes.c_int64, ctypes.c_int64,
                 _F32P, ctypes.c_int64, _F32P, ctypes.c_int64]
+        if hasattr(lib, "sah_count_wide3"):
+            lib.sah_count_wide3.restype = ctypes.c_int64
+            lib.sah_count_wide3.argtypes = [
+                _F32P, _F32P, _F32P, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.sah_build_wide3.restype = ctypes.c_int
+            lib.sah_build_wide3.argtypes = [
+                _F32P, _F32P, _F32P, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, _F32P, ctypes.c_int64]
         lib._sigs_set = True
     return lib
 
@@ -108,6 +119,33 @@ def build_packed_sah(v0, v1, v2, leaf_size: int = 12):
                             ctypes.byref(depth), ctypes.byref(root_code))
     table = np.zeros((max(n_rows, 1), 128), np.float32)
     rc = lib.sah_build3(v0, v1, v2, t, leaf_size, table, n_rows)
+    if rc != 0:
+        return None
+    return table, int(n_rows), int(n_leaves.value), int(depth.value), int(root_code.value)
+
+
+def build_packed_sah_wide(v0, v1, v2, leaf_size: int = 12, width: int = 16):
+    """Native SAH build emitting the wide bf16-internal unified layout
+    (lbvh.build_table_numpy_sah_wide) -> packed tuple or None when the
+    loaded library predates the export. Bit-identical to the numpy emitter
+    (pinned by tests/test_native.py)."""
+    lib = _load_sah()
+    if lib is None or not hasattr(lib, "sah_count_wide3"):
+        return None
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    t = v0.shape[0]
+    n_leaves = ctypes.c_int64(0)
+    depth = ctypes.c_int64(0)
+    root_code = ctypes.c_int64(0)
+    n_rows = lib.sah_count_wide3(v0, v1, v2, t, leaf_size, width,
+                                 ctypes.byref(n_leaves), ctypes.byref(depth),
+                                 ctypes.byref(root_code))
+    if n_rows < 0:
+        return None
+    table = np.zeros((max(n_rows, 1), 128), np.float32)
+    rc = lib.sah_build_wide3(v0, v1, v2, t, leaf_size, width, table, n_rows)
     if rc != 0:
         return None
     return table, int(n_rows), int(n_leaves.value), int(depth.value), int(root_code.value)

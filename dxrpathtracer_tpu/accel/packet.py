@@ -42,7 +42,8 @@ import jax
 import jax.numpy as jnp
 
 from .lbvh import FlatBVH, LEAF_SIZE, WIDTH
-from .traverse import (HitRecord, _argmin8_block, _bitcast_i32, _compact_perm,
+from .traverse import (HitRecord, _argmin8_block, _bitcast_i32,
+                       _child_slab_inputs, _compact_perm, _full_mask,
                        _safe_inv, MIN_COMPACT_SIZE, MAX_COMPACT_PHASES, _BIG)
 
 PACKET = 128
@@ -79,7 +80,7 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
         ivx=ivx, ivy=ivy, ivz=ivz, tmin=tmin,
         act=act0,
         cur=jnp.where(packet_live0, root, done_code).astype(jnp.int32),
-        pmask=jnp.full((p,), 0xFF, jnp.int32),
+        pmask=jnp.full((p,), 1, jnp.int32) * _full_mask(bvh.width),
         snode=jnp.zeros((stack_depth, p), jnp.int32),
         smask=jnp.zeros((stack_depth, p), jnp.int32),
         sp=jnp.zeros((p,), jnp.int32),
@@ -103,10 +104,9 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
         if first_hit:
             ray_live = ray_live & (s["btri"] < 0)
 
-        # ---- internal: slab-test 8 children x K rays ((p, 8, K)) ----
-        lox, loy, loz = rec[:, 0:8], rec[:, 8:16], rec[:, 16:24]
-        hix, hiy, hiz = rec[:, 24:32], rec[:, 32:40], rec[:, 40:48]
-        codes8 = _bitcast_i32(rec[:, 48:56])
+        # ---- internal: slab-test W children x K rays ((p, W, K)) ----
+        W = bvh.width
+        (lox, loy, loz), (hix, hiy, hiz), codes8 = _child_slab_inputs(bvh, rec)
 
         def axis_minmax(lo, hi, o, iv):
             a = (lo[:, :, None] - o[:, None, :]) * iv[:, None, :]
@@ -122,8 +122,8 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
                          jnp.minimum(xz_, s["bt"][:, None, :]))
         # Empty child slots are encoded lo > hi in the RECORD (must be tested
         # there, not via the slab result — inf arithmetic can "hit").
-        valid8 = lox <= hix  # (p, 8)
-        slot_pow2 = jnp.int32(1) << jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+        valid8 = lox <= hix  # (p, W)
+        slot_pow2 = jnp.int32(1) << jnp.arange(W, dtype=jnp.int32)[None, :]
         gate = (s["pmask"][:, None] & slot_pow2) != 0
         ray_hit8 = (tn <= tf) & ray_live[:, None, :]          # (p, 8, K)
         hit8 = (is_int[:, None] & valid8 & gate
@@ -133,7 +133,7 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
         tn_min = jnp.min(jnp.where(ray_hit8, tn, _BIG), axis=2)  # (p, 8)
         keys8 = jnp.where(hit8, tn_min, _BIG)
         hit_mask = jnp.sum(jnp.where(hit8, slot_pow2, 0), axis=1)
-        near_key, near_code, near_bit = _argmin8_block(keys8, codes8)
+        near_key, near_code, near_bit = _argmin8_block(keys8, codes8, W)
         any_child = near_key < _BIG
         rest_mask = hit_mask & ~near_bit
 
@@ -203,7 +203,7 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
                              jnp.where(need_pop, popped, done_code))
         cur_next = jnp.where(alive, cur_next, done_code)
         pmask_next = jnp.where(need_pop & can_pop, top_mask,
-                               jnp.full_like(s["pmask"], 0xFF))
+                               jnp.full_like(s["pmask"], _full_mask(bvh.width)))
         sp_next = jnp.where(need_pop & can_pop, sp_pushed - 1, sp_pushed)
 
         if first_hit:

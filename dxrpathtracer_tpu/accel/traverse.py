@@ -80,18 +80,45 @@ def _bitcast_i32(x):
 _POW2_8 = None  # lazily built (1, 8) powers-of-two row
 
 
-def _argmin8_block(keys8, codes8):
-    """Min over the child axis of (m, 8) blocks via reduce + equality-select
+def _argmin8_block(keys8, codes8, width: int = 8):
+    """Min over the child axis of (m, W) blocks via reduce + equality-select
     (far fewer ops than a tournament of per-column lanes; narrow per-column
     ops carry a large fixed overhead on this platform — PERF_NOTES.md).
     Ties pick the lowest slot. Returns (key, code, slot_bit) of the min."""
     near_key = jnp.min(keys8, axis=1)
     is_min = keys8 <= near_key[:, None]
-    slot = jnp.arange(8, dtype=jnp.int32)[None, :]
-    near_slot = jnp.min(jnp.where(is_min, slot, 8), axis=1)
+    slot = jnp.arange(width, dtype=jnp.int32)[None, :]
+    near_slot = jnp.min(jnp.where(is_min, slot, width), axis=1)
     first = slot == near_slot[:, None]
     near_code = jnp.sum(jnp.where(first, codes8, 0), axis=1)
-    return near_key, near_code, jnp.int32(1) << near_slot
+    # clamp the no-hit sentinel (slot == width) so the shift stays defined at
+    # width 32; the bit is unused then (hit_mask is 0)
+    return near_key, near_code, jnp.int32(1) << jnp.minimum(near_slot, 31)
+
+
+def _full_mask(width: int):
+    """All-children pmask for a fresh internal visit (W=32 fills int32)."""
+    return jnp.int32(-1) if width == 32 else jnp.int32((1 << width) - 1)
+
+
+def _child_slab_inputs(bvh: FlatBVH, rec):
+    """(lo_xyz, hi_xyz, codes) child blocks of gathered internal records for
+    either layout: width 8 = f32 SoA blocks; width 16/32 = bf16 pairs
+    (build_table_numpy_sah_wide) widened back to f32 — the conservative
+    directed rounding on the build side keeps the slab test exact-or-looser,
+    never lossy."""
+    W = bvh.width
+    if W == 8:
+        lo = (rec[:, 0:8], rec[:, 8:16], rec[:, 16:24])
+        hi = (rec[:, 24:32], rec[:, 32:40], rec[:, 40:48])
+        codes = _bitcast_i32(rec[:, 48:56])
+        return lo, hi, codes
+    dec = jax.lax.bitcast_convert_type(rec[:, 0:3 * W], jnp.bfloat16)
+    dec = dec.reshape(rec.shape[0], 6 * W).astype(jnp.float32)
+    lo = (dec[:, 0:W], dec[:, W:2 * W], dec[:, 2 * W:3 * W])
+    hi = (dec[:, 3 * W:4 * W], dec[:, 4 * W:5 * W], dec[:, 5 * W:6 * W])
+    codes = _bitcast_i32(rec[:, 3 * W:4 * W])
+    return lo, hi, codes
 
 
 def _intersect_leaf(bvh, rec, o, d, t_min, is_leaf, best, accept_fn):
@@ -195,7 +222,8 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
     # 8/12-wide blocks. Alpha-tested traversals keep the XLA body (the
     # accept_fn needs texture gathers).
     from . import pallas_body as _pb
-    pallas_enabled = accept_fn is None and _pb.enabled()
+    pallas_enabled = (accept_fn is None and bvh.width == 8
+                      and _pb.enabled())
     pallas_interpret = jax.default_backend() == "cpu"
     # (node, mask) entries: at most one live entry per tree level.
     stack_depth = bvh.max_depth + 2
@@ -216,7 +244,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         ivx=inv_d[:, 0], ivy=inv_d[:, 1], ivz=inv_d[:, 2],
         tmin=t_min,
         cur=jnp.where(active, root, done_code).astype(jnp.int32),
-        pmask=jnp.full((n,), 0xFF, jnp.int32),
+        pmask=jnp.full((n,), 1, jnp.int32) * _full_mask(bvh.width),
         snode=jnp.zeros((stack_depth, n), jnp.int32),
         smask=jnp.zeros((stack_depth, n), jnp.int32),
         sp=jnp.zeros((n,), jnp.int32),
@@ -265,13 +293,15 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         # gather until the platform stack updates.
         rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
 
-        # ---- internal: slab-test all 8 children ((m, 8) SoA blocks) ----
-        tx0 = (rec[:, 0:8] - ox[:, None]) * ivx[:, None]
-        tx1 = (rec[:, 24:32] - ox[:, None]) * ivx[:, None]
-        ty0 = (rec[:, 8:16] - oy[:, None]) * ivy[:, None]
-        ty1 = (rec[:, 32:40] - oy[:, None]) * ivy[:, None]
-        tz0 = (rec[:, 16:24] - oz[:, None]) * ivz[:, None]
-        tz1 = (rec[:, 40:48] - oz[:, None]) * ivz[:, None]
+        # ---- internal: slab-test all W children ((m, W) SoA blocks) ----
+        W = bvh.width
+        (lox, loy, loz), (hix, hiy, hiz), codes8 = _child_slab_inputs(bvh, rec)
+        tx0 = (lox - ox[:, None]) * ivx[:, None]
+        tx1 = (hix - ox[:, None]) * ivx[:, None]
+        ty0 = (loy - oy[:, None]) * ivy[:, None]
+        ty1 = (hiy - oy[:, None]) * ivy[:, None]
+        tz0 = (loz - oz[:, None]) * ivz[:, None]
+        tz1 = (hiz - oz[:, None]) * ivz[:, None]
         tn8 = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
                           jnp.maximum(jnp.minimum(tz0, tz1), tmin[:, None]))
         tf8 = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
@@ -279,17 +309,16 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         # Empty child slots carry inverted bounds (lo=3e38 > hi=-3e38); they
         # must be masked from the RECORD, not the slab result — (3e38 - o) / d
         # overflows to inf for steep rays, making the inverted box "hit".
-        valid8 = rec[:, 0:8] <= rec[:, 24:32]
-        # pmask bit k gates child slot k: 0xFF on a fresh visit, the saved
-        # remaining-children mask on a popped resume.
-        slot_pow2 = jnp.int32(1) << jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+        valid8 = lox <= hix
+        # pmask bit k gates child slot k: all-ones on a fresh visit, the
+        # saved remaining-children mask on a popped resume.
+        slot_pow2 = jnp.int32(1) << jnp.arange(W, dtype=jnp.int32)[None, :]
         gate = (pmask[:, None] & slot_pow2) != 0
-        hit8 = (is_int[:, None] & valid8 & (tn8 <= tf8) & gate)  # (m, 8)
-        codes8 = _bitcast_i32(rec[:, 48:56])
+        hit8 = (is_int[:, None] & valid8 & (tn8 <= tf8) & gate)  # (m, W)
 
         keys8 = jnp.where(hit8, tn8, _BIG)
         hit_mask = jnp.sum(jnp.where(hit8, slot_pow2, 0), axis=1)
-        near_key, near_code, near_bit = _argmin8_block(keys8, codes8)
+        near_key, near_code, near_bit = _argmin8_block(keys8, codes8, W)
         any_child = near_key < _BIG
         rest_mask = hit_mask & ~near_bit
 
@@ -316,7 +345,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
                              jnp.where(need_pop, popped, done_code))
         cur_next = jnp.where(alive, cur_next, done_code)
         pmask_next = jnp.where(need_pop & can_pop, top_mask,
-                               jnp.full_like(pmask, 0xFF))
+                               jnp.full_like(pmask, _full_mask(bvh.width)))
         sp_next = jnp.where(need_pop & can_pop, sp_pushed - 1, sp_pushed)
 
         if first_hit:

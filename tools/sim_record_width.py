@@ -29,12 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WIDTH_COST = {128: 5.503, 192: 6.517, 256: 6.508, 384: 7.301, 512: 8.212}
 
 CONFIGS = [
-    # (width, leaf_size, record_slots)
-    (8, 12, 128),    # current production
-    (8, 24, 256),
-    (16, 24, 256),
-    (16, 48, 512),
-    (32, 44, 512),
+    # (width, leaf_size, record_slots) — record_slots reflects the ROW COST:
+    # bf16 internal AABBs let W=16 (192B+64B codes) and W=32 (384B+128B)
+    # stay inside the 512B row, so leaf size sets the row width.
+    (8, 12, 128),    # current production (f32 AABBs)
+    (16, 12, 128),   # bf16 internal, f32 12-tri leaves — same 512B row
+    (32, 12, 128),   # bf16 internal at the 512B ceiling
+    (16, 24, 256),   # 1KB rows (24-tri leaves)
+    (32, 24, 256),
 ]
 
 
