@@ -483,10 +483,13 @@ def build_table_numpy_sah_wide(v0, v1, v2, leaf_size: int = LEAF_SIZE,
     paying wider rows is to halve the AABB bytes. bf16 with directed
     rounding keeps results exact (leaf Moller-Trumbore stays f32).
 
-    Internal record layout (W = width, slots are f32):
-      [0 : 3W)   bf16 pairs: loX (W/2 slots) loY loZ hiX hiY hiZ —
-                 child 2k in the LOW 16 bits of slot k, child 2k+1 HIGH
-      [3W : 4W)  bitcast(int32 child codes)
+    Internal record layout (W = width, H = W/2, slots are f32):
+      [0 : 3W)   bf16 pairs, DE-INTERLEAVED: slot j of each field holds
+                 child j in its LOW 16 bits and child j+H in its HIGH 16
+                 bits, so each half decodes to a contiguous (m, H) block
+                 with pure integer ops — no cross-lane relayout in the
+                 traversal body (see traverse._child_banks).
+      [3W : 4W)  bitcast(int32 child codes), natural child order
       W=16 uses 64 of 128 slots; W=32 exactly fills the 512 B record.
     Returns (table, num_rows, num_leaves, depth, root_code)."""
     f32 = np.float32
@@ -535,8 +538,9 @@ def build_table_numpy_sah_wide(v0, v1, v2, leaf_size: int = LEAF_SIZE,
             for ax in range(3):
                 vals16[ax] = bf16_conservative(clo[:, ax], up=False)
                 vals16[3 + ax] = bf16_conservative(chi[:, ax], up=True)
-            packed = (vals16[:, 0::2].astype(np.uint32)
-                      | (vals16[:, 1::2].astype(np.uint32) << np.uint32(16)))
+            H = W // 2
+            packed = (vals16[:, :H].astype(np.uint32)
+                      | (vals16[:, H:].astype(np.uint32) << np.uint32(16)))
             table[rid, 0:3 * W] = packed.reshape(-1).view(np.float32)
             table[rid, 3 * W:4 * W] = codes.view(np.float32)
 

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from .lbvh import FlatBVH, LEAF_SIZE, WIDTH
 from .traverse import (HitRecord, _argmin8_block, _bitcast_i32,
-                       _child_slab_inputs, _compact_perm, _full_mask,
+                       _child_banks, _compact_perm, _full_mask,
                        _safe_inv, MIN_COMPACT_SIZE, MAX_COMPACT_PHASES, _BIG)
 
 PACKET = 128
@@ -104,36 +104,48 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
         if first_hit:
             ray_live = ray_live & (s["btri"] < 0)
 
-        # ---- internal: slab-test W children x K rays ((p, W, K)) ----
-        W = bvh.width
-        (lox, loy, loz), (hix, hiy, hiz), codes8 = _child_slab_inputs(bvh, rec)
-
+        # ---- internal: slab-test W children x K rays, bank by bank ----
+        # (one (p, 8, K) f32 bank classically; two (p, W/2, K) de-interleaved
+        # bf16 banks for wide records — traverse._child_banks)
         def axis_minmax(lo, hi, o, iv):
             a = (lo[:, :, None] - o[:, None, :]) * iv[:, None, :]
             b = (hi[:, :, None] - o[:, None, :]) * iv[:, None, :]
             return jnp.minimum(a, b), jnp.maximum(a, b)
 
-        nx, xx_ = axis_minmax(lox, hix, s["ox"], s["ivx"])
-        ny, xy_ = axis_minmax(loy, hiy, s["oy"], s["ivy"])
-        nz, xz_ = axis_minmax(loz, hiz, s["oz"], s["ivz"])
-        tn = jnp.maximum(jnp.maximum(nx, ny),
-                         jnp.maximum(nz, s["tmin"][:, None, :]))
-        tf = jnp.minimum(jnp.minimum(xx_, xy_),
-                         jnp.minimum(xz_, s["bt"][:, None, :]))
-        # Empty child slots are encoded lo > hi in the RECORD (must be tested
-        # there, not via the slab result — inf arithmetic can "hit").
-        valid8 = lox <= hix  # (p, W)
-        slot_pow2 = jnp.int32(1) << jnp.arange(W, dtype=jnp.int32)[None, :]
-        gate = (s["pmask"][:, None] & slot_pow2) != 0
-        ray_hit8 = (tn <= tf) & ray_live[:, None, :]          # (p, 8, K)
-        hit8 = (is_int[:, None] & valid8 & gate
-                & jnp.any(ray_hit8, axis=2))                   # (p, 8)
+        hit_mask = jnp.zeros_like(s["pmask"])
+        near_key = near_code = near_bit = None
+        for (lox, loy, loz), (hix, hiy, hiz), codes_b, off, hw in \
+                _child_banks(bvh, rec):
+            nx, xx_ = axis_minmax(lox, hix, s["ox"], s["ivx"])
+            ny, xy_ = axis_minmax(loy, hiy, s["oy"], s["ivy"])
+            nz, xz_ = axis_minmax(loz, hiz, s["oz"], s["ivz"])
+            tn = jnp.maximum(jnp.maximum(nx, ny),
+                             jnp.maximum(nz, s["tmin"][:, None, :]))
+            tf = jnp.minimum(jnp.minimum(xx_, xy_),
+                             jnp.minimum(xz_, s["bt"][:, None, :]))
+            # Empty child slots are encoded lo > hi in the RECORD (must be
+            # tested there, not via the slab result — inf arithmetic can
+            # "hit").
+            valid8 = lox <= hix  # (p, hw)
+            slot_pow2 = (jnp.int32(1)
+                         << (off + jnp.arange(hw, dtype=jnp.int32)))[None, :]
+            gate = (s["pmask"][:, None] & slot_pow2) != 0
+            ray_hit8 = (tn <= tf) & ray_live[:, None, :]        # (p, hw, K)
+            hit8 = (is_int[:, None] & valid8 & gate
+                    & jnp.any(ray_hit8, axis=2))                 # (p, hw)
 
-        # near-to-far by packet-min entry distance
-        tn_min = jnp.min(jnp.where(ray_hit8, tn, _BIG), axis=2)  # (p, 8)
-        keys8 = jnp.where(hit8, tn_min, _BIG)
-        hit_mask = jnp.sum(jnp.where(hit8, slot_pow2, 0), axis=1)
-        near_key, near_code, near_bit = _argmin8_block(keys8, codes8, W)
+            # near-to-far by packet-min entry distance
+            tn_min = jnp.min(jnp.where(ray_hit8, tn, _BIG), axis=2)  # (p, hw)
+            keys8 = jnp.where(hit8, tn_min, _BIG)
+            hit_mask = hit_mask | jnp.sum(jnp.where(hit8, slot_pow2, 0), axis=1)
+            nk, nc, nb = _argmin8_block(keys8, codes_b, hw, off)
+            if near_key is None:
+                near_key, near_code, near_bit = nk, nc, nb
+            else:
+                take = nk < near_key
+                near_code = jnp.where(take, nc, near_code)
+                near_bit = jnp.where(take, nb, near_bit)
+                near_key = jnp.minimum(nk, near_key)
         any_child = near_key < _BIG
         rest_mask = hit_mask & ~near_bit
 

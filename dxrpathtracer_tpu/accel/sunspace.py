@@ -335,13 +335,38 @@ def sun_any_hit(grid: SunGrid, ray_o, ray_d, t_min, t_max, active=None,
             s = body(s)
         return s
 
-    out_tri = jnp.full((n,), -1, jnp.int32)
     sizes = [n]
     while (len(sizes) <= MAX_COMPACT_PHASES
            and sizes[-1] // 2 >= MIN_COMPACT_SIZE):
         sizes.append(sizes[-1] // 2)
 
+    # Boundary compaction uses the same packed-row scheme as
+    # traverse._traverse: separate per-array takes are independent
+    # row-count-bound gathers (~5.7 ms each at 518k — they dominated the
+    # walk), so the lane state moves as ONE (m, 14) row gather and exiting
+    # lanes are delivered once at the end (visibility needs btri only).
+    pack_f32 = ("ox", "oy", "oz", "dx", "dy", "dz", "thr", "tmin",
+                "bt", "bu", "bv")
+    pack_i32 = ("idx", "cur", "btri")
+
+    def pack_lane(ln):
+        cols = [ln[k] for k in pack_f32]
+        cols += [jax.lax.bitcast_convert_type(ln[k], jnp.float32)
+                 for k in pack_i32]
+        return jnp.stack(cols, axis=1)
+
+    def unpack_lane(pk):
+        ln = {k: pk[:, j] for j, k in enumerate(pack_f32)}
+        base = len(pack_f32)
+        for j, k in enumerate(pack_i32):
+            ln[k] = jax.lax.bitcast_convert_type(pk[:, base + j], jnp.int32)
+        return ln
+
+    idx_col = len(pack_f32) + pack_i32.index("idx")
+    tri_col = len(pack_f32) + pack_i32.index("btri")
+
     it = jnp.zeros((), jnp.int32)
+    exit_chunks = []
     for pi, size in enumerate(sizes):
         final = pi == len(sizes) - 1
         state = tuple(lane[k] for k in keys_order) + (it,)
@@ -357,9 +382,21 @@ def sun_any_hit(grid: SunGrid, ray_o, ray_d, t_min, t_max, active=None,
         state = jax.lax.while_loop(cond, body_unrolled, state)
         lane = dict(zip(keys_order, state[:-1]))
         it = state[-1]
-        out_tri = out_tri.at[lane["idx"]].set(lane["btri"])
         if not final:
-            perm = _compact_perm(lane["cur"] == done, size)[:sizes[pi + 1]]
-            lane = {k: jnp.take(v, perm, axis=0) for k, v in lane.items()}
+            nxt = sizes[pi + 1]
+            perm = _compact_perm(lane["cur"] == done, size)
+            packed = jnp.take(pack_lane(lane), perm, axis=0)
+            exit_chunks.append(packed[nxt:])
+            lane = unpack_lane(packed[:nxt])
+
+    if exit_chunks:
+        allp = jnp.concatenate(
+            exit_chunks + [pack_lane(lane)], axis=0)
+        idx_all = jax.lax.bitcast_convert_type(allp[:, idx_col], jnp.int32)
+        tri_all = jax.lax.bitcast_convert_type(allp[:, tri_col], jnp.int32)
+        out_tri = jnp.zeros((n,), jnp.int32).at[idx_all].set(
+            tri_all, unique_indices=True)
+    else:
+        out_tri = lane["btri"]
 
     return jnp.where(out_tri >= 0, 0.0, 1.0)

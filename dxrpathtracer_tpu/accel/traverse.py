@@ -80,20 +80,22 @@ def _bitcast_i32(x):
 _POW2_8 = None  # lazily built (1, 8) powers-of-two row
 
 
-def _argmin8_block(keys8, codes8, width: int = 8):
+def _argmin8_block(keys8, codes8, width: int = 8, slot_offset: int = 0):
     """Min over the child axis of (m, W) blocks via reduce + equality-select
     (far fewer ops than a tournament of per-column lanes; narrow per-column
     ops carry a large fixed overhead on this platform — PERF_NOTES.md).
-    Ties pick the lowest slot. Returns (key, code, slot_bit) of the min."""
+    Ties pick the lowest slot. Returns (key, code, slot_bit) of the min;
+    slot_offset shifts the bit for multi-bank wide records."""
     near_key = jnp.min(keys8, axis=1)
     is_min = keys8 <= near_key[:, None]
     slot = jnp.arange(width, dtype=jnp.int32)[None, :]
     near_slot = jnp.min(jnp.where(is_min, slot, width), axis=1)
     first = slot == near_slot[:, None]
     near_code = jnp.sum(jnp.where(first, codes8, 0), axis=1)
-    # clamp the no-hit sentinel (slot == width) so the shift stays defined at
-    # width 32; the bit is unused then (hit_mask is 0)
-    return near_key, near_code, jnp.int32(1) << jnp.minimum(near_slot, 31)
+    # clamp the no-hit sentinel (slot == width) so the shift stays defined;
+    # the bit is unused then (hit_mask is 0)
+    shift = jnp.minimum(near_slot + slot_offset, 31)
+    return near_key, near_code, jnp.int32(1) << shift
 
 
 def _full_mask(width: int):
@@ -101,24 +103,42 @@ def _full_mask(width: int):
     return jnp.int32(-1) if width == 32 else jnp.int32((1 << width) - 1)
 
 
-def _child_slab_inputs(bvh: FlatBVH, rec):
-    """(lo_xyz, hi_xyz, codes) child blocks of gathered internal records for
-    either layout: width 8 = f32 SoA blocks; width 16/32 = bf16 pairs
-    (build_table_numpy_sah_wide) widened back to f32 — the conservative
-    directed rounding on the build side keeps the slab test exact-or-looser,
-    never lossy."""
+def _child_banks(bvh: FlatBVH, rec):
+    """Child-AABB "banks" of gathered internal records: a list of
+    (lo_xyz, hi_xyz, codes, slot_offset, bank_width) tuples the slab section
+    iterates over.
+
+    width 8: one f32 SoA bank — the classic layout, op-for-op unchanged.
+    width 16/32: bf16 DE-INTERLEAVED pairs (build_table_numpy_sah_wide):
+    f32 slot j of each field holds child j in its LOW 16 bits and child
+    j + W/2 in its HIGH 16 bits, so each half decodes with pure integer ops
+    (u << 16 / u & 0xFFFF0000 are exact bf16->f32 widenings) into contiguous
+    (m, W/2) blocks — NO cross-lane relayout. The interleaved variant's
+    (m, 3W, 2)->(m, 6W) reshape was a full lane shuffle per iteration and
+    nearly doubled the body (tools/microbench_bf16_slab.py: 10.07 vs 6.43 vs
+    5.62 ms/iter for shuffle/half/w8 at 518k lanes). Conservative directed
+    rounding on the build side keeps the slab test exact-or-looser."""
     W = bvh.width
     if W == 8:
         lo = (rec[:, 0:8], rec[:, 8:16], rec[:, 16:24])
         hi = (rec[:, 24:32], rec[:, 32:40], rec[:, 40:48])
         codes = _bitcast_i32(rec[:, 48:56])
-        return lo, hi, codes
-    dec = jax.lax.bitcast_convert_type(rec[:, 0:3 * W], jnp.bfloat16)
-    dec = dec.reshape(rec.shape[0], 6 * W).astype(jnp.float32)
-    lo = (dec[:, 0:W], dec[:, W:2 * W], dec[:, 2 * W:3 * W])
-    hi = (dec[:, 3 * W:4 * W], dec[:, 4 * W:5 * W], dec[:, 5 * W:6 * W])
-    codes = _bitcast_i32(rec[:, 3 * W:4 * W])
-    return lo, hi, codes
+        return [(lo, hi, codes, 0, 8)]
+    H = W // 2
+    u = _bitcast_i32(rec[:, 0:3 * W])  # 6 fields x H u32 slots
+    banks = []
+    for h in range(2):
+        if h == 0:
+            fld = [jax.lax.bitcast_convert_type(
+                u[:, f * H:(f + 1) * H] << 16, jnp.float32) for f in range(6)]
+        else:
+            msk = jnp.int32(-65536)  # 0xFFFF0000
+            fld = [jax.lax.bitcast_convert_type(
+                u[:, f * H:(f + 1) * H] & msk, jnp.float32) for f in range(6)]
+        codes = _bitcast_i32(rec[:, 3 * W + h * H:3 * W + (h + 1) * H])
+        banks.append(((fld[0], fld[1], fld[2]), (fld[3], fld[4], fld[5]),
+                      codes, h * H, H))
+    return banks
 
 
 def _intersect_leaf(bvh, rec, o, d, t_min, is_leaf, best, accept_fn):
@@ -198,16 +218,46 @@ MAX_COMPACT_PHASES = 4
 
 
 def _compact_perm(finished, m):
-    """Stable permutation putting unfinished lanes first (cumsum, no sort)."""
+    """Stable permutation putting unfinished lanes first (one cumsum + one
+    drop-scatter; the scatter is the cost — ~9 ms per 518k rows, so every
+    redundant pass matters: tools/microbench notes in PERF_NOTES.md)."""
     unf = (~finished).astype(jnp.int32)
-    fin = finished.astype(jnp.int32)
-    n_unf = jnp.sum(unf)
-    dest = jnp.where(finished,
-                     n_unf + jnp.cumsum(fin) - 1,
-                     jnp.cumsum(unf) - 1)
-    perm = jnp.zeros((m,), jnp.int32).at[dest].set(
-        jnp.arange(m, dtype=jnp.int32))
+    csu = jnp.cumsum(unf)
+    n_unf = csu[-1]
+    # finished lane i is the (i+1 - csu[i])-th finished lane; one cumsum
+    # serves both groups
+    iota = jnp.arange(m, dtype=jnp.int32)
+    dest = jnp.where(finished, n_unf + iota - csu, csu - 1)
+    perm = jnp.zeros((m,), jnp.int32).at[dest].set(iota, unique_indices=True)
     return perm
+
+
+# Boundary-packable per-lane state: everything the next phase needs, as ONE
+# (m, 18) f32 buffer so a phase boundary moves it with ONE row gather.
+# Compacting the ~18 arrays separately cost ~5.7 ms EACH at 518k lanes
+# (every take is an independent row-count-bound gather — 135 ms per
+# boundary, dominating the whole traversal); the packed row moves for ~2 ms.
+_PACK_F32 = ("ox", "oy", "oz", "dx", "dy", "dz", "ivx", "ivy", "ivz",
+             "tmin", "bt", "bu", "bv")
+_PACK_I32 = ("idx", "cur", "pmask", "sp", "btri")
+_PACK_KEYS = _PACK_F32 + _PACK_I32
+
+
+def _pack_lane(lane):
+    cols = [lane[k] for k in _PACK_F32]
+    cols += [jax.lax.bitcast_convert_type(lane[k], jnp.float32)
+             for k in _PACK_I32]
+    return jnp.stack(cols, axis=1)
+
+
+def _unpack_lane(packed):
+    lane = {}
+    for j, k in enumerate(_PACK_F32):
+        lane[k] = packed[:, j]
+    base = len(_PACK_F32)
+    for j, k in enumerate(_PACK_I32):
+        lane[k] = jax.lax.bitcast_convert_type(packed[:, base + j], jnp.int32)
+    return lane
 
 
 def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
@@ -293,32 +343,47 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         # gather until the platform stack updates.
         rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
 
-        # ---- internal: slab-test all W children ((m, W) SoA blocks) ----
-        W = bvh.width
-        (lox, loy, loz), (hix, hiy, hiz), codes8 = _child_slab_inputs(bvh, rec)
-        tx0 = (lox - ox[:, None]) * ivx[:, None]
-        tx1 = (hix - ox[:, None]) * ivx[:, None]
-        ty0 = (loy - oy[:, None]) * ivy[:, None]
-        ty1 = (hiy - oy[:, None]) * ivy[:, None]
-        tz0 = (loz - oz[:, None]) * ivz[:, None]
-        tz1 = (hiz - oz[:, None]) * ivz[:, None]
-        tn8 = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                          jnp.maximum(jnp.minimum(tz0, tz1), tmin[:, None]))
-        tf8 = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                          jnp.minimum(jnp.maximum(tz0, tz1), best_t[:, None]))
-        # Empty child slots carry inverted bounds (lo=3e38 > hi=-3e38); they
-        # must be masked from the RECORD, not the slab result — (3e38 - o) / d
-        # overflows to inf for steep rays, making the inverted box "hit".
-        valid8 = lox <= hix
-        # pmask bit k gates child slot k: all-ones on a fresh visit, the
-        # saved remaining-children mask on a popped resume.
-        slot_pow2 = jnp.int32(1) << jnp.arange(W, dtype=jnp.int32)[None, :]
-        gate = (pmask[:, None] & slot_pow2) != 0
-        hit8 = (is_int[:, None] & valid8 & (tn8 <= tf8) & gate)  # (m, W)
+        # ---- internal: slab-test all W children, bank by bank ----
+        # (one (m, 8) f32 bank classically; two (m, W/2) de-interleaved bf16
+        # banks for wide records — see _child_banks)
+        hit_mask = jnp.zeros_like(pmask)
+        near_key = near_code = near_bit = None
+        for (lox, loy, loz), (hix, hiy, hiz), codes_b, off, hw in \
+                _child_banks(bvh, rec):
+            tx0 = (lox - ox[:, None]) * ivx[:, None]
+            tx1 = (hix - ox[:, None]) * ivx[:, None]
+            ty0 = (loy - oy[:, None]) * ivy[:, None]
+            ty1 = (hiy - oy[:, None]) * ivy[:, None]
+            tz0 = (loz - oz[:, None]) * ivz[:, None]
+            tz1 = (hiz - oz[:, None]) * ivz[:, None]
+            tn8 = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                              jnp.maximum(jnp.minimum(tz0, tz1), tmin[:, None]))
+            tf8 = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                              jnp.minimum(jnp.maximum(tz0, tz1), best_t[:, None]))
+            # Empty child slots carry inverted bounds (lo=3e38 > hi=-3e38);
+            # they must be masked from the RECORD, not the slab result —
+            # (3e38 - o) / d overflows to inf for steep rays, making the
+            # inverted box "hit".
+            valid8 = lox <= hix
+            # pmask bit off+k gates child slot off+k: all-ones on a fresh
+            # visit, the saved remaining-children mask on a popped resume.
+            slot_pow2 = (jnp.int32(1)
+                         << (off + jnp.arange(hw, dtype=jnp.int32)))[None, :]
+            gate = (pmask[:, None] & slot_pow2) != 0
+            hit8 = (is_int[:, None] & valid8 & (tn8 <= tf8) & gate)  # (m, hw)
 
-        keys8 = jnp.where(hit8, tn8, _BIG)
-        hit_mask = jnp.sum(jnp.where(hit8, slot_pow2, 0), axis=1)
-        near_key, near_code, near_bit = _argmin8_block(keys8, codes8, W)
+            keys8 = jnp.where(hit8, tn8, _BIG)
+            hit_mask = hit_mask | jnp.sum(jnp.where(hit8, slot_pow2, 0), axis=1)
+            nk, nc, nb = _argmin8_block(keys8, codes_b, hw, off)
+            if near_key is None:
+                near_key, near_code, near_bit = nk, nc, nb
+            else:
+                # strict < keeps the lower-index bank on ties (the lowest
+                # child slot wins, matching the single-bank rule)
+                take = nk < near_key
+                near_code = jnp.where(take, nc, near_code)
+                near_bit = jnp.where(take, nb, near_bit)
+                near_key = jnp.minimum(nk, near_key)
         any_child = near_key < _BIG
         rest_mask = hit_mask & ~near_bit
 
@@ -358,12 +423,6 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
                 cur_next, pmask_next, snode, smask, sp_next,
                 best_t, best_tri, best_u, best_v, it + 1)
 
-    # Full-size result buffers, scattered into at each phase boundary.
-    out_t = t_max.astype(jnp.float32)
-    out_tri = jnp.full((n,), -1, jnp.int32)
-    out_u = jnp.zeros((n,), jnp.float32)
-    out_v = jnp.zeros((n,), jnp.float32)
-
     sizes = [n]
     while (len(sizes) <= MAX_COMPACT_PHASES
            and sizes[-1] // 2 >= MIN_COMPACT_SIZE):
@@ -390,6 +449,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
                   "bt", "btri", "bu", "bv")
     it = jnp.zeros((), jnp.int32)
     phase_iters = []  # cumulative step count at each phase boundary (stats)
+    exit_chunks = []  # packed rows of lanes that exited at each boundary
     for pi, size in enumerate(sizes):
         final = pi == len(sizes) - 1
         state = tuple(lane[k] for k in keys_order) + (it,)
@@ -409,19 +469,49 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         it = state[-1]
         phase_iters.append(it)
 
-        # Scatter this phase's results for every lane it owned; dropped
-        # (finished) lanes keep these values, survivors get overwritten at
-        # the next boundary.
-        out_t = out_t.at[lane["idx"]].set(lane["bt"])
-        out_tri = out_tri.at[lane["idx"]].set(lane["btri"])
-        out_u = out_u.at[lane["idx"]].set(lane["bu"])
-        out_v = out_v.at[lane["idx"]].set(lane["bv"])
-
         if not final:
-            perm = _compact_perm(lane["cur"] == done_code, size)[:sizes[pi + 1]]
-            lane = {k: (jnp.take(v, perm, axis=1) if k in ("snode", "smask")
-                        else jnp.take(v, perm, axis=0))
-                    for k, v in lane.items()}
+            # Boundary compaction. Measured costs drove this shape
+            # (PERF_NOTES.md): each separate jnp.take of an (m,) lane array
+            # is its own row-count-bound gather (~5.7 ms at 518k — 18 arrays
+            # made ONE boundary cost 135 ms, more than all the loop steps),
+            # so the lane state moves as ONE packed (m, 18) row gather. The
+            # permutation partitions survivors first; the suffix rows are
+            # lanes exiting NOW — collected per boundary and delivered once
+            # at the end instead of re-scattering all four result arrays at
+            # every boundary (halves total scatter volume).
+            nxt = sizes[pi + 1]
+            perm = _compact_perm(lane["cur"] == done_code, size)
+            packed = jnp.take(_pack_lane(lane), perm, axis=0)
+            exit_chunks.append(packed[nxt:])
+            sperm = perm[:nxt]
+            new_lane = _unpack_lane(packed[:nxt])
+            new_lane["snode"] = jnp.take(lane["snode"], sperm, axis=1)
+            new_lane["smask"] = jnp.take(lane["smask"], sperm, axis=1)
+            lane = new_lane
+
+    # ---- END delivery: every lane's result written exactly once ----
+    col = {k: j for j, k in enumerate(_PACK_KEYS)}
+    if exit_chunks:
+        allp = jnp.concatenate(exit_chunks + [_pack_lane(lane)], axis=0)
+        idx_all = jax.lax.bitcast_convert_type(allp[:, col["idx"]], jnp.int32)
+        tri_all = jax.lax.bitcast_convert_type(allp[:, col["btri"]], jnp.int32)
+        out_tri = jnp.zeros((n,), jnp.int32).at[idx_all].set(
+            tri_all, unique_indices=True)
+        out_t = jnp.zeros((n,), jnp.float32).at[idx_all].set(
+            allp[:, col["bt"]], unique_indices=True)
+        if first_hit:
+            # any_hit consumers read hit/t only; skip two scatters
+            out_u = jnp.zeros((n,), jnp.float32)
+            out_v = jnp.zeros((n,), jnp.float32)
+        else:
+            out_u = jnp.zeros((n,), jnp.float32).at[idx_all].set(
+                allp[:, col["bu"]], unique_indices=True)
+            out_v = jnp.zeros((n,), jnp.float32).at[idx_all].set(
+                allp[:, col["bv"]], unique_indices=True)
+    else:
+        # single phase: lanes never moved, results are already in ray order
+        out_t, out_tri = lane["bt"], lane["btri"]
+        out_u, out_v = lane["bu"], lane["bv"]
 
     rec = HitRecord(t=out_t, tri_id=out_tri, u=out_u, v=out_v)
     if stats:

@@ -69,11 +69,14 @@ struct BNode {
     int64_t right = -1;
 };
 
+constexpr int kMaxWidth = 32;
+
 struct Builder {
     std::vector<Vec3> tlo, thi, cent;  // per ORIGINAL triangle
     std::vector<int64_t> order;        // build-reordered triangle ids
     std::vector<BNode> bnodes;
     int64_t leaf_size = kLeafSize;
+    int width = kWidth;                // collapse fanout (8 classic, 16/32 wide)
 
     Aabb tri_box(int64_t t) const {
         Aabb b;
@@ -187,7 +190,7 @@ struct Builder {
     std::vector<int64_t> leaf_renumber;  // split emission: row -> leaf idx
     std::vector<int64_t> rows_range_lo, rows_range_hi;
     std::vector<bool> rows_is_leaf;
-    std::vector<std::array<int64_t, kWidth>> rows_child;  // wide child rows
+    std::vector<std::array<int64_t, kMaxWidth>> rows_child;  // wide child rows
     std::vector<Aabb> rows_box;
     int64_t depth = 0;
 
@@ -205,7 +208,9 @@ struct Builder {
             rows_is_leaf.push_back(node.left < 0);
             rows_range_lo.push_back(node.lo);
             rows_range_hi.push_back(node.hi);
-            rows_child.push_back({-1, -1, -1, -1, -1, -1, -1, -1});
+            std::array<int64_t, kMaxWidth> none_children;
+            none_children.fill(-1);
+            rows_child.push_back(none_children);
             rows_box.push_back(node.box);
             return rid;
         };
@@ -220,7 +225,7 @@ struct Builder {
 
             // Gather up to kWidth subtree roots.
             std::vector<int64_t> roots = {bnodes[bn].left, bnodes[bn].right};
-            while (static_cast<int>(roots.size()) < kWidth) {
+            while (static_cast<int>(roots.size()) < width) {
                 int pick = -1;
                 float best_area = -1.0f;
                 for (size_t i = 0; i < roots.size(); ++i) {
@@ -345,6 +350,137 @@ int sah_build3(const float* v0, const float* v1, const float* v2,
                     ? static_cast<int32_t>(~ch) : static_cast<int32_t>(ch);
                 std::memcpy(rec + 48 + k, &code, 4);
             }
+        }
+    }
+    delete g_builder;
+    g_builder = nullptr;
+    return 0;
+}
+
+// --- Wide bf16-internal emission --------------------------------------------
+// Same phase-1 build collapsed to `width` (16/32) children; emits the
+// lbvh.build_table_numpy_sah_wide unified layout: bf16 child AABBs with
+// conservative DIRECTED rounding (lo toward -inf, hi toward +inf) packed in
+// pairs at slots [0, 3W), int32 child codes at [3W, 4W), leaves unchanged.
+// Kept bit-identical with the numpy emitter (tests/test_native.py).
+
+namespace {
+inline uint16_t bf16_dir(float x, bool up) {
+    uint32_t b;
+    std::memcpy(&b, &x, 4);
+    uint32_t hi16 = b >> 16;
+    const bool rem = (b & 0xFFFFu) != 0;
+    const bool neg = (b >> 31) != 0;
+    if (rem && (up ? !neg : neg)) ++hi16;
+    return static_cast<uint16_t>(hi16);
+}
+}  // namespace
+
+// Phase 1: full build at `width`. Returns row count (or -1 on bad width).
+int64_t sah_count_wide3(const float* v0, const float* v1, const float* v2,
+                        int64_t num_tris, int64_t leaf_size, int64_t width,
+                        int64_t* out_num_leaves, int64_t* out_depth,
+                        int64_t* out_root_code) {
+    if (width != 16 && width != 32) return -1;
+    delete g_builder;
+    g_builder = new Builder();
+    Builder& B = *g_builder;
+    B.leaf_size = leaf_size;
+    B.width = static_cast<int>(width);
+    const Vec3* a = reinterpret_cast<const Vec3*>(v0);
+    const Vec3* b = reinterpret_cast<const Vec3*>(v1);
+    const Vec3* c = reinterpret_cast<const Vec3*>(v2);
+    B.tlo.resize(num_tris);
+    B.thi.resize(num_tris);
+    B.cent.resize(num_tris);
+    B.order.resize(num_tris);
+    for (int64_t i = 0; i < num_tris; ++i) {
+        B.tlo[i] = vmin(vmin(a[i], b[i]), c[i]);
+        B.thi[i] = vmax(vmax(a[i], b[i]), c[i]);
+        B.cent[i] = {(a[i].x + b[i].x + c[i].x) / 3.0f,
+                     (a[i].y + b[i].y + c[i].y) / 3.0f,
+                     (a[i].z + b[i].z + c[i].z) / 3.0f};
+        B.order[i] = i;
+    }
+    B.bnodes.reserve(2 * static_cast<size_t>(num_tris) / std::max<int64_t>(leaf_size, 1) + 16);
+    const int64_t broot = B.build_binary(0, num_tris);
+    B.collapse(broot);
+
+    int64_t leaves = 0;
+    for (bool l : B.rows_is_leaf) leaves += l;
+    if (out_num_leaves) *out_num_leaves = leaves;
+    if (out_depth) *out_depth = B.depth;
+    if (out_root_code) *out_root_code = B.rows_is_leaf[0] ? ~int64_t(0) : 0;
+    return static_cast<int64_t>(B.rows_is_leaf.size());
+}
+
+// Phase 2: emit the packed wide table from the cached build.
+int sah_build_wide3(const float* v0, const float* v1, const float* v2,
+                    int64_t num_tris, int64_t leaf_size, int64_t width,
+                    float* table, int64_t num_rows) {
+    if (!g_builder) return 1;
+    Builder& B = *g_builder;
+    if (num_rows != static_cast<int64_t>(B.rows_is_leaf.size())) return 2;
+    if (B.width != static_cast<int>(width)) return 3;
+    const int W = B.width;
+    const Vec3* a = reinterpret_cast<const Vec3*>(v0);
+    const Vec3* b = reinterpret_cast<const Vec3*>(v1);
+    const Vec3* c = reinterpret_cast<const Vec3*>(v2);
+
+    std::memset(table, 0, sizeof(float) * static_cast<size_t>(num_rows * kRecord));
+    const int32_t none = -1;
+    for (int64_t rid = 0; rid < num_rows; ++rid) {
+        float* rec = table + rid * kRecord;
+        if (B.rows_is_leaf[rid]) {
+            for (int slot = 0; slot < kLeafSize; ++slot)
+                std::memcpy(rec + 9 * kLeafSize + slot, &none, 4);
+            int64_t slot = 0;
+            for (int64_t i = B.rows_range_lo[rid]; i < B.rows_range_hi[rid]; ++i, ++slot) {
+                const int64_t t = B.order[i];
+                rec[0 * kLeafSize + slot] = a[t].x;
+                rec[1 * kLeafSize + slot] = a[t].y;
+                rec[2 * kLeafSize + slot] = a[t].z;
+                rec[3 * kLeafSize + slot] = b[t].x - a[t].x;
+                rec[4 * kLeafSize + slot] = b[t].y - a[t].y;
+                rec[5 * kLeafSize + slot] = b[t].z - a[t].z;
+                rec[6 * kLeafSize + slot] = c[t].x - a[t].x;
+                rec[7 * kLeafSize + slot] = c[t].y - a[t].y;
+                rec[8 * kLeafSize + slot] = c[t].z - a[t].z;
+                const int32_t tid = static_cast<int32_t>(t);
+                std::memcpy(rec + 9 * kLeafSize + slot, &tid, 4);
+            }
+        } else {
+            uint16_t v16[6][kMaxWidth];
+            int32_t codes[kMaxWidth];
+            for (int k = 0; k < W; ++k) {
+                float clo[3] = {3e38f, 3e38f, 3e38f};
+                float chi[3] = {-3e38f, -3e38f, -3e38f};
+                codes[k] = 0;
+                const int64_t ch = B.rows_child[rid][k];
+                if (ch >= 0) {
+                    const Aabb& box = B.rows_box[ch];
+                    clo[0] = box.lo.x; clo[1] = box.lo.y; clo[2] = box.lo.z;
+                    chi[0] = box.hi.x; chi[1] = box.hi.y; chi[2] = box.hi.z;
+                    codes[k] = B.rows_is_leaf[ch]
+                        ? static_cast<int32_t>(~ch) : static_cast<int32_t>(ch);
+                }
+                for (int ax = 0; ax < 3; ++ax) {
+                    v16[ax][k] = bf16_dir(clo[ax], false);
+                    v16[3 + ax][k] = bf16_dir(chi[ax], true);
+                }
+            }
+            // de-interleaved pairs: slot j = (child j low, child j+H high) —
+            // lets the traversal decode each half with integer ops only
+            const int H = W / 2;
+            for (int f = 0; f < 6; ++f) {
+                for (int j = 0; j < H; ++j) {
+                    const uint32_t packed =
+                        static_cast<uint32_t>(v16[f][j])
+                        | (static_cast<uint32_t>(v16[f][j + H]) << 16);
+                    std::memcpy(rec + f * H + j, &packed, 4);
+                }
+            }
+            std::memcpy(rec + 3 * W, codes, sizeof(int32_t) * W);
         }
     }
     delete g_builder;
