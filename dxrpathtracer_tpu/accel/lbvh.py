@@ -679,9 +679,11 @@ def build_split_bvh(v0, v1, v2, leaf_size: int = MXU_LEAF,
                     max_depth=int(depth) + 2, root_code=int(root_code))
 
 
-def build_bvh_for_scene(scene, positions=None, tri_idx=None) -> FlatBVH:
+def build_bvh_for_scene(scene, positions=None, tri_idx=None,
+                        width: int = WIDTH) -> FlatBVH:
     """Build from a Scene pytree. Pass host-numpy `positions`/`tri_idx` when
     available to avoid device->host readbacks (slow over the TPU tunnel)."""
     pos = positions if positions is not None else np.asarray(scene.positions)
     tri = tri_idx if tri_idx is not None else np.asarray(scene.tri_idx)
-    return build_bvh(pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]])
+    return build_bvh(pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]],
+                     width=width)

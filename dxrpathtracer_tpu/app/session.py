@@ -76,6 +76,15 @@ class RenderSession:
             tri = np.asarray(self.scene_host.tri_idx)
             self.bvh = build_bvh_for_scene(self.scene, positions=pos,
                                            tri_idx=tri)
+            # Second table for the PER-RAY traversals only: wide bf16-internal
+            # W=32 records (same 512 B rows, 32-ary fanout) cut rows/ray ~35%
+            # and measured 89 vs 129 ms on terminal any-hit at 960x540, while
+            # packet traversals keep the classic W8 table (ordered-descent
+            # packets measured SLOWER on W32: 88 vs 61.5 ms) — see
+            # tools/ab_wide_records.py and trace_paths(ray_bvh=...). Results
+            # are bit-exact either way. Costs one extra ~17 MB device table.
+            self.bvh_ray = build_bvh_for_scene(self.scene, positions=pos,
+                                               tri_idx=tri, width=32)
             # Split fat-leaf tables for the MXU traversal (per-ray paths —
             # alpha test, incoherent fallbacks — still use self.bvh).
             self.bvh2 = None
@@ -172,14 +181,17 @@ class RenderSession:
 
         bvh2 = self.bvh2
 
+        bvh_ray = getattr(self, "bvh_ray", None)
+
         if not os.environ.get("DXRPT_STAGED"):
-            @partial(jax.jit, static_argnames=("settings",), donate_argnums=(3,))
-            def step_slab(scene, bvh, bvh2, accum_slab, sky_cube, frame, row0,
-                          sun_grid, settings):
+            @partial(jax.jit, static_argnames=("settings",), donate_argnums=(4,))
+            def step_slab(scene, bvh, bvh2, bvh_ray, accum_slab, sky_cube,
+                          frame, row0, sun_grid, settings):
                 return render_sample(scene, bvh, sky_cube, settings, frame,
                                      width, slab_h, accum_slab,
                                      row_offset=row0, total_height=height,
-                                     bvh2=bvh2, sun_bvh=sun_grid)
+                                     bvh2=bvh2, sun_bvh=sun_grid,
+                                     ray_bvh=bvh_ray)
         else:
             tracer = StagedTracer()
 
@@ -195,8 +207,8 @@ class RenderSession:
                         / (frame.curr_sample_idx.astype(f32) + 1.0))
                 return radiance + (accum_slab - radiance) * lerp
 
-            def step_slab(scene, bvh, _bvh2, accum_slab, sky_cube, frame,
-                          row0, _sun_grid, settings):
+            def step_slab(scene, bvh, _bvh2, _bvh_ray, accum_slab, sky_cube,
+                          frame, row0, _sun_grid, settings):
                 o, d, length, pix = raygen_slab(frame, row0, settings)
                 radiance = tracer.trace(scene, bvh, sky_cube, settings, frame,
                                         o, d, length, pix, width * height,
@@ -208,8 +220,8 @@ class RenderSession:
         row0_dev = [jnp.int32(r0) for r0 in range(0, height, slab_h)]
 
         def step(scene, bvh, slabs, sky_cube, frame, settings):
-            return [step_slab(scene, bvh, bvh2, slab, sky_cube, frame, r0,
-                              self.sun_grid, settings)
+            return [step_slab(scene, bvh, bvh2, bvh_ray, slab, sky_cube,
+                              frame, r0, self.sun_grid, settings)
                     for slab, r0 in zip(slabs, row0_dev)]
 
         return step
@@ -326,7 +338,8 @@ class RenderSession:
                                         map_size=shadow_map_size)
             with self.profiler.gpu_scope("RenderSunShadowMap") as scope:
                 depth_maps = render_cascade_depth_maps(
-                    self.bvh, cascades, shadow_map_size, accept_fn=accept)
+                    self.bvh_ray, cascades, shadow_map_size,
+                    accept_fn=accept)
                 scope.result = depth_maps
             sun_shadow_pcf = (depth_maps, cascades)
             if self.scene_host.lights.num_lights > 0:
@@ -336,7 +349,7 @@ class RenderSession:
                                              SPOT_SHADOW_NEAR_CLIP)
                 with self.profiler.gpu_scope("RenderSpotShadowMap") as scope:
                     spot_maps = render_spot_depth_maps(
-                        self.bvh, spots,
+                        self.bvh_ray, spots,
                         min(shadow_map_size * 2, 1024), accept_fn=accept)
                     scope.result = spot_maps
                 spot_shadow_pcf = (spot_maps, spots)
@@ -349,7 +362,7 @@ class RenderSession:
         sky_sh = jnp.asarray(self.sky.sh9) if self.sky.sh9 is not None else None
         with self.profiler.gpu_scope("RenderForward") as scope:
             img = scope.result = forward_render(
-                self.scene, self.bvh, self._sky_cube_dev, sky_sh,
+                self.scene, self.bvh_ray, self._sky_cube_dev, sky_sh,
                 self.settings, frame, self.width, self.height,
                 masks, dims, self.camera.forward(),
                 self.camera.near_clip, self.camera.far_clip,

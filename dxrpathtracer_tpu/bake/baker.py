@@ -205,8 +205,10 @@ class Baker:
         sess = self.session
         frame = sess.frame_constants(sess.sample_idx)
         for i in range(len(self._accum_slabs)):
+            # Bake hemisphere rays are incoherent -> traced per-ray, where
+            # the wide W32 table wins (tools/ab_wide_records.py); bit-exact.
             self._accum_slabs[i] = self._step(
-                sess.scene, sess.bvh, self._accum_slabs[i],
+                sess.scene, sess.bvh_ray, self._accum_slabs[i],
                 sess._sky_cube_dev, frame, self._pos_slabs[i],
                 self._nrm_slabs[i], jnp.uint32(self.sample_index),
                 self._row0_dev[i], sess.sun_grid, sess.settings)

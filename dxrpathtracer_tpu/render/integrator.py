@@ -639,7 +639,8 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 ray_o, ray_d, t_max, pixel_idx, total_num_pixels: int,
                 first_set_idx: int = 1, initial_is_diffuse: bool = False,
                 t_min0=0.0, active0=None, sample_idx=None,
-                packet_coherent: bool = False, bvh2=None, sun_bvh=None):
+                packet_coherent: bool = False, bvh2=None, sun_bvh=None,
+                ray_bvh=None):
     """Trace a wavefront of rays to completion; returns (N, 3) radiance.
 
     ray_o/ray_d/t_max describe the depth-1 rays (already jittered primaries for
@@ -659,12 +660,24 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     and sun-NEE rays then take the 128-wide packet traversal
     (accel/packet.py, ~5x measured on Sponza-class primaries) when no
     alpha-test applies; all other rays keep the per-ray path.
+
+    ray_bvh (optional) is a second acceleration structure used ONLY by the
+    per-ray traversals (terminal shadow rays, alpha punch-through, non-packet
+    fallbacks). Measured on the v5e (tools/ab_wide_records.py): the wide
+    bf16-internal W=32 table wins every per-ray population (terminal any
+    129 -> 89 ms, bounce closest 116 -> 99 at 960x540) but LOSES on packet
+    closest (61.5 -> 88 ms — ordered-descent packets want the narrow W8
+    fanout), so the session passes a W32 table here while packets keep the
+    classic W8 `bvh`. Results are bit-exact either way (leaves stay f32;
+    bf16 child AABBs are conservatively rounded, admitting only spurious
+    descents).
     """
     from ..accel.mxu import mxu_any_hit, mxu_closest_hit
     from ..accel.packet import packet_any_hit, packet_closest_hit
 
     s = settings
     n = ray_o.shape[0]
+    rbvh = bvh if ray_bvh is None else ray_bvh
     cmj_sample_idx = frame.curr_sample_idx if sample_idx is None else sample_idx
     alpha_test = _make_alpha_test(scene, s)
     has_alpha = alpha_test is not None
@@ -689,7 +702,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         # stay per-ray (packets measured slower there).
         if alpha_now:
             base = (pk_closest if use_packet
-                    else partial(closest_hit, bvh))
+                    else partial(closest_hit, rbvh))
             rec = _punch_through_closest(
                 base, alpha_test, state["ray_o"], state["ray_d"],
                 state["t_min"], state["t_max"], state["active"])
@@ -699,7 +712,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 state["t_max"], state["active"])
         else:
             rec = closest_hit(
-                bvh, state["ray_o"], state["ray_d"], state["t_min"],
+                rbvh, state["ray_o"], state["ray_d"], state["t_min"],
                 state["t_max"], state["active"])
         state, reqs, mid = _shade_vertex(
             scene, sky_cube, s, frame, depth, flags, state, rec, pixel_idx,
@@ -756,7 +769,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                     vis_list[i] = pk_any(r[0], r[1], r[2], r[3], r[4])
                 rest.remove(i)
         if rest:
-            sub = _flush_shadow(bvh, [reqs[i] for i in rest],
+            sub = _flush_shadow(rbvh, [reqs[i] for i in rest],
                                 [plan[i] for i in rest], alpha_test)
             for j, i in enumerate(rest):
                 vis_list[i] = sub[j]
@@ -979,7 +992,7 @@ def _untile_order(x, height, width, ty, tx):
 
 def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                   width: int, height: int, accum, row_offset=0,
-                  total_height=None, bvh2=None, sun_bvh=None):
+                  total_height=None, bvh2=None, sun_bvh=None, ray_bvh=None):
     """One progressive sample: raygen + trace + running-mean accumulation
     (RaygenShader, RayTrace.hlsl:92-149). Returns the new accumulation image
     (height, width, 3) f32.
@@ -1011,7 +1024,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
             t_o, t_d, t_len, t_pix = args
             return trace_paths(scene, bvh, sky_cube, s, frame,
                                t_o, t_d, t_len, t_pix, n, first_set_idx=1,
-                               sun_bvh=sun_bvh)
+                               sun_bvh=sun_bvh, ray_bvh=ray_bvh)
 
         radiance = jax.lax.map(trace_tile, (
             ray_start.reshape(n_tiles, tile, 3),
@@ -1030,12 +1043,13 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
             _tile_order(ray_len, height, width, ty, tx),
             _tile_order(pixel_idx, height, width, ty, tx),
             n, first_set_idx=1, packet_coherent=True, bvh2=bvh2,
-            sun_bvh=sun_bvh)
+            sun_bvh=sun_bvh, ray_bvh=ray_bvh)
         radiance = _untile_order(radiance, height, width, ty, tx)
     else:
         radiance = trace_paths(scene, bvh, sky_cube, s, frame,
                                ray_start, ray_dir, ray_len, pixel_idx, n,
-                               first_set_idx=1, sun_bvh=sun_bvh)
+                               first_set_idx=1, sun_bvh=sun_bvh,
+                               ray_bvh=ray_bvh)
     radiance = radiance.reshape(height, width, 3)
 
     lerp_factor = (frame.curr_sample_idx.astype(f32)
