@@ -12,6 +12,7 @@ progressive render is `np.save` (strictly better than the reference, whose
 "resume state" lives in a GPU UAV; SURVEY.md §5.4).
 """
 
+import os
 import time
 from functools import partial
 
@@ -153,7 +154,9 @@ class RenderSession:
 
     def _slab_rows(self):
         n = self.width * self.height
-        n_slabs = max(1, -(-n // self.MAX_SLAB_RAYS))
+        max_rays = int(os.environ.get("DXRPT_MAX_SLAB_RAYS",
+                                      self.MAX_SLAB_RAYS))
+        n_slabs = max(1, -(-n // max_rays))
         while n_slabs > 1 and self.height % n_slabs != 0:
             n_slabs += 1
         return self.height // n_slabs if n_slabs <= self.height else self.height
