@@ -695,18 +695,21 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
 
     for depth, flags in _depth_schedule(s):
         alpha_now = flags["use_any_hit"] and has_alpha
-        # Closest-hit goes through packets at EVERY depth: bounce origins
-        # stay grouped by their primary 128-pixel tile, which is enough
-        # coherence to win (measured 148 ms packet vs 167-183 per-ray for
-        # depth-2 closest at 960x540). Shadow/terminal rays at depth >= 2
-        # stay per-ray (packets measured slower there).
+        # Closest-hit routing: packets at depth 1 (primary-tile coherence
+        # collapses gathers ~50x); per-ray W32 at depth >= 2 — the hybrid
+        # wide table flipped the old ordering (tools/ab_bounce_route.py,
+        # production tile-ordered bounce lanes at 960x540: per-ray W32
+        # 122 ms vs packet W8 230 ms, bit-identical tri_ids; the pre-W32
+        # measurement was 148 packet vs 167-183 per-ray). Shadow/terminal
+        # rays at depth >= 2 are per-ray for the same reason.
+        pk_now = use_packet and (depth == 1 or ray_bvh is None)
         if alpha_now:
-            base = (pk_closest if use_packet
+            base = (pk_closest if pk_now
                     else partial(closest_hit, rbvh))
             rec = _punch_through_closest(
                 base, alpha_test, state["ray_o"], state["ray_d"],
                 state["t_min"], state["t_max"], state["active"])
-        elif use_packet:
+        elif pk_now:
             rec = pk_closest(
                 state["ray_o"], state["ray_d"], state["t_min"],
                 state["t_max"], state["active"])
