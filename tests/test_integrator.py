@@ -175,3 +175,23 @@ def test_enable_direct_indirect_toggles(boxtest):
     assert full.sum() > no_indirect.sum() >= 0
     # direct + indirect should approximately compose to full (same sample seq)
     assert np.allclose(no_direct + no_indirect, full, rtol=1e-3, atol=1e-4)
+
+
+def test_hybrid_ray_bvh_image_identical(boxtest):
+    """The hybrid second table (per-ray traversals on a W=32 bf16-internal
+    BVH — app/session.py builds it as `bvh_ray`) must not change the image:
+    leaves stay f32 and bf16 child AABBs are conservatively rounded, so
+    per-ray results are bit-exact vs the W8 table (tools/ab_bounce_route.py
+    measured 0 tri_id mismatches on device; this pins the render_sample
+    plumbing end-to-end)."""
+    scene, bvh, preset = boxtest
+    bvh32 = build_bvh_for_scene(scene, width=32)
+    cam = _cam(preset)
+    s = AppSettings(current_scene=Scenes.BoxTest, max_path_length=3)
+    sky = jnp.full((6, 8, 8, 3), 1.7, jnp.float32)
+    accum = jnp.zeros((H, W, 3), jnp.float32)
+    f = _frame(preset, cam)
+    base = np.asarray(render_sample(scene, bvh, sky, s, f, W, H, accum))
+    hybrid = np.asarray(render_sample(scene, bvh, sky, s, f, W, H, accum,
+                                      ray_bvh=bvh32))
+    assert np.array_equal(base, hybrid)
