@@ -108,3 +108,109 @@ def make_sharded_bake_step(mesh: Mesh, settings, resolution: int,
                        sample_index, sun_grid)
 
     return step
+
+
+def make_sample_parallel_step(mesh: Mesh, settings, width: int, height: int,
+                              axis_name: str = "samples"):
+    """Build a jitted SAMPLE-parallel render step — the second sharding axis.
+
+    Row sharding (make_sharded_step) splits pixels; this splits the
+    progressive SAMPLE stream: every device renders the full image at a
+    different CMJ sample index (device d takes global samples
+    d, d + n_dev, d + 2*n_dev, ...) into its own running-mean block of the
+    (n_dev, H, W, 3) accumulation array. Rays are independent across samples,
+    so the hot loop has ZERO collectives; the converged image is the equal-
+    weight mean over the device axis (one all-reduce at readback — see
+    sample_parallel_image). After k steps the image holds k * n_dev samples:
+    the progressive convergence rate scales linearly with the mesh.
+
+    step(scene, bvh, accum, sky_cube, frame, bvh2=None, sun_grid=None,
+    ray_bvh=None) -> new accum, where `frame.curr_sample_idx` is the STEP
+    index (0, 1, 2, ...) and accum is (n_dev, height, width, 3) sharded on
+    axis 0 (see shard_accum — the same placement helper works).
+    """
+    import dataclasses as _dc
+
+    n_dev = mesh.devices.size
+    repl = P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(repl, repl, P(axis_name), repl, repl, repl, repl,
+                       repl),
+             out_specs=P(axis_name), check_vma=False)
+    def sharded(scene, bvh, accum_block, sky_cube, frame, bvh2, sun_grid,
+                ray_bvh):
+        dev = jax.lax.axis_index(axis_name).astype(jnp.uint32)
+        step_idx = frame.curr_sample_idx
+        global_sample = step_idx * jnp.uint32(n_dev) + dev
+        frame_dev = _dc.replace(frame, curr_sample_idx=global_sample)
+        out = render_sample(scene, bvh, sky_cube, settings, frame_dev,
+                            width, height, accum_block[0], bvh2=bvh2,
+                            sun_bvh=sun_grid, ray_bvh=ray_bvh,
+                            accum_sample_idx=step_idx)
+        return out[None]
+
+    @jax.jit
+    def step(scene, bvh, accum, sky_cube, frame, bvh2=None, sun_grid=None,
+             ray_bvh=None):
+        return sharded(scene, bvh, accum, sky_cube, frame, bvh2, sun_grid,
+                       ray_bvh)
+
+    return step
+
+
+def sample_parallel_image(accum):
+    """Equal-weight mean over the device axis of a sample-parallel
+    accumulation — every shard holds the same number of samples, so the mean
+    of per-device running means IS the mean over all global samples."""
+    return jnp.mean(accum, axis=0)
+
+
+def make_grid_step(mesh: Mesh, settings, width: int, height: int,
+                   sample_axis: str = "samples", row_axis: str = "rows"):
+    """Build a jitted 2D-mesh render step: SAMPLE x ROW sharding combined.
+
+    mesh is 2D (sample_axis, row_axis): device (s, r) renders global pixel
+    rows [r*H/R, (r+1)*H/R) of global CMJ sample step*S + s into its own
+    running-mean block. Both axes are collective-free in the hot loop; the
+    converged image is sample_parallel_image() of the readback (rows
+    concatenate, samples average). This is the full-scale layout: rows give
+    intra-frame parallelism (latency), samples inter-frame (throughput).
+
+    step(scene, bvh, accum, sky_cube, frame, ...) -> accum where accum is
+    (S, height, width, 3) sharded P(sample_axis, row_axis) and
+    frame.curr_sample_idx is the step index.
+    """
+    import dataclasses as _dc
+
+    s_dev = mesh.shape[sample_axis]
+    r_dev = mesh.shape[row_axis]
+    assert height % r_dev == 0, f"height {height} must divide over {r_dev} rows"
+    rows_per = height // r_dev
+    repl = P()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(repl, repl, P(sample_axis, row_axis), repl, repl,
+                       repl, repl, repl),
+             out_specs=P(sample_axis, row_axis), check_vma=False)
+    def sharded(scene, bvh, accum_block, sky_cube, frame, bvh2, sun_grid,
+                ray_bvh):
+        s_idx = jax.lax.axis_index(sample_axis).astype(jnp.uint32)
+        r_idx = jax.lax.axis_index(row_axis)
+        step_idx = frame.curr_sample_idx
+        global_sample = step_idx * jnp.uint32(s_dev) + s_idx
+        frame_dev = _dc.replace(frame, curr_sample_idx=global_sample)
+        out = render_sample(scene, bvh, sky_cube, settings, frame_dev,
+                            width, rows_per, accum_block[0],
+                            row_offset=r_idx * rows_per, total_height=height,
+                            bvh2=bvh2, sun_bvh=sun_grid, ray_bvh=ray_bvh,
+                            accum_sample_idx=step_idx)
+        return out[None]
+
+    @jax.jit
+    def step(scene, bvh, accum, sky_cube, frame, bvh2=None, sun_grid=None,
+             ray_bvh=None):
+        return sharded(scene, bvh, accum, sky_cube, frame, bvh2, sun_grid,
+                       ray_bvh)
+
+    return step

@@ -995,7 +995,8 @@ def _untile_order(x, height, width, ty, tx):
 
 def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                   width: int, height: int, accum, row_offset=0,
-                  total_height=None, bvh2=None, sun_bvh=None, ray_bvh=None):
+                  total_height=None, bvh2=None, sun_bvh=None, ray_bvh=None,
+                  accum_sample_idx=None):
     """One progressive sample: raygen + trace + running-mean accumulation
     (RaygenShader, RayTrace.hlsl:92-149). Returns the new accumulation image
     (height, width, 3) f32.
@@ -1004,6 +1005,12 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
     count, `row_offset` the shard's first global row (traced OK), and
     `total_height` the full image height — pixel indices and NDC stay global so
     a sharded render matches single-chip to rounding (fusion-order ULPs).
+
+    For SAMPLE sharding (parallel/mesh.make_sample_parallel_step), the caller
+    rewrites frame.curr_sample_idx to the device's GLOBAL sample index (CMJ
+    decorrelation + jitter) and passes the device-LOCAL accumulated sample
+    count as `accum_sample_idx` so the running mean stays a true mean of the
+    samples this shard has actually taken.
     """
     s = settings
     f32 = jnp.float32
@@ -1055,6 +1062,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
                                ray_bvh=ray_bvh)
     radiance = radiance.reshape(height, width, 3)
 
-    lerp_factor = (frame.curr_sample_idx.astype(f32)
-                   / (frame.curr_sample_idx.astype(f32) + 1.0))
+    acc_idx = (frame.curr_sample_idx if accum_sample_idx is None
+               else accum_sample_idx)
+    lerp_factor = acc_idx.astype(f32) / (acc_idx.astype(f32) + 1.0)
     return radiance + (accum - radiance) * lerp_factor
