@@ -38,6 +38,8 @@ near-to-far by the packet-min entry distance. Finished packets (empty
 stack, no live rays) compact away between phases like the per-ray path.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -238,7 +240,7 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
     # phases): the tail is dominated by the ~125 us/iteration while_loop
     # fixed cost (tools/costmodel.py), so shrinking lane count alone is not
     # enough — UNROLL steps per loop iteration amortize it.
-    UNROLL = 2
+    UNROLL = int(os.environ.get("DXRPT_PACKET_UNROLL", "2"))
     sizes = [p]
     while (len(sizes) <= MAX_COMPACT_PHASES + 2
            and (sizes[-1] + 1) // 2 >= max(MIN_COMPACT_SIZE // PACKET, 32)):

@@ -39,6 +39,7 @@ None is RAY_FLAG_FORCE_OPAQUE.
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -436,7 +437,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
     # ~130 us fixed cost regardless of lane count (tools/costmodel.py), and
     # the body is a no-op on finished lanes, so the occasional extra step is
     # free while the fixed cost halves.
-    UNROLL = 2
+    UNROLL = int(os.environ.get("DXRPT_TRAVERSE_UNROLL", "2"))
 
     def body_unrolled(s):
         for _ in range(UNROLL):
