@@ -305,6 +305,12 @@ def packet_closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
 def packet_any_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
     """ACCEPT_FIRST_HIT_AND_END_SEARCH visibility over coherent packets.
     Returns (N,) f32 visibility (1 = unoccluded), like traverse.any_hit."""
+    return packet_any_hit_rec(bvh, ray_o, ray_d, t_min, t_max, active)[0]
+
+
+def packet_any_hit_rec(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
+    """packet_any_hit that also returns the occluder triangle id (-1 when
+    unoccluded) for the history-seeded shadow path (accel/history.py)."""
     n = ray_o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -312,4 +318,6 @@ def packet_any_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
         active = jnp.ones((n,), jnp.bool_)
     rec = _packet_traverse(bvh, ray_o, ray_d, t_min, t_max, active,
                            first_hit=True)
-    return jnp.where(active & (rec.tri_id >= 0), 0.0, 1.0)
+    occluded = active & (rec.tri_id >= 0)
+    return (jnp.where(occluded, 0.0, 1.0),
+            jnp.where(occluded, rec.tri_id, -1))

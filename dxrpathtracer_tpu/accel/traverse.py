@@ -541,10 +541,18 @@ def any_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None, accept_fn=Non
     Mirrors ShadowPayload semantics (RayTrace.hlsl:73-76,533-541): 1 when
     unoccluded. Lanes terminate at the first accepted hit.
     """
+    return any_hit_rec(bvh, ray_o, ray_d, t_min, t_max, active, accept_fn)[0]
+
+
+def any_hit_rec(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None,
+                accept_fn=None):
+    """any_hit that also returns the occluder triangle id (-1 when
+    unoccluded) — consumed by the history-seeded sun-shadow path
+    (accel/history.py), which retests last sample's occluder first."""
     n = ray_o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if active is None:
         active = jnp.ones((n,), jnp.bool_)
     rec = _traverse(bvh, ray_o, ray_d, t_min, t_max, active, accept_fn, first_hit=True)
-    return jnp.where(rec.hit, 0.0, 1.0)
+    return jnp.where(rec.hit, 0.0, 1.0), rec.tri_id

@@ -86,6 +86,17 @@ class RenderSession:
             # are bit-exact either way. Costs one extra ~17 MB device table.
             self.bvh_ray = build_bvh_for_scene(self.scene, positions=pos,
                                                tri_idx=tri, width=32)
+            # Temporal hit-reuse table (accel/history.py): last sample's
+            # per-pixel hit/occluder triangles seed depth-1 traversals with
+            # exact t bounds. Default OFF: measured NET-NEGATIVE on the v5e
+            # (370.9 vs 361.1 ms at 960x540 — the packet engine is
+            # iteration/body bound, so the two 518k-row revalidation gathers
+            # cost more than the tighter t_max saves; PERF_NOTES.md). Kept
+            # as an exact, tested technique behind DXRPT_HISTORY=1.
+            self._tri_table = None
+            if os.environ.get("DXRPT_HISTORY"):
+                from ..accel.history import build_tri_table
+                self._tri_table = jax.device_put(build_tri_table(pos, tri))
             # Split fat-leaf tables for the MXU traversal (per-ray paths —
             # alpha test, incoherent fallbacks — still use self.bvh).
             self.bvh2 = None
@@ -186,15 +197,25 @@ class RenderSession:
 
         bvh_ray = getattr(self, "bvh_ray", None)
 
+        tri_table = getattr(self, "_tri_table", None)
+
         if not os.environ.get("DXRPT_STAGED"):
-            @partial(jax.jit, static_argnames=("settings",), donate_argnums=(4,))
-            def step_slab(scene, bvh, bvh2, bvh_ray, accum_slab, sky_cube,
-                          frame, row0, sun_grid, settings):
-                return render_sample(scene, bvh, sky_cube, settings, frame,
-                                     width, slab_h, accum_slab,
-                                     row_offset=row0, total_height=height,
-                                     bvh2=bvh2, sun_bvh=sun_grid,
-                                     ray_bvh=bvh_ray)
+            @partial(jax.jit, static_argnames=("settings",),
+                     donate_argnums=(4, 5))
+            def step_slab(scene, bvh, bvh2, bvh_ray, accum_slab, hist,
+                          sky_cube, frame, row0, sun_grid, tri_tab, settings):
+                history = (None if tri_tab is None
+                           else {**hist, "tri_table": tri_tab})
+                out = render_sample(scene, bvh, sky_cube, settings, frame,
+                                    width, slab_h, accum_slab,
+                                    row_offset=row0, total_height=height,
+                                    bvh2=bvh2, sun_bvh=sun_grid,
+                                    ray_bvh=bvh_ray, history=history)
+                if history is None:
+                    return out, hist
+                accum_out, hist_out = out
+                return accum_out, {"prim_tri": hist_out["prim_tri"],
+                                   "sun_tri": hist_out["sun_tri"]}
         else:
             tracer = StagedTracer()
 
@@ -210,22 +231,27 @@ class RenderSession:
                         / (frame.curr_sample_idx.astype(f32) + 1.0))
                 return radiance + (accum_slab - radiance) * lerp
 
-            def step_slab(scene, bvh, _bvh2, _bvh_ray, accum_slab, sky_cube,
-                          frame, row0, _sun_grid, settings):
+            def step_slab(scene, bvh, _bvh2, _bvh_ray, accum_slab, hist,
+                          sky_cube, frame, row0, _sun_grid, _tri_tab,
+                          settings):
                 o, d, length, pix = raygen_slab(frame, row0, settings)
                 radiance = tracer.trace(scene, bvh, sky_cube, settings, frame,
                                         o, d, length, pix, width * height,
                                         first_set_idx=1)
-                return accum_slab_fn(accum_slab, radiance, frame)
+                return accum_slab_fn(accum_slab, radiance, frame), hist
 
         # Device-resident row offsets, transferred ONCE: a fresh host scalar
         # per dispatch serializes on the tunnel RTT (~10 ms each).
         row0_dev = [jnp.int32(r0) for r0 in range(0, height, slab_h)]
 
         def step(scene, bvh, slabs, sky_cube, frame, settings):
-            return [step_slab(scene, bvh, bvh2, bvh_ray, slab, sky_cube,
-                              frame, r0, self.sun_grid, settings)
-                    for slab, r0 in zip(slabs, row0_dev)]
+            outs = [step_slab(scene, bvh, bvh2, bvh_ray, slab, hist,
+                              sky_cube, frame, r0, self.sun_grid, tri_table,
+                              settings)
+                    for slab, hist, r0 in zip(slabs, self._hist_slabs,
+                                              row0_dev)]
+            self._hist_slabs = [o[1] for o in outs]
+            return [o[0] for o in outs]
 
         return step
 
@@ -264,6 +290,12 @@ class RenderSession:
     def reset_accumulation(self):
         self._accum_slabs = [jnp.zeros((self._slab_h, self.width, 3), jnp.float32)
                              for _ in range(0, self.height, self._slab_h)]
+        # temporal hit-reuse state resets with the accumulation (-1 = no
+        # prediction; stale ids would still be EXACT, just slower)
+        n_lane = self._slab_h * self.width
+        self._hist_slabs = [{"prim_tri": jnp.full((n_lane,), -1, jnp.int32),
+                             "sun_tri": jnp.full((n_lane,), -1, jnp.int32)}
+                            for _ in range(0, self.height, self._slab_h)]
         self.sample_idx = 0
 
     @property

@@ -640,7 +640,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 first_set_idx: int = 1, initial_is_diffuse: bool = False,
                 t_min0=0.0, active0=None, sample_idx=None,
                 packet_coherent: bool = False, bvh2=None, sun_bvh=None,
-                ray_bvh=None):
+                ray_bvh=None, history=None):
     """Trace a wavefront of rays to completion; returns (N, 3) radiance.
 
     ray_o/ray_d/t_max describe the depth-1 rays (already jittered primaries for
@@ -671,9 +671,18 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     classic W8 `bvh`. Results are bit-exact either way (leaves stay f32;
     bf16 child AABBs are conservatively rounded, admitting only spurious
     descents).
+
+    history (optional) enables EXACT temporal hit reuse at depth 1
+    (accel/history.py): a dict {"prim_tri": (N,) i32 last-sample hit ids,
+    "sun_tri": (N,) i32 last-sample sun occluder ids, "tri_table": (T, 9)}
+    in the SAME lane order as the rays. When given, trace_paths returns
+    (radiance, new_history). Disabled internally for alpha-tested scenes
+    (an occluder retest would need the opacity evaluation).
     """
     from ..accel.mxu import mxu_any_hit, mxu_closest_hit
-    from ..accel.packet import packet_any_hit, packet_closest_hit
+    from ..accel.packet import (packet_any_hit, packet_any_hit_rec,
+                                packet_closest_hit)
+    from ..accel.history import seeded_any, seeded_closest
 
     s = settings
     n = ray_o.shape[0]
@@ -690,6 +699,9 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     else:
         pk_closest = partial(packet_closest_hit, bvh)
         pk_any = partial(packet_any_hit, bvh)
+    return_history = history is not None
+    use_history = return_history and not has_alpha and not use_mxu
+    new_history = dict(history) if return_history else None
     state = _path_state0(n, ray_o, ray_d, t_max, t_min0, active0,
                          initial_is_diffuse)
 
@@ -709,6 +721,16 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
             rec = _punch_through_closest(
                 base, alpha_test, state["ray_o"], state["ray_d"],
                 state["t_min"], state["t_max"], state["active"])
+        elif use_history and depth == 1:
+            # Temporal hit reuse (accel/history.py): last sample's per-lane
+            # hit triangle is revalidated (exact t upper bound) and the
+            # traversal runs with the tightened t_max; a miss under the
+            # seed means the predicted hit IS the closest.
+            base = (pk_closest if pk_now else partial(closest_hit, rbvh))
+            rec, new_history["prim_tri"] = seeded_closest(
+                base, history["tri_table"], history["prim_tri"],
+                state["ray_o"], state["ray_d"], state["t_min"],
+                state["t_max"], state["active"])
         elif pk_now:
             rec = pk_closest(
                 state["ray_o"], state["ray_d"], state["t_min"],
@@ -768,6 +790,16 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                         pk_closest, alpha_test, r[0], r[1], r[2], r[3], r[4])
                     vis_list[i] = jnp.where(r[4] & (rec.tri_id >= 0),
                                             0.0, 1.0)
+                elif use_history and depth == 1 and kind == "sun":
+                    # Temporal occlusion reuse: retest last sample's
+                    # occluder triangle first — if it still blocks, the
+                    # lane resolves with NO traversal (any-hit is
+                    # order-free, so this is exact); shadowed regions are
+                    # temporally stable, so whole packets drop out.
+                    vis_list[i], new_history["sun_tri"] = seeded_any(
+                        partial(packet_any_hit_rec, bvh),
+                        history["tri_table"], history["sun_tri"],
+                        r[0], r[1], r[2], r[3], r[4])
                 else:
                     vis_list[i] = pk_any(r[0], r[1], r[2], r[3], r[4])
                 rest.remove(i)
@@ -778,7 +810,10 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 vis_list[i] = sub[j]
         state = _apply_vertex(s, sky_cube, depth, flags, state, mid, vis_list)
 
-    return jnp.clip(state["total"], 0.0, FP16Max)
+    radiance = jnp.clip(state["total"], 0.0, FP16Max)
+    if return_history:
+        return radiance, new_history
+    return radiance
 
 
 class StagedTracer:
@@ -996,7 +1031,7 @@ def _untile_order(x, height, width, ty, tx):
 def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                   width: int, height: int, accum, row_offset=0,
                   total_height=None, bvh2=None, sun_bvh=None, ray_bvh=None,
-                  accum_sample_idx=None):
+                  accum_sample_idx=None, history=None):
     """One progressive sample: raygen + trace + running-mean accumulation
     (RaygenShader, RayTrace.hlsl:92-149). Returns the new accumulation image
     (height, width, 3) f32.
@@ -1011,6 +1046,12 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
     decorrelation + jitter) and passes the device-LOCAL accumulated sample
     count as `accum_sample_idx` so the running mean stays a true mean of the
     samples this shard has actually taken.
+
+    history (optional): temporal hit-reuse state (see trace_paths) — OPAQUE
+    (N,) i32 arrays in packet-tile lane order plus the (T, 9) tri_table.
+    When given, returns (accum', history'); only the packet branch consumes
+    it (other branches pass it through unchanged). The caller must reset it
+    (ids to -1) on any restart, exactly like the accumulation image.
     """
     s = settings
     f32 = jnp.float32
@@ -1046,14 +1087,18 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
         # Packet-tiled lane order: each 128 consecutive lanes = one ty x tx
         # pixel tile, making depth-1 rays packet-coherent (accel/packet.py).
         ty, tx = pk_dims
-        radiance = trace_paths(
+        out = trace_paths(
             scene, bvh, sky_cube, s, frame,
             _tile_order(ray_start, height, width, ty, tx),
             _tile_order(ray_dir, height, width, ty, tx),
             _tile_order(ray_len, height, width, ty, tx),
             _tile_order(pixel_idx, height, width, ty, tx),
             n, first_set_idx=1, packet_coherent=True, bvh2=bvh2,
-            sun_bvh=sun_bvh, ray_bvh=ray_bvh)
+            sun_bvh=sun_bvh, ray_bvh=ray_bvh, history=history)
+        if history is not None:
+            radiance, history = out
+        else:
+            radiance = out
         radiance = _untile_order(radiance, height, width, ty, tx)
     else:
         radiance = trace_paths(scene, bvh, sky_cube, s, frame,
@@ -1065,4 +1110,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
     acc_idx = (frame.curr_sample_idx if accum_sample_idx is None
                else accum_sample_idx)
     lerp_factor = acc_idx.astype(f32) / (acc_idx.astype(f32) + 1.0)
-    return radiance + (accum - radiance) * lerp_factor
+    new_accum = radiance + (accum - radiance) * lerp_factor
+    if history is not None:
+        return new_accum, history
+    return new_accum

@@ -195,3 +195,33 @@ def test_hybrid_ray_bvh_image_identical(boxtest):
     hybrid = np.asarray(render_sample(scene, bvh, sky, s, f, W, H, accum,
                                       ray_bvh=bvh32))
     assert np.array_equal(base, hybrid)
+
+
+def test_history_seeded_samples_identical(boxtest):
+    """Temporal hit reuse (accel/history.py) must not change ANY sample:
+    the revalidated prediction only tightens t_max with a true upper bound
+    (closest) or pre-resolves occluded lanes (any-hit, order-free). Renders
+    3 progressive samples through a RenderSession with history on vs off
+    and requires identical accumulation images."""
+    import dataclasses
+    import os
+    from dxrpathtracer_tpu.app.session import RenderSession
+
+    imgs = {}
+    for mode in ("on", "off"):
+        if mode == "on":
+            os.environ["DXRPT_HISTORY"] = "1"
+        try:
+            s = AppSettings(current_scene=Scenes.BoxTest, sqrt_num_samples=2,
+                            max_path_length=3)
+            sess = RenderSession(settings=s, width=128, height=64)
+            for _ in range(3):
+                sess.render_frame()
+            imgs[mode] = np.asarray(sess.accum)
+        finally:
+            os.environ.pop("DXRPT_HISTORY", None)
+    assert np.isfinite(imgs["on"]).all()
+    # exact-t ties between different triangles are the only divergence
+    # channel; BoxTest has none at these sample positions
+    assert np.array_equal(imgs["on"], imgs["off"]), (
+        np.abs(imgs["on"] - imgs["off"]).max())
