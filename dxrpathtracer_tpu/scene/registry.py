@@ -115,6 +115,94 @@ def _white_furnace_standin_meshes() -> list[MeshData]:
     return [make_sphere(1.0, (0.0, 0.0, 0.0), n_lat=32, n_lon=64)]
 
 
+def _suntemple_standin_meshes(target_tris: int = 240_000) -> list[MeshData]:
+    """Procedural temple courtyard for the (gitignored) SunTemple asset,
+    laid out for the reference camera preset (-1, 5.5, 12) yaw 3.0 /
+    pitch 0.2 (DXRPathTracer.cpp:96-97): the camera stands at the courtyard
+    entrance looking down the processional axis (-z) at a stepped temple.
+    Deterministic (seeded). Material 1 is reserved for alpha-tested foliage
+    cards (the real SunTemple's signature content — its BC4 opacity maps
+    are the only textures the snapshot carries)."""
+    rng = np.random.default_rng(4321)
+    meshes = []
+    # courtyard floor + low perimeter walls
+    meshes.append(make_box((44.0, 0.5, 50.0), (0.0, -0.25, -5.0)))
+    for sx in (-22.0, 22.0):
+        meshes.append(make_box((0.6, 6.0, 50.0), (sx, 3.0, -5.0)))
+    meshes.append(make_box((44.0, 6.0, 0.6), (0.0, 3.0, -30.0)))
+    # stepped temple platform at the end of the axis
+    for i, (w, d) in enumerate([(20.0, 12.0), (17.0, 10.0), (14.0, 8.0)]):
+        meshes.append(make_box((w, 1.0, d), (0.0, 0.5 + i, -20.0)))
+    # cella + roof slab
+    meshes.append(make_box((9.0, 6.0, 6.0), (0.0, 6.0, -20.5)))
+    meshes.append(make_box((11.0, 0.8, 7.5), (0.0, 9.4, -20.5)))
+    # portico columns across the temple front
+    for x in np.linspace(-6.0, 6.0, 5):
+        meshes.append(make_box((0.9, 6.0, 0.9), (float(x), 6.0, -16.8)))
+    # flanking colonnades along the processional axis, with capitals
+    for x in (-9.0, 9.0):
+        for z in np.linspace(8.0, -12.0, 9):
+            meshes.append(make_box((0.8, 5.0, 0.8), (x, 2.5, float(z))))
+            meshes.append(make_box((1.2, 0.4, 1.2), (x, 5.2, float(z))))
+    # obelisk pair framing the entrance
+    for x in (-4.0, 4.0):
+        meshes.append(make_box((0.9, 7.0, 0.9), (x, 3.5, 6.0)))
+        meshes.append(make_box((0.5, 1.2, 0.5), (x, 7.6, 6.0)))
+    # ornamental spheres (braziers/statuary) to reach the target tri count
+    base = sum(m.indices.size // 3 for m in meshes)
+    n_spheres = 56
+    tris_per = max((target_tris - base) // n_spheres, 8)
+    n_lat = max(int(np.sqrt(tris_per / 4)), 3)
+    n_lon = 2 * n_lat
+    for _ in range(n_spheres):
+        pos = (float(rng.uniform(-18, 18)), float(rng.uniform(0.4, 8.0)),
+               float(rng.uniform(-28, 8)))
+        meshes.append(make_sphere(float(rng.uniform(0.3, 1.0)), pos,
+                                  n_lat=n_lat, n_lon=n_lon))
+    return meshes
+
+
+def _suntemple_standin_scene():
+    """SunTemple stand-in with the asset's REAL BC4 foliage opacity bound to
+    alpha-tested tree cards — the one piece of actual SunTemple content the
+    snapshot carries (Content/Models/SunTemple/Textures/*.dds)."""
+    from pathlib import Path
+
+    from ..core.quaternion import quat_from_roll_pitch_yaw
+    from .dds import load_dds
+    from .procedural import make_plane
+    from .textures import AtlasBuilder, default_material_table
+
+    meshes = _suntemple_standin_meshes()
+    rng = np.random.RandomState(11)
+    # tree canopies: crossed upright cards along the colonnades
+    for _ in range(96):
+        side = rng.choice([-1.0, 1.0])
+        pos = (float(side * rng.uniform(12.0, 19.0)),
+               float(rng.uniform(1.0, 5.0)),
+               float(rng.uniform(-26.0, 7.0)))
+        size = float(rng.uniform(1.5, 3.5))
+        yaw = float(rng.uniform(0.0, np.pi))
+        for dy in (0.0, np.pi / 2.0):
+            q = quat_from_roll_pitch_yaw(np.pi / 2.0, yaw + dy, 0.0)
+            meshes.append(make_plane((size, size), pos, orientation=q,
+                                     material_idx=1))
+
+    builder = AtlasBuilder()
+    materials = default_material_table(2, builder)
+    dds_path = Path("/root/reference") / FOLIAGE_DDS
+    if dds_path.exists():
+        mask = load_dds(dds_path).data  # (H, W, 1) BC4U opacity
+        op_idx = builder.add("suntemple_foliage_opacity", mask)
+        opacity = np.asarray(materials.opacity).copy()
+        opacity[1] = op_idx
+        has_op = np.asarray(materials.has_opacity).copy()
+        has_op[1] = True
+        materials = dataclasses.replace(
+            materials, opacity=opacity, has_opacity=has_op, any_opacity=True)
+    return build_scene(meshes, materials=materials, atlas_builder=builder)
+
+
 def _load_image_linear(path, srgb: bool) -> np.ndarray:
     """Decode an image file to (H, W, C) float32, optionally sRGB->linear.
 
@@ -262,6 +350,8 @@ def load_scene_meshes(preset: ScenePreset,
                             "to the procedural stand-in", path, e)
     if preset.scene_enum == Scenes.WhiteFurnace:
         return _white_furnace_standin_meshes()
+    if preset.scene_enum == Scenes.SunTemple:
+        return _suntemple_standin_meshes()
     return _sponza_standin_meshes()
 
 
@@ -364,4 +454,6 @@ def load_scene(scene_enum: Scenes,
                             "to the procedural stand-in", preset.fbx_path, e)
     if preset.scene_enum == Scenes.WhiteFurnace:
         return build_scene(_white_furnace_standin_meshes()), preset
+    if preset.scene_enum == Scenes.SunTemple:
+        return _suntemple_standin_scene(), preset
     return build_scene(_sponza_standin_meshes()), preset

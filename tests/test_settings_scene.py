@@ -172,3 +172,42 @@ def test_atlas_two_channel_texture():
     np.testing.assert_allclose(texels[..., :2], data, atol=1e-6)
     np.testing.assert_array_equal(texels[..., 2], 0.0)
     np.testing.assert_array_equal(texels[..., 3], 1.0)
+
+
+def test_suntemple_standin_composition():
+    """The SunTemple stand-in must (a) carry the asset's REAL BC4 foliage
+    opacity on material 1 (the snapshot's only SunTemple content) and (b)
+    put geometry in front of the reference camera preset
+    (DXRPathTracer.cpp:96-97) — the round-3 gallery exposed the Sponza
+    stand-in rendering a blank wall there."""
+    from dxrpathtracer_tpu.scene import registry
+    from dxrpathtracer_tpu.app.settings import Scenes
+    from dxrpathtracer_tpu.render.camera import FirstPersonCamera
+    from dxrpathtracer_tpu.accel.lbvh import build_bvh_for_scene
+    from dxrpathtracer_tpu.accel.traverse import closest_hit
+    import jax.numpy as jnp
+
+    scene, preset = registry.load_scene(Scenes.SunTemple)
+    assert bool(scene.materials.any_opacity)
+    assert scene.num_triangles > 200_000
+
+    # camera-forward rays must hit geometry at sensible distances
+    cam = FirstPersonCamera(aspect=16 / 9)
+    cam.set_position(preset.camera_position)
+    cam.set_x_rotation(preset.camera_rotation[0])
+    cam.set_y_rotation(preset.camera_rotation[1])
+    fwd = np.asarray(cam.forward(), np.float32)
+    o = jnp.asarray(np.broadcast_to(np.asarray(preset.camera_position,
+                                               np.float32), (8, 3)).copy())
+    # fan of rays around forward
+    rng = np.random.default_rng(3)
+    d = fwd[None, :] + 0.15 * rng.normal(size=(8, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    bvh = build_bvh_for_scene(scene)
+    rec = closest_hit(bvh, o, d, jnp.zeros(8), jnp.full(8, 3e38))
+    t = np.asarray(rec.t)
+    hit = np.asarray(rec.tri_id) >= 0
+    assert hit.all()
+    # the processional axis is open: hits between 2m (not inside a wall)
+    # and 60m (the courtyard is closed)
+    assert (t[hit] > 2.0).all() and (t[hit] < 60.0).all(), t
