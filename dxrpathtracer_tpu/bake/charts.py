@@ -441,7 +441,8 @@ def _chart_spans(uvs, w_cols, cell, pad, rows):
             np.asarray(out_h, np.int64))
 
 
-def _grid_fill(occ, spans_list, heights_cells, band: int = 128):
+def _grid_fill(occ, spans_list, heights_cells, band: int = 128,
+               stride: int = 1):
     """Place charts into ANY free pocket of the occupancy grid (the skyline
     can only stack on top; this recovers the trapped air under and between
     the big charts). occ: (R, C) bool; spans_list[i] = (cols, lo, hi)
@@ -453,11 +454,17 @@ def _grid_fill(occ, spans_list, heights_cells, band: int = 128):
     First-fit lowest-(y, x), searched in row bands from the bottom so the
     cost scales with where the chart lands, not the grid height; the
     column-prefix-sum table is patched incrementally per placement (a full
-    rebuild per chart measured 50 s of a 141 s theInn build)."""
+    rebuild per chart measured 50 s of a 141 s theInn build).
+
+    stride: test candidate POSITIONS every `stride` cells only. The claim
+    quantization (what coverage pays for — tools/atlas_loss_probe.py measured
+    span overhead 16% vs pack air 2%) is set by the CELL size; position
+    granularity only costs pack air, so a fine grid with strided search buys
+    the quantization win at 1/stride^2 the search cost."""
     r, c = occ.shape
     out = np.full((len(spans_list), 2), -1, np.int64)
-    cum = np.zeros((r + 1, c), np.int64)
-    np.cumsum(occ, axis=0, out=cum[1:])
+    cum = np.zeros((r + 1, c), np.int32)
+    np.cumsum(occ, axis=0, out=cum[1:], dtype=np.int32)
     for i, (cs, lo, hi) in enumerate(spans_list):
         if cs.size == 0:
             continue
@@ -473,15 +480,19 @@ def _grid_fill(occ, spans_list, heights_cells, band: int = 128):
         xmax = c - w + 1
         if ymax <= 0 or xmax <= 0:
             continue
+        nx = (xmax + stride - 1) // stride
         found = None
         for y0 in range(0, ymax, band):
             yb = min(band, ymax - y0)
-            ok = np.ones((yb, xmax), bool)
+            ny = (yb + stride - 1) // stride
+            ok = np.ones((ny, nx), bool)
             dead = False
             for k in range(cs.size):
                 ck = cs[k]
-                ok &= (cum[hi[k] + y0:hi[k] + y0 + yb, ck:ck + xmax]
-                       - cum[lo[k] + y0:lo[k] + y0 + yb, ck:ck + xmax]) == 0
+                ok &= (cum[hi[k] + y0:hi[k] + y0 + yb:stride,
+                           ck:ck + xmax:stride]
+                       - cum[lo[k] + y0:lo[k] + y0 + yb:stride,
+                             ck:ck + xmax:stride]) == 0
                 if (k & 15) == 15 and not ok.any():
                     dead = True
                     break
@@ -490,7 +501,7 @@ def _grid_fill(occ, spans_list, heights_cells, band: int = 128):
             ys, xs = np.nonzero(ok)
             if ys.size:
                 j = np.lexsort((xs, ys))[0]
-                found = (int(ys[j]) + y0, int(xs[j]))
+                found = (int(ys[j]) * stride + y0, int(xs[j]) * stride)
                 break
         if found is None:
             continue
@@ -500,13 +511,17 @@ def _grid_fill(occ, spans_list, heights_cells, band: int = 128):
             occ[y + lo[k]:y + hi[k], x + cs[k]] = True
         c0 = x + int(cs.min())
         c1 = x + int(cs.max()) + 1
-        np.cumsum(occ[:, c0:c1], axis=0, out=cum[1:, c0:c1])
+        np.cumsum(occ[:, c0:c1], axis=0, out=cum[1:, c0:c1], dtype=np.int32)
     return out
 
 
-def _blf_pack(uvs_of, chart_uv, chart_of, pad_w, pad_h, g, total,
-              grid_cols, f):
+def _blf_pack(uvs_of, chart_uv, chart_of, pad_w, pad_h, pad, total,
+              grid_cols, f, pos_stride=1):
     """One bottom-left-fill pass at width factor `f`.
+
+    pad: world-space HALF-separation each chart claims on every side (two
+    adjacent charts end up >= 2*pad apart — outward quantization only GROWS
+    claims, so the bound is exact at any cell size).
 
     Returns (origin (N, 2) world-unit chart origins, side, balance) where
     side is the final square edge and balance = used_h / atlas_w (the
@@ -520,11 +535,11 @@ def _blf_pack(uvs_of, chart_uv, chart_of, pad_w, pad_h, g, total,
     hcells = []
     for c in order:
         w_cols = max(int(math.ceil(pad_w[c] / cell)), 1)
-        sp = _chart_spans(uvs_of[c], min(w_cols, grid_cols), cell, g, rows)
+        sp = _chart_spans(uvs_of[c], min(w_cols, grid_cols), cell, pad, rows)
         spans.append(sp)
         hcells.append(int(sp[2].max()) if sp[2].size else 1)
     occ = np.zeros((rows, grid_cols), bool)
-    placed = _grid_fill(occ, spans, hcells)
+    placed = _grid_fill(occ, spans, hcells, stride=pos_stride)
 
     origin = np.zeros((n_charts, 2))
     # anything the grid could not fit goes on a shelf above everything
@@ -537,18 +552,18 @@ def _blf_pack(uvs_of, chart_uv, chart_of, pad_w, pad_h, g, total,
         if uvs_of[c].shape[0] == 0:
             continue  # id emptied by a merge — no geometry to place
         if placed[j][0] >= 0:
-            origin[c] = (placed[j][0] * cell + g, placed[j][1] * cell + g)
+            origin[c] = (placed[j][0] * cell + pad, placed[j][1] * cell + pad)
             continue
         if x + pad_w[c] > atlas_w and x > 0.0:
             top_y += shelf_h
             x = 0.0
             shelf_h = 0.0
-        origin[c] = (x + g, top_y + g)
+        origin[c] = (x + pad, top_y + pad)
         x += pad_w[c]
         shelf_h = max(shelf_h, pad_h[c])
 
     final = chart_uv + origin[chart_of][:, None, :]
-    ext = final.reshape(-1, 2).max(axis=0) + g
+    ext = final.reshape(-1, 2).max(axis=0) + pad
     side = float(max(ext[0], ext[1]))
     return origin, side, float(ext[1]) / atlas_w
 
@@ -557,13 +572,21 @@ def build_charted_atlas(positions, tri_idx, gutter_texels: float = 2.0,
                         ref_resolution: int = 1024, max_angle_deg: float = 60.0,
                         max_chart_tris: int = 4000,
                         overlap_tolerance: float = 0.02,
-                        grid_cols: int = 1024,
-                        pack_iters: int = 4) -> ChartedAtlas:
+                        grid_cols: int = 2048,
+                        pack_iters: int = 4,
+                        pos_stride: int = 0) -> ChartedAtlas:
     """Chart, project, and pack lightmap UVs for the given mesh.
 
-    grid_cols: packing-grid resolution (cost ~ grid_cols²; 512 is ~4x
-    faster within ~1-2 coverage points — tests use it).
-    pack_iters: width-iteration passes of the BLF packer."""
+    grid_cols: packing-grid resolution — sets the CLAIM quantization, the
+    dominant coverage loss (tools/atlas_loss_probe.py: span overhead 16% vs
+    pack air 2% at 512 cols). Cost ~ (grid_cols/pos_stride)²; 512 is fast
+    for tests.
+    pack_iters: width-iteration passes of the BLF packer.
+    pos_stride: candidate-position stride in cells (0 = auto grid_cols/1024:
+    fine claims, coarse placement — placement granularity only costs the
+    ~2% pack-air term)."""
+    if pos_stride <= 0:
+        pos_stride = max(1, grid_cols // 1024)
     positions = np.asarray(positions, np.float64)
     tri_idx = np.asarray(tri_idx, np.int64)
     t = tri_idx.shape[0]
@@ -641,11 +664,16 @@ def build_charted_atlas(positions, tri_idx, gutter_texels: float = 2.0,
         bbox_w[cid], bbox_h[cid] = ext[0], ext[1]
 
     # --- world-space gutter from the requested texel gutter ---
+    # Each chart claims HALF the gutter on every side (pad): two charts then
+    # sit >= gutter_texels apart — enough for dilate-ring ownership +
+    # bilinear reach — instead of the 2x-gutter the full-pad layout paid
+    # (span overhead is the dominant coverage loss; atlas_loss_probe.py).
     area_sum = float(((bbox_w + 1e-12) * (bbox_h + 1e-12)).sum())
     scale0 = 1.0 / max(math.sqrt(area_sum), 1e-20)   # rough atlas-per-world
     g = gutter_texels / (ref_resolution * scale0)
-    pad_w = bbox_w + 2.0 * g
-    pad_h = bbox_h + 2.0 * g
+    pad = 0.5 * g
+    pad_w = bbox_w + 2.0 * pad
+    pad_h = bbox_h + 2.0 * pad
 
     # --- pack: bottom-left-fill EVERY chart through the occupancy grid ---
     # All charts, biggest first, first-fit lowest-(y, x) against exact
@@ -661,7 +689,7 @@ def build_charted_atlas(positions, tri_idx, gutter_texels: float = 2.0,
 
     uvs_of = [None] * n_charts
     for c in range(n_charts):
-        uvs_of[c] = chart_uv[group_order[bounds[c]:bounds[c + 1]]] + g
+        uvs_of[c] = chart_uv[group_order[bounds[c]:bounds[c + 1]]] + pad
 
     # The coverage peak in f is sharp (±0.01 moves it several points) and
     # does NOT transfer across grid resolutions, so the iteration runs at
@@ -675,7 +703,8 @@ def build_charted_atlas(positions, tri_idx, gutter_texels: float = 2.0,
             break
         seen.add(key)
         origin_f, side_f, balance = _blf_pack(
-            uvs_of, chart_uv, chart_of, pad_w, pad_h, g, total, grid_cols, f)
+            uvs_of, chart_uv, chart_of, pad_w, pad_h, pad, total, grid_cols,
+            f, pos_stride)
         if best is None or side_f < best[0]:
             best = (side_f, origin_f)
         # move toward used_h == atlas_w (area is ~conserved, so the
@@ -684,7 +713,7 @@ def build_charted_atlas(positions, tri_idx, gutter_texels: float = 2.0,
     _, origin = best
 
     final_raw = chart_uv + origin[chart_of][:, None, :]
-    ext = final_raw.reshape(-1, 2).max(axis=0) + g
+    ext = final_raw.reshape(-1, 2).max(axis=0) + pad
     side = float(max(ext[0], ext[1]))
     final = final_raw / side
     # expected texel coverage = projected world triangle area / atlas area
