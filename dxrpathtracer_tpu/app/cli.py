@@ -15,6 +15,7 @@ Commands:
 import argparse
 import dataclasses
 import enum
+import os
 import sys
 import time
 
@@ -112,13 +113,22 @@ def cmd_bake(args):
     sess = RenderSession(settings=settings, width=8, height=8)
     baker = Baker(sess, resolution=args.resolution,
                   atlas_mode=getattr(args, "atlas", "charts"))
+    ckpt = getattr(args, "checkpoint", None)
+    if ckpt and os.path.exists(ckpt):
+        baker.load_checkpoint(ckpt)
+        print(f"# resumed bake at sample {baker.sample_index} from {ckpt}",
+              file=sys.stderr)
     t0 = time.time()
-    for i in range(args.samples):
+    for i in range(baker.sample_index, args.samples):
         baker.bake_step()
         if args.progress:
             baker.accum.block_until_ready()
             _progress(i, args.samples, t0, args.resolution, args.resolution,
                       settings.max_path_length)
+        if ckpt and (i + 1) % max(getattr(args, "checkpoint_every", 4), 1) == 0:
+            baker.save_checkpoint(ckpt)
+    if ckpt:
+        baker.save_checkpoint(ckpt)
     if args.progress:
         sys.stderr.write("\n")
     lm = baker.denoised_lightmap(args.denoise) if args.denoise else baker.lightmap()
@@ -181,6 +191,12 @@ def main(argv=None):
     p_bake.add_argument("--denoise", type=str, default=None,
                         choices=[None, "median", "atrous", "guided"])
     p_bake.add_argument("--output", type=str, default="lightmap.png")
+    p_bake.add_argument("--checkpoint", type=str, default=None,
+                        help="bake checkpoint .npz: resumed from if present, "
+                             "written every --checkpoint-every samples (a "
+                             "preempted 4096² bake continues where it left "
+                             "off; SURVEY.md §5.4)")
+    p_bake.add_argument("--checkpoint-every", type=int, default=4)
     p_bake.add_argument("--progress", action="store_true", default=True)
     _add_settings_flags(p_bake)
     p_bake.set_defaults(fn=cmd_bake)

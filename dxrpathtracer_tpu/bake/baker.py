@@ -214,6 +214,31 @@ class Baker:
                 self._row0_dev[i], sess.sun_grid, sess.settings)
         self.sample_index += 1
 
+    def checkpoint_state(self):
+        """Bake checkpoint: {accum (S,S,4) sum+count, sample_index} — the
+        reference keeps this state GPU-resident and can stop/resume baking
+        from the HUD (DXRPathTracer.cpp:2225-2240); here it is an explicit
+        pytree, so a 4096² bake survives preemption (SURVEY.md §5.4)."""
+        from ..utils.transfer import device_to_host
+        return {"accum": device_to_host(self.accum),
+                "sample_index": self.sample_index}
+
+    def restore_state(self, state):
+        self.accum = jnp.asarray(state["accum"])
+        self.sample_index = int(state["sample_index"])
+
+    def save_checkpoint(self, path):
+        import numpy as np
+        st = self.checkpoint_state()
+        np.savez_compressed(path, accum=st["accum"],
+                            sample_index=st["sample_index"])
+
+    def load_checkpoint(self, path):
+        import numpy as np
+        with np.load(path) as z:
+            self.restore_state({"accum": z["accum"],
+                                "sample_index": int(z["sample_index"])})
+
     def lightmap(self):
         return lightmap_from_accum(self.accum)
 

@@ -123,3 +123,37 @@ def test_bake_energy_boxtest():
     # median denoise runs on the lightmap
     dn = np.asarray(baker.denoised_lightmap("median"))
     assert np.isfinite(dn).all()
+
+
+def test_bake_checkpoint_resume_bit_identical(tmp_path):
+    """A bake checkpointed at sample 2 and resumed in a FRESH Baker must
+    produce the same accumulation as an uninterrupted 4-sample bake: the
+    CMJ sampler is indexed by the GLOBAL sample_index, so resume is exact
+    (the reference's in-GPU stop/resume, DXRPathTracer.cpp:2225-2240, made
+    durable — SURVEY.md §5.4)."""
+    from dxrpathtracer_tpu.app.session import RenderSession
+    from dxrpathtracer_tpu.app.settings import AppSettings
+    from dxrpathtracer_tpu.bake.baker import Baker
+
+    settings = AppSettings(current_scene=Scenes.BoxTest, sqrt_num_samples=4,
+                           max_path_length=2)
+    sess = RenderSession(settings=settings, width=8, height=8)
+
+    straight = Baker(sess, resolution=32)
+    for _ in range(4):
+        straight.bake_step()
+    want = np.asarray(straight.accum)
+
+    first = Baker(sess, resolution=32)
+    first.bake_step()
+    first.bake_step()
+    path = str(tmp_path / "bake_ckpt.npz")
+    first.save_checkpoint(path)
+
+    resumed = Baker(sess, resolution=32)
+    resumed.load_checkpoint(path)
+    assert resumed.sample_index == 2
+    resumed.bake_step()
+    resumed.bake_step()
+    got = np.asarray(resumed.accum)
+    np.testing.assert_array_equal(got, want)
