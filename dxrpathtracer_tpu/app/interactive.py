@@ -16,6 +16,9 @@ Controls (mirroring App.cpp / DXRPathTracer.cpp:1353-1381):
   [ ]          exposure down/up
   1-5          scene presets (BoxTest, Sponza, SunTemple, WhiteFurnace, Stronghold)
   t            cycle MSAA mode (raster), m toggle raster/path-traced mode
+  b            lightmap window: start/stop progressive baking (resumable)
+  v            cycle the bake preview texture (7-texture combo,
+               DXRPathTracer.cpp:2261-2302)
   p            save screenshot PNG   x  quit
 
 Headless operation: `script` is a list of (key, frames) tuples; the loop
@@ -185,6 +188,12 @@ class InteractiveApp:
         self.quit = False
         self.frame_times = []
         self.screenshots = 0
+        # lightmap window state (the reference HUD's bake orchestration +
+        # 7-texture preview combo, DXRPathTracer.cpp:2225-2302)
+        self.bake_mode = False
+        self.baker = None
+        self.preview_idx = 0
+        self._uvviz_cache = None
 
     # -- input handling (DXRPathTracer.cpp:1353-1381) --
     def handle_key(self, key):
@@ -226,6 +235,10 @@ class InteractiveApp:
             self.session = RenderSession(
                 settings=s.replace(current_scene=_SCENE_KEYS[key]),
                 width=self.width, height=self.height)
+            # the baker holds scene-specific atlas/surface maps
+            self.baker = None
+            self.bake_mode = False
+            self._uvviz_cache = None
         elif key == "m":
             self.raster_mode = not self.raster_mode
             # The raster frame overwrites the accumulation slabs; without a
@@ -237,6 +250,23 @@ class InteractiveApp:
             cur = order.index(s.msaa_mode) if s.msaa_mode in order else 0
             self.session.settings = s.replace(
                 msaa_mode=order[(cur + 1) % len(order)])
+        elif key == "b":
+            # lightmap window: toggle progressive baking (HUD "Start Baking",
+            # DXRPathTracer.cpp:2234-2239); the Baker persists across
+            # toggles, so baking resumes where it stopped
+            self.bake_mode = not self.bake_mode
+            self.raster_mode = False
+            if self.bake_mode and self.baker is None:
+                from ..bake.baker import Baker
+                res = 128 if self.session.scene_host.num_triangles < 5000 \
+                    else 256
+                self.baker = Baker(
+                    self.session, resolution=res,
+                    atlas_opts={"grid_cols": 512, "pack_iters": 2})
+        elif key == "v" and self.bake_mode:
+            # preview combo: cycle the 7 intermediate textures
+            # (DXRPathTracer.cpp:2261-2302)
+            self.preview_idx = (self.preview_idx + 1) % len(self.PREVIEWS)
         elif key == "p":
             self.save_screenshot()
         elif key == "x":
@@ -252,14 +282,57 @@ class InteractiveApp:
     # -- frame --
     def render_one(self):
         t0 = time.perf_counter()
-        if self.raster_mode:
+        if self.bake_mode:
+            # one texel-sample per frame, like the reference's per-frame
+            # RenderBakingPass (DXRPathTracer.cpp:1993-2022)
+            self.baker.bake_step()
+            np.asarray(self.baker._accum_slabs[-1][:1, :1])
+        elif self.raster_mode:
             img = self.session.render_raster_frame()
             self.session.accum = img  # display path shares the accum buffer
+            np.asarray(self.session.accum[:1, :1])
         else:
             self.session.render_frame(force=True)
-        # sync so the HUD frame time is honest (PERF_NOTES: tiny readback)
-        np.asarray(self.session.accum[:1, :1])
+            # sync so the HUD frame time is honest (PERF_NOTES: tiny readback)
+            np.asarray(self.session.accum[:1, :1])
         self.frame_times.append(time.perf_counter() - t0)
+
+    # the reference's 7-texture lightmap preview combo
+    PREVIEWS = ("lightmap", "lightmap+guided", "lightmap+median",
+                "albedo map", "normal map", "sample count", "uv layout")
+
+    def _bake_preview_thumb(self, cols, rows):
+        """(rows, cols, 3) uint8 thumbnail of the selected bake texture —
+        built on device, ~40 KB readback (same budget as the path preview)."""
+        import jax.numpy as jnp
+        from ..core.constants import FP16Scale
+        from ..render.postfx import tone_map_filmic_alu
+        b = self.baker
+        name = self.PREVIEWS[self.preview_idx]
+        if name == "uv layout":
+            if self._uvviz_cache is None:
+                from ..render.uvviz import visualize_uvs
+                self._uvviz_cache = np.asarray(
+                    visualize_uvs(b.atlas, b.resolution))
+            img = jnp.asarray(self._uvviz_cache)
+        elif name == "albedo map":
+            img = b.surface_maps["albedo"]
+        elif name == "normal map":
+            img = b.surface_maps["normal"] * 0.5 + 0.5
+        elif name == "sample count":
+            cnt = b.accum[..., 3:4]
+            img = jnp.repeat(cnt / jnp.maximum(cnt.max(), 1.0), 3, axis=-1)
+        else:
+            if name == "lightmap":
+                lm = b.lightmap()
+            else:
+                lm = b.denoised_lightmap(name.split("+", 1)[1])
+            e = 2.0 ** self.session.settings.exposure
+            img = tone_map_filmic_alu(lm * e / FP16Scale)
+        ys = np.linspace(0, img.shape[0] - 1, rows).astype(np.int32)
+        xs = np.linspace(0, img.shape[1] - 1, cols).astype(np.int32)
+        thumb = jnp.clip(img[ys][:, xs] * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+        return np.asarray(thumb)
 
     def current_display_image(self):
         """Full-resolution display image (screenshots): chunked readback —
@@ -272,6 +345,14 @@ class InteractiveApp:
         frame time, Mrays/s estimate formula (:2171-2174), sample progress."""
         s = self.session.settings
         dt = self.frame_times[-1] if self.frame_times else 0.0
+        if self.bake_mode:
+            b = self.baker
+            rays = b.resolution * b.resolution * s.max_path_length
+            return (f"{dt*1e3:7.1f} ms  "
+                    f"{rays / max(dt, 1e-9) / 1e6:6.1f} MRays/s  "
+                    f"baking {b.resolution}² sample {b.sample_index}  "
+                    f"preview: {self.PREVIEWS[self.preview_idx]}  "
+                    f"[v cycle view, b stop, x quit]")
         rays = (self.width * self.height *
                 (1 + (s.max_path_length - 1) * 2))
         mrays = rays / max(dt, 1e-9) / 1e6
@@ -282,7 +363,7 @@ class InteractiveApp:
                 f"cam ({cam.position[0]:.1f} {cam.position[1]:.1f} "
                 f"{cam.position[2]:.1f})  "
                 f"{'raster' if self.raster_mode else 'path'}  "
-                f"[wasdqe move, ijkl look, p shot, x quit]")
+                f"[wasdqe move, ijkl look, b bake, p shot, x quit]")
 
     # terminal cell budget (ansi_halfblock_frame: 2 pixels per text row)
     PRESENT_COLS = 120
@@ -298,19 +379,26 @@ class InteractiveApp:
         DX12.cpp:263-305)."""
         if not self.display:
             return
-        cols = min(self.PRESENT_COLS, self.width)
-        rows = min(self.PRESENT_ROWS, self.height)
-        thumb = self.session.display_thumbnail(cols, rows)
-        try:
-            thumb.copy_to_host_async()
-        except AttributeError:
-            pass
-        prev = getattr(self, "_pending_thumb", None)
-        self._pending_thumb = thumb
-        if prev is None:
-            return
+        if self.bake_mode:
+            # bake previews draw synchronously (the bake step dominates)
+            side = min(self.PRESENT_ROWS, self.PRESENT_COLS,
+                       self.baker.resolution)
+            frame = self._bake_preview_thumb(side, side)
+        else:
+            cols = min(self.PRESENT_COLS, self.width)
+            rows = min(self.PRESENT_ROWS, self.height)
+            thumb = self.session.display_thumbnail(cols, rows)
+            try:
+                thumb.copy_to_host_async()
+            except AttributeError:
+                pass
+            prev = getattr(self, "_pending_thumb", None)
+            self._pending_thumb = thumb
+            if prev is None:
+                return
+            frame = np.asarray(prev)
         sys.stdout.write("\x1b[H\x1b[2J")
-        sys.stdout.write(ansi_halfblock_frame(np.asarray(prev)))
+        sys.stdout.write(ansi_halfblock_frame(frame))
         sys.stdout.write("\n" + self.hud_line() + "\n")
         if self.menu is not None:
             sys.stdout.write("\n".join(self.menu.render_lines()) + "\n")

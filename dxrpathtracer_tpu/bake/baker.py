@@ -142,18 +142,20 @@ class Baker:
     MAX_SLAB_RAYS = 4 * 131072
 
     def __init__(self, session, resolution: int = 512,
-                 atlas_mode: str = "charts"):
+                 atlas_mode: str = "charts", atlas_opts: dict | None = None):
         self.session = session
         self.resolution = resolution
         if atlas_mode == "charts":
             # xatlas-equivalent charted atlas: area-proportional texel
-            # density + packed charts (bake/charts.py; Model.cpp:608-719)
+            # density + packed charts (bake/charts.py; Model.cpp:608-719).
+            # atlas_opts forwards packer knobs (the interactive preview uses
+            # a fast low-grid config; offline bakes keep the defaults).
             from .charts import build_charted_atlas
             import numpy as np
             self.atlas = build_charted_atlas(
                 np.asarray(session.scene_host.positions),
                 np.asarray(session.scene_host.tri_idx),
-                ref_resolution=resolution)
+                ref_resolution=resolution, **(atlas_opts or {}))
         else:
             self.atlas = build_lightmap_atlas(
                 int(session.scene_host.num_triangles))

@@ -132,3 +132,32 @@ def test_present_thumbnail_pipeline():
     with contextlib.redirect_stdout(buf):
         app.present()   # frame 1: draws frame 0's thumbnail
     assert "▀" in buf.getvalue()
+
+
+def test_bake_window_toggles_and_previews():
+    """The lightmap window (reference HUD bake orchestration + 7-texture
+    preview combo, DXRPathTracer.cpp:2225-2302): 'b' starts progressive
+    baking (frames advance the BAKE, not the camera accumulation), 'v'
+    cycles the preview, 'b' again returns to the path tracer with the
+    baker retained for resume."""
+    app = _app()
+    n = app.run_scripted([(None, 1), ("b", 2), ("v", 1), ("v", 0), ("b", 1)])
+    assert n == 5
+    assert app.baker is not None
+    assert app.baker.sample_index == 3  # 2 + 1 while preview cycled
+    assert not app.bake_mode
+    assert app.preview_idx == 2
+    assert np.isfinite(np.asarray(app.baker.lightmap())).all()
+    # every preview texture renders to a finite uint8 thumbnail
+    app.bake_mode = True
+    for i in range(len(app.PREVIEWS)):
+        app.preview_idx = i
+        th = app._bake_preview_thumb(16, 16)
+        assert th.shape == (16, 16, 3) and th.dtype == np.uint8
+    # bake HUD shows bake state
+    app.frame_times.append(0.1)
+    hud = app.hud_line()
+    assert "baking" in hud and "preview" in hud
+    # scene switch drops the stale baker
+    app.handle_key("1")
+    assert app.baker is None and not app.bake_mode
