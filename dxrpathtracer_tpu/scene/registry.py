@@ -120,9 +120,9 @@ def _suntemple_standin_meshes(target_tris: int = 240_000) -> list[MeshData]:
     laid out for the reference camera preset (-1, 5.5, 12) yaw 3.0 /
     pitch 0.2 (DXRPathTracer.cpp:96-97): the camera stands at the courtyard
     entrance looking down the processional axis (-z) at a stepped temple.
-    Deterministic (seeded). Material 1 is reserved for alpha-tested foliage
-    cards (the real SunTemple's signature content — its BC4 opacity maps
-    are the only textures the snapshot carries)."""
+    Deterministic (seeded). Materials 1-3 are reserved for alpha-tested
+    foliage cards (the real SunTemple's signature content — its three BC4
+    opacity maps are the only textures the snapshot carries)."""
     rng = np.random.default_rng(4321)
     meshes = []
     # courtyard floor + low perimeter walls
@@ -163,9 +163,11 @@ def _suntemple_standin_meshes(target_tris: int = 240_000) -> list[MeshData]:
 
 
 def _suntemple_standin_scene():
-    """SunTemple stand-in with the asset's REAL BC4 foliage opacity bound to
-    alpha-tested tree cards — the one piece of actual SunTemple content the
-    snapshot carries (Content/Models/SunTemple/Textures/*.dds)."""
+    """SunTemple stand-in with ALL of the asset's REAL BC4 foliage opacity
+    maps bound to alpha-tested tree cards — the only actual SunTemple
+    content the snapshot carries (Content/Models/SunTemple/Textures/*.dds:
+    two 1024² branch masks on materials 1-2 and the 2048² soul-tree mask on
+    material 3)."""
     from pathlib import Path
 
     from ..core.quaternion import quat_from_roll_pitch_yaw
@@ -175,7 +177,8 @@ def _suntemple_standin_scene():
 
     meshes = _suntemple_standin_meshes()
     rng = np.random.RandomState(11)
-    # tree canopies: crossed upright cards along the colonnades
+    # tree canopies: crossed upright cards along the colonnades, split
+    # between the two branch masks
     for _ in range(96):
         side = rng.choice([-1.0, 1.0])
         pos = (float(side * rng.uniform(12.0, 19.0)),
@@ -183,21 +186,32 @@ def _suntemple_standin_scene():
                float(rng.uniform(-26.0, 7.0)))
         size = float(rng.uniform(1.5, 3.5))
         yaw = float(rng.uniform(0.0, np.pi))
+        mat = int(rng.randint(1, 3))
         for dy in (0.0, np.pi / 2.0):
             q = quat_from_roll_pitch_yaw(np.pi / 2.0, yaw + dy, 0.0)
             meshes.append(make_plane((size, size), pos, orientation=q,
-                                     material_idx=1))
+                                     material_idx=mat))
+    # the soul tree: large crossed cards over the courtyard center (the real
+    # asset's landmark tree uses the 2048² T_Soul_Tree011M mask)
+    for yaw in (0.3, 0.3 + np.pi / 2.0):
+        q = quat_from_roll_pitch_yaw(np.pi / 2.0, yaw, 0.0)
+        meshes.append(make_plane((7.0, 7.0), (0.0, 7.0, -4.0),
+                                 orientation=q, material_idx=3))
 
     builder = AtlasBuilder()
-    materials = default_material_table(2, builder)
-    dds_path = Path("/root/reference") / FOLIAGE_DDS
-    if dds_path.exists():
-        mask = load_dds(dds_path).data  # (H, W, 1) BC4U opacity
-        op_idx = builder.add("suntemple_foliage_opacity", mask)
-        opacity = np.asarray(materials.opacity).copy()
-        opacity[1] = op_idx
-        has_op = np.asarray(materials.has_opacity).copy()
-        has_op[1] = True
+    materials = default_material_table(4, builder)
+    opacity = np.asarray(materials.opacity).copy()
+    has_op = np.asarray(materials.has_opacity).copy()
+    any_op = False
+    for mat_idx, rel in enumerate(SUNTEMPLE_FOLIAGE_DDS, start=1):
+        dds_path = Path("/root/reference") / rel
+        if dds_path.exists():
+            mask = load_dds(dds_path).data  # (H, W, 1) BC4U opacity
+            opacity[mat_idx] = builder.add(f"suntemple_opacity_{mat_idx}",
+                                           mask)
+            has_op[mat_idx] = True
+            any_op = True
+    if any_op:
         materials = dataclasses.replace(
             materials, opacity=opacity, has_opacity=has_op, any_opacity=True)
     return build_scene(meshes, materials=materials, atlas_builder=builder)
@@ -357,6 +371,14 @@ def load_scene_meshes(preset: ScenePreset,
 
 FOLIAGE_DDS = ("Content/Models/SunTemple/Textures/"
                "T_M_Tree_Branches_0_A.dds")
+
+# every real texture the snapshot carries for SunTemple, in material order
+# (materials 1..3 of the stand-in)
+SUNTEMPLE_FOLIAGE_DDS = (
+    FOLIAGE_DDS,
+    "Content/Models/SunTemple/Textures/T_M_Tree_Branches_Inst_0_A.dds",
+    "Content/Models/SunTemple/Textures/T_Soul_Tree011M_Inst_0_A.dds",
+)
 
 
 def sponza_alpha_standin(num_cards: int = 384, seed: int = 7):

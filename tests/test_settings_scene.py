@@ -190,6 +190,15 @@ def test_suntemple_standin_composition():
     scene, preset = registry.load_scene(Scenes.SunTemple)
     assert bool(scene.materials.any_opacity)
     assert scene.num_triangles > 200_000
+    # ALL THREE real on-disk opacity maps are bound (materials 1-3), each to
+    # a distinct atlas texture
+    from pathlib import Path
+    if all((Path("/root/reference") / p).exists()
+           for p in registry.SUNTEMPLE_FOLIAGE_DDS):
+        has_op = np.asarray(scene.materials.has_opacity)
+        op = np.asarray(scene.materials.opacity)
+        assert has_op[1] and has_op[2] and has_op[3]
+        assert len({int(op[1]), int(op[2]), int(op[3])}) == 3
 
     # camera-forward rays must hit geometry at sensible distances
     cam = FirstPersonCamera(aspect=16 / 9)
