@@ -75,7 +75,10 @@ def cmd_render(args):
           f"bvh_rows={sess.bvh.num_rows} init={time.time() - t0:.1f}s",
           file=sys.stderr)
 
-    if args.raster:
+    show_progress = args.progress and settings.show_progress_bar
+    # EnableRayTracing=false selects the forward raster path
+    # (DXRPathTracer::Render :1538-1559); --raster is shorthand for it.
+    if args.raster or not settings.enable_ray_tracing:
         img = sess.render_raster_frame(shadow_mode=args.shadow_mode)
         from ..render.postfx import post_process
         s = sess.settings
@@ -86,12 +89,12 @@ def cmd_render(args):
         t0 = time.time()
         while sess.sample_idx < total:
             sess.render_frame(force=True)
-            if args.progress:
+            if show_progress:
                 sess.accum.block_until_ready()
                 _progress(sess.sample_idx - 1, total, t0, args.width, args.height,
                           settings.max_path_length)
         sess.accum.block_until_ready()
-        if args.progress:
+        if show_progress:
             sys.stderr.write("\n")
         disp = sess.display_image()
 
@@ -118,10 +121,11 @@ def cmd_bake(args):
         baker.load_checkpoint(ckpt)
         print(f"# resumed bake at sample {baker.sample_index} from {ckpt}",
               file=sys.stderr)
+    show_progress = args.progress and settings.show_progress_bar
     t0 = time.time()
     for i in range(baker.sample_index, args.samples):
         baker.bake_step()
-        if args.progress:
+        if show_progress:
             baker.accum.block_until_ready()
             _progress(i, args.samples, t0, args.resolution, args.resolution,
                       settings.max_path_length)
@@ -129,7 +133,7 @@ def cmd_bake(args):
             baker.save_checkpoint(ckpt)
     if ckpt:
         baker.save_checkpoint(ckpt)
-    if args.progress:
+    if show_progress:
         sys.stderr.write("\n")
     lm = baker.denoised_lightmap(args.denoise) if args.denoise else baker.lightmap()
     arr = np.asarray(lm)
@@ -175,8 +179,10 @@ def main(argv=None):
     p_render.add_argument("--raster", action="store_true",
                           help="forward raster-mode path (EnableRayTracing=false)")
     p_render.add_argument("--shadow-mode", type=str, default="rays",
-                          choices=["rays", "pcf"],
-                          help="raster sun shadows: exact rays or CSM depth maps + PCF")
+                          choices=["rays", "pcf", "evsm", "msm"],
+                          help="raster sun shadows: exact rays, CSM depth "
+                               "maps + PCF, or EVSM/MSM moment maps "
+                               "(ShadowMapMode, ShadowHelper.h:25-108)")
     p_render.add_argument("--progress", action="store_true", default=True)
     _add_settings_flags(p_render)
     p_render.set_defaults(fn=cmd_render)
@@ -189,7 +195,8 @@ def main(argv=None):
                         help="lightmap UV atlas: charted (xatlas-equivalent)"
                              " or the analytic per-triangle pair packer")
     p_bake.add_argument("--denoise", type=str, default=None,
-                        choices=[None, "median", "atrous", "guided"])
+                        choices=[None, "median", "atrous", "guided",
+                                 "learned"])
     p_bake.add_argument("--output", type=str, default="lightmap.png")
     p_bake.add_argument("--checkpoint", type=str, default=None,
                         help="bake checkpoint .npz: resumed from if present, "

@@ -184,7 +184,6 @@ class InteractiveApp:
                                      height=height)
         self.display = _supports_color() if display is None else display
         self.menu = None
-        self.raster_mode = False
         self.quit = False
         self.frame_times = []
         self.screenshots = 0
@@ -240,7 +239,11 @@ class InteractiveApp:
             self.bake_mode = False
             self._uvviz_cache = None
         elif key == "m":
-            self.raster_mode = not self.raster_mode
+            # 'm' flips EnableRayTracing itself (the raster/path mode switch,
+            # DXRPathTracer::Render :1538-1559) so restart-key dirty tracking
+            # and the settings menu both see the same state.
+            self.session.settings = s.replace(
+                enable_ray_tracing=not s.enable_ray_tracing)
             # The raster frame overwrites the accumulation slabs; without a
             # reset, returning to path mode would lerp fresh samples against
             # the raster image at weight s/(s+1) (ADVICE.md round 2).
@@ -255,7 +258,8 @@ class InteractiveApp:
             # DXRPathTracer.cpp:2234-2239); the Baker persists across
             # toggles, so baking resumes where it stopped
             self.bake_mode = not self.bake_mode
-            self.raster_mode = False
+            if not s.enable_ray_tracing:  # leave raster mode while baking
+                self.session.settings = s.replace(enable_ray_tracing=True)
             if self.bake_mode and self.baker is None:
                 from ..bake.baker import Baker
                 res = 128 if self.session.scene_host.num_triangles < 5000 \
@@ -278,6 +282,13 @@ class InteractiveApp:
         write_png(path, self.current_display_image())
         self.screenshots += 1
         return path
+
+    @property
+    def raster_mode(self):
+        """Forward raster path active (EnableRayTracing=false,
+        DXRPathTracer::Render :1538-1559) — derived from the setting so the
+        'm' hotkey and the settings menu stay in sync."""
+        return not self.session.settings.enable_ray_tracing
 
     # -- frame --
     def render_one(self):
@@ -357,9 +368,10 @@ class InteractiveApp:
                 (1 + (s.max_path_length - 1) * 2))
         mrays = rays / max(dt, 1e-9) / 1e6
         cam = self.session.camera
+        progress = (f"sample {min(self.session.sample_idx, s.total_samples)}"
+                    f"/{s.total_samples}  " if s.show_progress_bar else "")
         return (f"{dt*1e3:7.1f} ms  {mrays:6.1f} MRays/s  "
-                f"sample {min(self.session.sample_idx, s.total_samples)}"
-                f"/{s.total_samples}  "
+                f"{progress}"
                 f"cam ({cam.position[0]:.1f} {cam.position[1]:.1f} "
                 f"{cam.position[2]:.1f})  "
                 f"{'raster' if self.raster_mode else 'path'}  "
@@ -388,15 +400,22 @@ class InteractiveApp:
             cols = min(self.PRESENT_COLS, self.width)
             rows = min(self.PRESENT_ROWS, self.height)
             thumb = self.session.display_thumbnail(cols, rows)
-            try:
-                thumb.copy_to_host_async()
-            except AttributeError:
-                pass
-            prev = getattr(self, "_pending_thumb", None)
-            self._pending_thumb = thumb
-            if prev is None:
-                return
-            frame = np.asarray(prev)
+            if self.session.settings.stable_power_state:
+                # StablePowerState (DXRPathTracer.cpp:1391-1395) trades
+                # throughput for repeatable timing; here that means a
+                # synchronous present — no frame-latency pipelining, so the
+                # HUD frame time covers exactly one dispatch+readback.
+                frame = np.asarray(thumb)
+            else:
+                try:
+                    thumb.copy_to_host_async()
+                except AttributeError:
+                    pass
+                prev = getattr(self, "_pending_thumb", None)
+                self._pending_thumb = thumb
+                if prev is None:
+                    return
+                frame = np.asarray(prev)
         sys.stdout.write("\x1b[H\x1b[2J")
         sys.stdout.write(ansi_halfblock_frame(frame))
         sys.stdout.write("\n" + self.hud_line() + "\n")
@@ -422,11 +441,14 @@ class InteractiveApp:
                 break
         return frames
 
+    VSYNC_INTERVAL = 1.0 / 60.0
+
     def run(self, max_frames=None):
         """Interactive TTY loop (the Win32 message pump)."""
         frames = 0
         with _RawKeys() as keys:
             while not self.quit:
+                t0 = time.perf_counter()
                 key = keys.poll()
                 while key is not None:
                     self.handle_key(key)
@@ -434,6 +456,12 @@ class InteractiveApp:
                 self.session.update()
                 self.render_one()
                 self.present()
+                if self.session.settings.enable_vsync:
+                    # swap-chain sync interval 1: pace to the 60 Hz vblank
+                    # (EnableVSync -> Present(1), DX12.cpp:263-305)
+                    pad = self.VSYNC_INTERVAL - (time.perf_counter() - t0)
+                    if pad > 0:
+                        time.sleep(pad)
                 frames += 1
                 if max_frames is not None and frames >= max_frames:
                     break

@@ -350,16 +350,21 @@ class RenderSession:
         DXRPathTracer::Render :1538-1559): cluster binning + ray-cast forward
         shading + skybox + weighted resolve. Returns (H, W, 3) radiance.
 
-        shadow_mode: "rays" (exact BVH shadow rays) or "pcf" (per-frame
+        shadow_mode: "rays" (exact BVH shadow rays), "pcf" (per-frame
         cascade depth maps + 7x7 PCF — the reference's shipped sun-shadow
-        path, MeshRenderer.cpp:534-565 + Shadows.hlsl:318-360)."""
+        path, MeshRenderer.cpp:534-565 + Shadows.hlsl:318-360), or
+        "evsm"/"msm" (moment shadow maps: the same cascade depth maps
+        converted per SMConvert.hlsl, box-filtered, and sampled with the
+        Chebyshev / 4-moment Hamburger bound — ShadowMapMode::EVSM/::MSM,
+        ShadowHelper.h:25-108; spot lights use PCF in those modes, matching
+        the reference app's plain-depth spot maps)."""
         from ..render.clusters import build_cluster_masks, froxel_bounding_spheres
         from ..render.raster import forward_render
 
         self._update_sky()
         sun_shadow_pcf = None
         spot_shadow_pcf = None
-        if shadow_mode == "pcf":
+        if shadow_mode in ("pcf", "evsm", "msm"):
             from ..app.settings import SPOT_SHADOW_NEAR_CLIP
             from ..render.integrator import _make_alpha_test
             from ..render.shadows import (prepare_cascades,
@@ -376,7 +381,16 @@ class RenderSession:
                     self.bvh_ray, cascades, shadow_map_size,
                     accept_fn=accept)
                 scope.result = depth_maps
-            sun_shadow_pcf = (depth_maps, cascades)
+            if shadow_mode in ("evsm", "msm"):
+                from ..render.shadows import (convert_depth_maps,
+                                              filter_moment_maps)
+                with self.profiler.gpu_scope("ConvertShadowMap") as scope:
+                    moments = filter_moment_maps(
+                        convert_depth_maps(depth_maps, shadow_mode))
+                    scope.result = moments
+                sun_shadow_pcf = (moments, cascades, shadow_mode)
+            else:
+                sun_shadow_pcf = (depth_maps, cascades)
             if self.scene_host.lights.num_lights > 0:
                 # per-spot perspective depth + the same PCF kernel
                 # (MeshRenderer.cpp:568-608)
@@ -390,8 +404,9 @@ class RenderSession:
                 spot_shadow_pcf = (spot_maps, spots)
         spheres, dims = froxel_bounding_spheres(self.width, self.height, self.camera)
         with self.profiler.gpu_scope("RenderClusters") as scope:
-            masks = build_cluster_masks(jax.device_put(self.scene.lights),
-                                        spheres)
+            masks = build_cluster_masks(
+                jax.device_put(self.scene.lights), spheres,
+                mode=self.settings.cluster_rasterization_mode)
             scope.result = masks
         frame = self.frame_constants(self.sample_idx)
         sky_sh = jnp.asarray(self.sky.sh9) if self.sky.sh9 is not None else None

@@ -63,7 +63,9 @@ class AppSettings:
 
     # --- Rendering ---
     max_light_clamp: int = MAX_SPOT_LIGHTS
-    # (ClusterRasterizationMode is raster-path only; kept for API parity)
+    # ClusterRasterizationMode accuracy ladder (raster path): 0 = froxel
+    # center point, 1/2 = fractional bounding radius, 3 = conservative full
+    # bounding sphere (render/clusters.py _CLUSTER_MODE_RADIUS_SCALE)
     cluster_rasterization_mode: int = 3
 
     # --- Path tracing (AppSettings.cs:119-147) ---

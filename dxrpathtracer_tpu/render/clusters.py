@@ -87,15 +87,28 @@ def sphere_cone_intersection(cone_tip, cone_dir, cone_height, cone_angle,
     return (~beyond) & (e < radii[:, None])
 
 
-def build_cluster_masks(lights, froxel_spheres):
+# ClusterRasterizationModes (AppSettings.cs / DXRPathTracer.cpp:1651-1747):
+# the reference rasterizes low-res light-cone proxies, so its modes trade
+# missed froxels for speed (Normal < MSAA4x < MSAA8x < Conservative). The
+# analytic binning's equivalent accuracy ladder scales the froxel bounding
+# radius tested against the cone: 0 = froxel center point only (cheapest,
+# misses partial overlaps exactly like non-conservative raster), 1/2 =
+# fractional radius (the MSAA middle ground), 3 = full bounding sphere
+# (conservative — never misses, the reference's and our default).
+_CLUSTER_MODE_RADIUS_SCALE = (0.0, 0.5, 0.75, 1.0)
+
+
+def build_cluster_masks(lights, froxel_spheres, mode: int = 3):
     """(n_clusters,) uint32 masks from a SpotLights pytree + froxel spheres.
 
     A light's bounding cone uses the outer attenuation angle and its range
-    (UpdateLights, DXRPathTracer.cpp:1606-1612).
+    (UpdateLights, DXRPathTracer.cpp:1606-1612). `mode` is
+    ClusterRasterizationMode — see _CLUSTER_MODE_RADIUS_SCALE.
     """
     n_lights = lights.num_lights
     centers = jnp.asarray(froxel_spheres[:, :3])
-    radii = jnp.asarray(froxel_spheres[:, 3])
+    scale = _CLUSTER_MODE_RADIUS_SCALE[int(np.clip(mode, 0, 3))]
+    radii = jnp.asarray(froxel_spheres[:, 3]) * scale
     n_clusters = centers.shape[0]
     if n_lights == 0:
         return jnp.zeros((n_clusters,), jnp.uint32)

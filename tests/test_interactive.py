@@ -161,3 +161,46 @@ def test_bake_window_toggles_and_previews():
     # scene switch drops the stale baker
     app.handle_key("1")
     assert app.baker is None and not app.bake_mode
+
+
+def test_enable_ray_tracing_setting_drives_raster_mode():
+    """EnableRayTracing=false selects the forward raster path
+    (DXRPathTracer::Render :1538-1559): the app starts in raster mode, 'm'
+    flips the setting itself, and a settings-menu edit stays in sync."""
+    app = InteractiveApp(
+        settings=AppSettings(current_scene=Scenes.BoxTest, sqrt_num_samples=2,
+                             enable_ray_tracing=False),
+        width=32, height=32, display=False)
+    assert app.raster_mode
+    app.run_scripted([(None, 1)])   # renders the raster frame
+    assert np.isfinite(np.asarray(app.session.accum)).all()
+    app.handle_key("m")             # back to path tracing
+    assert app.session.settings.enable_ray_tracing and not app.raster_mode
+    # menu edit of the same field keeps raster_mode in sync
+    app.session.settings = app.session.settings.replace(
+        enable_ray_tracing=False)
+    assert app.raster_mode
+
+
+def test_show_progress_bar_setting_controls_hud():
+    app = _app()
+    app.run_scripted([(None, 1)])
+    assert "sample" in app.hud_line()
+    app.session.settings = app.session.settings.replace(
+        show_progress_bar=False)
+    assert "sample" not in app.hud_line()
+
+
+def test_stable_power_state_presents_synchronously(capsys):
+    """StablePowerState (DXRPathTracer.cpp:1391-1395) = repeatable timing:
+    the present path must draw the CURRENT frame synchronously instead of
+    the one-frame-deep pipelined thumbnail."""
+    app = InteractiveApp(
+        settings=AppSettings(current_scene=Scenes.BoxTest, sqrt_num_samples=2,
+                             stable_power_state=True),
+        width=32, height=32, display=True)
+    app.session.update()
+    app.render_one()
+    app.present()   # first present must already draw (no warm-up frame)
+    out = capsys.readouterr().out
+    assert "\x1b[38;2;" in out
