@@ -106,14 +106,23 @@ def shade_pixels(scene, bvh, rec, ray_o, ray_d, settings: AppSettings,
     if s.enable_sun and s.enable_direct:
         sun_d = frame.sun_direction_ws[None, :]
         if sun_shadow_pcf is not None:
-            from .shadows import sun_visibility_pcf
-            depth_maps, cascades = sun_shadow_pcf
+            from .shadows import sun_visibility_moments, sun_visibility_pcf
+            # (maps, cascades[, mode]) — mode selects the representation the
+            # maps were converted to: 'pcf' raw depth (default), 'evsm' or
+            # 'msm' moment maps (ShadowMapMode, ShadowHelper.h:25-108)
+            depth_maps, cascades = sun_shadow_pcf[:2]
+            sm_mode = sun_shadow_pcf[2] if len(sun_shadow_pcf) > 2 else "pcf"
             depth_vs_sun = dot(pos - frame.camera_pos_ws[None, :],
                                jnp.asarray(camera_forward, f32)[None, :])
             norm_depth = saturate((depth_vs_sun - near_clip)
                                   / (far_clip - near_clip))
-            vis = sun_visibility_pcf(depth_maps, cascades, pos, normal,
-                                     dot(normal, sun_d), norm_depth)
+            if sm_mode == "pcf":
+                vis = sun_visibility_pcf(depth_maps, cascades, pos, normal,
+                                         dot(normal, sun_d), norm_depth)
+            else:
+                vis = sun_visibility_moments(depth_maps, cascades, pos,
+                                             normal, dot(normal, sun_d),
+                                             norm_depth, sm_mode)
             vis = jnp.where(hit, vis, 0.0)
         else:
             vis = any_hit(bvh, pos, jnp.broadcast_to(sun_d, (n, 3)), 1e-3,

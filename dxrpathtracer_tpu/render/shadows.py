@@ -386,3 +386,239 @@ def spot_visibility_pcf(depth_maps, spots, light_idx: int, pos_ws, normal_ws,
     inside = ((jnp.abs(ndc_x) <= 1.0) & (jnp.abs(ndc_y) <= 1.0)
               & (hw > 0.0) & (light_depth <= 1.0))
     return jnp.where(inside, vis, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# EVSM / MSM moment shadow maps (ShadowMapMode::EVSM / ::MSM).
+#
+# The reference framework ships three shadow-map representations selected by
+# ShadowHelper::Initialize (Graphics/ShadowHelper.h:25-108): plain depth+PCF
+# (what the app uses, DXRPathTracer.cpp:267), EVSM (exponential variance,
+# Shaders/EVSM.hlsl) and MSM (4-moment, Shaders/MSM.hlsl). SMConvert.hlsl
+# turns a rendered depth map into the moment representation and FilterSM
+# box-blurs it separably; sampling is then a single filtered texture fetch +
+# a closed-form upper bound (Chebyshev for EVSM, Hamburger 4-moment for MSM)
+# instead of a multi-tap comparison. The TPU build mirrors that exactly:
+# convert_depth_maps (SMConvert), filter_moment_maps (FilterSM), and
+# sun_visibility_moments (SampleShadowMapEVSM/MSM, Shadows.hlsl:88-160).
+
+# ShadowHelper defaults: LightBleedingReduction 0.25 (ShadowHelper.h:40,48),
+# MomentBias 0.0003 (ShadowHelper.h:47). The app never initializes the EVSM
+# exponents (it runs DepthMap mode); 40/8 are MJP's standard shadow-sample
+# values, clamped to 42 like GetEVSMExponents (EVSM.hlsl).
+EVSM_POSITIVE_EXPONENT = 40.0
+EVSM_NEGATIVE_EXPONENT = 8.0
+EVSM_MAX_EXPONENT = 42.0
+LIGHT_BLEEDING_REDUCTION = 0.25
+MSM_DEPTH_BIAS = 0.0
+MSM_MOMENT_BIAS = 0.0003
+
+# GetOptimizedMoments / ConvertOptimizedMoments quantization transform
+# (MSM.hlsl — the published Peters & Klein optimized-moment basis).
+_MSM_ENCODE = np.array(
+    [[-2.07224649,    13.7948857237,  0.105877704,   9.7924062118],
+     [32.23703778,   -59.4683975703, -1.9077466311, -33.7652110555],
+     [-68.571074599,  82.0359750338,  9.3496555107,  47.9456096605],
+     [39.3703274134, -35.364903257,  -6.6543490743, -23.9728048165]],
+    np.float32)
+_MSM_DECODE = np.array(
+    [[0.2227744146, 0.1549679261, 0.1451988946, 0.163127443],
+     [0.0771972861, 0.1394629426, 0.2120202157, 0.2591432266],
+     [0.7926986636, 0.7963415838, 0.7258694464, 0.6539092497],
+     [0.0319417555, -0.1722823173, -0.2758014811, -0.3376131734]],
+    np.float32)
+_MSM_BIAS0 = 0.035955884801
+
+
+def evsm_exponents(cascade_scale_z=1.0):
+    """GetEVSMExponents (EVSM.hlsl): light-space exponents kept consistent
+    across partitions, clamped so exp() stays inside fp32."""
+    pos = min(EVSM_POSITIVE_EXPONENT / cascade_scale_z, EVSM_MAX_EXPONENT)
+    neg = min(EVSM_NEGATIVE_EXPONENT / cascade_scale_z, EVSM_MAX_EXPONENT)
+    return pos, neg
+
+
+def warp_depth(depth, exponents):
+    """WarpDepth (EVSM.hlsl): [0,1] depth -> (exp(+px*d'), -exp(-nx*d'))
+    with d' rescaled to [-1,1]."""
+    import jax.numpy as jnp
+    d = 2.0 * depth - 1.0
+    return jnp.exp(exponents[0] * d), -jnp.exp(-exponents[1] * d)
+
+
+def convert_depth_maps(depth_maps, mode: str):
+    """SMConvert.hlsl: (C, S, S) [0,1] depth -> (C, S, S, 4) moments.
+
+    mode 'evsm': [pos, neg, pos^2, neg^2] warped-depth moments.
+    mode 'msm':  optimized 4-moment encoding (GetOptimizedMoments)."""
+    import jax.numpy as jnp
+    d = jnp.asarray(depth_maps)
+    if mode == "evsm":
+        pos, neg = warp_depth(d, evsm_exponents())
+        return jnp.stack([pos, neg, pos * pos, neg * neg], axis=-1)
+    if mode == "msm":
+        sq = d * d
+        raw = jnp.stack([d, sq, sq * d, sq * sq], axis=-1)
+        opt = raw @ jnp.asarray(_MSM_ENCODE)
+        return opt.at[..., 0].add(_MSM_BIAS0)
+    raise ValueError(f"unknown moment mode {mode!r}")
+
+
+def filter_moment_maps(maps, filter_size: float = 3.0):
+    """FilterSM (SMConvert.hlsl): separable box blur of the moment maps,
+    fractional end-texel weights, clamped edges. filter_size is in texels
+    (MaxShadowFilterSize = 9, ShadowHelper.h:26)."""
+    import jax.numpy as jnp
+
+    radius = filter_size * 0.5
+    ntap = int(np.ceil(radius - 0.5))
+
+    def blur(m, axis):
+        s = m.shape[axis]
+        total = m * 1.0
+        weight = 1.0
+        for k in range(1, ntap + 1):
+            # overlap of texel [k-0.5, k+0.5] with the filter [-R, R]
+            w = float(np.clip(radius - (k - 0.5), 0.0, 1.0))
+            if w <= 0.0:
+                continue
+            idx_p = jnp.clip(jnp.arange(s) + k, 0, s - 1)
+            idx_m = jnp.clip(jnp.arange(s) - k, 0, s - 1)
+            total = total + w * (jnp.take(m, idx_p, axis=axis)
+                                 + jnp.take(m, idx_m, axis=axis))
+            weight += 2.0 * w
+        return total / weight
+
+    return blur(blur(jnp.asarray(maps), 1), 2)
+
+
+def _bilinear_fetch4(maps, cidx, hx, hy):
+    """Bilinearly sample (C, S, S, 4) moment maps at NDC (hx, hy) of the
+    per-lane selected map cidx — the SampleShadowMapEVSM/MSM linear fetch."""
+    import jax.numpy as jnp
+
+    c, s, _, _ = maps.shape
+    flat = maps.reshape(-1, 4)
+    base = cidx * (s * s)
+    stx = (hx * 0.5 + 0.5) * s - 0.5
+    sty = (hy * 0.5 + 0.5) * s - 0.5
+    x0 = jnp.clip(jnp.floor(stx), 0, s - 1)
+    y0 = jnp.clip(jnp.floor(sty), 0, s - 1)
+    fx = jnp.clip(stx - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(sty - y0, 0.0, 1.0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, s - 1)
+    y1 = jnp.minimum(y0 + 1, s - 1)
+
+    def tap(yy, xx):
+        return jnp.take(flat, base + yy * s + xx, axis=0)
+
+    top = tap(y0, x0) * (1.0 - fx) + tap(y0, x1) * fx
+    bot = tap(y1, x0) * (1.0 - fx) + tap(y1, x1) * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def reduce_light_bleeding(amt, clip_amt):
+    """ReduceLightBleeding (EVSM.hlsl): clip the [0, clipAmt] tail and
+    linearly rescale."""
+    import jax.numpy as jnp
+    return jnp.clip((amt - clip_amt) / (1.0 - clip_amt), 0.0, 1.0)
+
+
+def chebyshev_upper_bound(m1, m2, mean, min_variance, bleed):
+    """ChebyshevUpperBound (EVSM.hlsl): one-tailed variance bound."""
+    import jax.numpy as jnp
+    variance = jnp.maximum(m2 - m1 * m1, min_variance)
+    d = mean - m1
+    p_max = reduce_light_bleeding(variance / (variance + d * d), bleed)
+    return jnp.where(mean <= m1, 1.0, p_max)
+
+
+def _msm_hamburger(moments, fragment_depth, depth_bias, moment_bias):
+    """ComputeMSMHamburger (MSM.hlsl): Cholesky-factorized Hankel solve of
+    the 4-moment shadow bound, vectorized over lanes."""
+    import jax.numpy as jnp
+
+    b = moments * (1.0 - moment_bias) + 0.5 * moment_bias
+    b0, b1, b2, b3 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    z0 = fragment_depth - depth_bias
+
+    l32_d22 = b2 - b0 * b1
+    d22 = b1 - b0 * b0
+    sq_depth_var = b3 - b1 * b1
+    d33_d22 = sq_depth_var * d22 - l32_d22 * l32_d22
+    inv_d22 = 1.0 / d22
+    l32 = l32_d22 * inv_d22
+
+    c1 = z0 - b0
+    c2 = z0 * z0 - b1 - l32 * c1
+    c1 = c1 * inv_d22
+    c2 = c2 * d22 / d33_d22
+    c1 = c1 - l32 * c2
+    c0 = 1.0 - c1 * b0 - c2 * b1
+
+    p = c1 / c2
+    q = c0 / c2
+    r = jnp.sqrt(jnp.maximum(p * p * 0.25 - q, 0.0))
+    z1 = -p * 0.5 - r
+    z2 = -p * 0.5 + r
+
+    # switch weights for the three-delta solution
+    case2 = z2 < z0          # -> (z1, z0, 1, 1)
+    case1 = (~case2) & (z1 < z0)  # -> (z0, z1, 0, 1)
+    sw0 = jnp.where(case2, z1, jnp.where(case1, z0, 0.0))
+    sw1 = jnp.where(case2, z0, jnp.where(case1, z1, 0.0))
+    sw2 = jnp.where(case2, 1.0, 0.0)
+    sw3 = jnp.where(case2 | case1, 1.0, 0.0)
+    denom = (z2 - sw1) * (z0 - z1)
+    safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    quotient = (sw0 * z2 - b0 * (sw0 + z2) + b1) / safe
+    intensity = sw2 + sw3 * quotient
+    return 1.0 - jnp.clip(intensity, 0.0, 1.0)
+
+
+def sun_visibility_moments(moment_maps, cascades, pos_ws, normal_ws, n_dot_l,
+                           depth_vs_normalized, mode: str):
+    """SunShadowVisibility through the EVSM/MSM samplers
+    (Shadows.hlsl:88-160): the same cascade selection + normal-offset
+    projection as the PCF path, but one bilinear moment fetch + closed-form
+    bound instead of the 7x7 comparison kernel."""
+    import jax.numpy as jnp
+
+    n_casc, s = moment_maps.shape[0], moment_maps.shape[1]
+    splits = np.array([c.split_depth for c in cascades], np.float32)
+    vps = jnp.asarray(np.stack([c.view_proj for c in cascades]))
+    radii = jnp.asarray(np.array([c.radius for c in cascades], np.float32))
+
+    cidx = select_cascade(depth_vs_normalized, splits)
+    vp = jnp.take(vps, cidx, axis=0)
+    radius = jnp.take(radii, cidx, axis=0)
+
+    offset = (normal_ws * ((1.0 - jnp.clip(n_dot_l, 0.0, 1.0))
+                           * 4.0 * (2.0 * radius / s))[..., None])
+    p = pos_ws + offset
+    hx = (p[:, 0] * vp[:, 0, 0] + p[:, 1] * vp[:, 1, 0]
+          + p[:, 2] * vp[:, 2, 0] + vp[:, 3, 0])
+    hy = (p[:, 0] * vp[:, 0, 1] + p[:, 1] * vp[:, 1, 1]
+          + p[:, 2] * vp[:, 2, 1] + vp[:, 3, 1])
+    hz = (p[:, 0] * vp[:, 0, 2] + p[:, 1] * vp[:, 1, 2]
+          + p[:, 2] * vp[:, 2, 2] + vp[:, 3, 2])
+
+    occ = _bilinear_fetch4(moment_maps, cidx, hx, hy)
+    if mode == "evsm":
+        exps = evsm_exponents()
+        wpos, wneg = warp_depth(hz, exps)
+        # derivative of the warp at depth -> minimum variance floor
+        min_var_p = (1e-4 * exps[0] * wpos) ** 2
+        min_var_n = (1e-4 * exps[1] * wneg) ** 2
+        pos_c = chebyshev_upper_bound(occ[..., 0], occ[..., 2], wpos,
+                                      min_var_p, LIGHT_BLEEDING_REDUCTION)
+        neg_c = chebyshev_upper_bound(occ[..., 1], occ[..., 3], wneg,
+                                      min_var_n, LIGHT_BLEEDING_REDUCTION)
+        return jnp.minimum(pos_c, neg_c)
+    if mode == "msm":
+        raw = occ.at[..., 0].add(-_MSM_BIAS0) @ jnp.asarray(_MSM_DECODE)
+        vis = _msm_hamburger(raw, hz, MSM_DEPTH_BIAS, MSM_MOMENT_BIAS)
+        return reduce_light_bleeding(vis, LIGHT_BLEEDING_REDUCTION)
+    raise ValueError(f"unknown moment mode {mode!r}")

@@ -195,3 +195,78 @@ def test_spot_pcf_matches_exact_rays():
     lit_rays = img_rays.max(-1) > 0.5 * img_rays.max()
     lit_pcf = img_pcf.max(-1) > 0.5 * img_pcf.max()
     assert (lit_rays == lit_pcf).mean() > 0.95
+
+
+def test_cluster_rasterization_mode_accuracy_ladder():
+    """ClusterRasterizationMode maps to the analytic binning's accuracy
+    ladder: mode 0 tests the froxel center only (non-conservative raster
+    analog), mode 3 the full bounding sphere (conservative). Every cluster
+    lit at mode 0 must stay lit at mode 3, and the conservative mode must
+    find at least as many partially-overlapped clusters."""
+    from dxrpathtracer_tpu.render.camera import FirstPersonCamera
+    cam = FirstPersonCamera(aspect=1.0)
+    cam.set_position((0, 0, 0))
+    lights = make_spot_lights(
+        positions=[[0.0, 0.0, 5.0]],
+        directions=[[0.0, -1.0, 0.0]],
+        intensities=[[1, 1, 1]],
+        angular_attenuation=[[0.5, 1.0]])
+    spheres, _ = froxel_bounding_spheres(64, 64, cam)
+    m0 = np.asarray(build_cluster_masks(lights, jnp.asarray(spheres), mode=0))
+    m3 = np.asarray(build_cluster_masks(lights, jnp.asarray(spheres), mode=3))
+    assert (m3 & m0 == m0).all()        # conservative is a superset
+    assert (m3 != 0).sum() > (m0 != 0).sum()  # and strictly catches more
+
+
+def test_msm_moment_roundtrip():
+    """ConvertOptimizedMoments(GetOptimizedMoments(d)) must reproduce the
+    raw power moments (d, d^2, d^3, d^4) — the MSM.hlsl basis pair is an
+    exact inverse up to fp32 rounding."""
+    import jax.numpy as jnp
+    from dxrpathtracer_tpu.render.shadows import (_MSM_BIAS0, _MSM_DECODE,
+                                                  convert_depth_maps)
+    d = np.linspace(0.02, 0.98, 25, dtype=np.float32).reshape(1, 5, 5)
+    opt = convert_depth_maps(d, "msm")
+    raw = np.asarray(opt.at[..., 0].add(-_MSM_BIAS0) @ jnp.asarray(_MSM_DECODE))
+    expect = np.stack([d, d**2, d**3, d**4], axis=-1)
+    assert np.allclose(raw, expect, atol=2e-4), np.abs(raw - expect).max()
+
+
+def test_evsm_chebyshev_flat_occluder():
+    """A constant-depth occluder: receivers behind it are fully shadowed,
+    receivers in front fully lit (one-tailed Chebyshev, EVSM.hlsl)."""
+    import jax.numpy as jnp
+    from dxrpathtracer_tpu.render.shadows import (chebyshev_upper_bound,
+                                                  convert_depth_maps,
+                                                  evsm_exponents, warp_depth)
+    maps = convert_depth_maps(np.full((1, 8, 8), 0.5, np.float32), "evsm")
+    m = np.asarray(maps)[0, 0, 0]
+    exps = evsm_exponents()
+    for depth, expect in ((0.3, 1.0), (0.7, 0.0)):
+        wp, _wn = warp_depth(jnp.float32(depth), exps)
+        vis = float(chebyshev_upper_bound(
+            jnp.float32(m[0]), jnp.float32(m[2]), wp, jnp.float32(1e-6), 0.25))
+        assert abs(vis - expect) < 1e-3, (depth, vis)
+
+
+def test_evsm_msm_shadow_modes_match_rays():
+    """EVSM and MSM moment shadow maps vs exact rays on BoxTest — the
+    ShadowMapMode::EVSM/::MSM paths (ShadowHelper.h:25-108, SMConvert.hlsl,
+    Shadows.hlsl:88-160). Filterable representations blur the penumbra, so
+    the agreement bar is slightly looser than PCF's."""
+    from dxrpathtracer_tpu.app.session import RenderSession
+    sess = RenderSession(
+        settings=AppSettings(current_scene=Scenes.BoxTest,
+                             msaa_mode=MSAAModes.MSAANone),
+        width=48, height=48)
+    img_rays = np.asarray(sess.render_raster_frame(shadow_mode="rays"))
+    for mode in ("evsm", "msm"):
+        img = np.asarray(sess.render_raster_frame(shadow_mode=mode,
+                                                  shadow_map_size=512))
+        assert np.isfinite(img).all(), mode
+        diff = np.abs(img_rays - img).max(axis=-1)
+        rel = diff / (np.abs(img_rays).max(axis=-1) + 1e-3)
+        frac = (rel < 0.05).mean()
+        assert frac > 0.92, f"{mode}/rays mismatch: {1 - frac:.3f}"
+        # the box still casts a shadow through the moment representation
+        assert (img.max(-1) < 0.25 * img.max()).any(), mode
