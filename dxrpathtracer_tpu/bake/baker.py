@@ -246,9 +246,9 @@ class Baker:
 
     def denoised_lightmap(self, mode: str = "median"):
         """median: DenoiseMedian.hlsl parity; atrous: unguided wavelet;
-        guided: surface-map-guided joint bilateral (the OIDN-class option —
-        guides are the bake's own albedo/normal G-buffer, same auxiliary
-        features OIDN RTLightmap uses)."""
+        guided: surface-map-guided joint bilateral; learned: the trained
+        residual CNN (render/learned_denoise.py — the OIDN RTLightmap
+        equivalent: same HDR+albedo+normal inputs, runs on device)."""
         from ..render.denoise import (atrous_denoise,
                                       guided_bilateral_denoise,
                                       median_filter_3x3)
@@ -260,4 +260,8 @@ class Baker:
             return guided_bilateral_denoise(
                 lm, self.surface_maps["albedo"],
                 self.surface_maps["normal"], valid=valid)
+        if mode == "learned":
+            from ..render.learned_denoise import learned_denoise
+            return learned_denoise(lm, self.surface_maps["albedo"],
+                                   self.surface_maps["normal"], valid=valid)
         return atrous_denoise(lm, valid=valid)

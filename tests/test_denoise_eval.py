@@ -83,3 +83,51 @@ def test_guided_preserves_geometry_edges():
     assert abs(right - 5.0) < 0.1, right
     # and noise within each region must shrink
     assert out[:, : w // 2 - 4].std() < img[:, : w // 2 - 4].std() * 0.5
+
+
+_WEIGHTS = __import__("os").path.join(
+    __import__("os").path.dirname(__import__(
+        "dxrpathtracer_tpu.render.learned_denoise",
+        fromlist=["x"]).__file__).replace("render", "data"),
+    "denoiser_weights.npz")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_WEIGHTS),
+                    reason="shipped denoiser weights not present")
+def test_learned_beats_guided(bakes):
+    """The trained CNN (render/learned_denoise.py — the OIDN RTLightmap
+    equivalent) must beat the guided bilateral on the eval bake."""
+    from dxrpathtracer_tpu.render.learned_denoise import learned_denoise
+    noisy, converged, valid, albedo, normal = bakes
+    gui = _rmse(np.asarray(guided_bilateral_denoise(
+        jnp.asarray(noisy), jnp.asarray(albedo), jnp.asarray(normal),
+        valid=jnp.asarray(valid))), converged, valid)
+    lrn = _rmse(np.asarray(learned_denoise(
+        noisy, albedo, normal, valid=jnp.asarray(valid))), converged, valid)
+    print(f"\nlog-RMSE: guided {gui:.4f} learned {lrn:.4f}")
+    assert lrn < gui, (lrn, gui)
+
+
+def test_learned_identity_at_init_and_tiling():
+    """Architecture invariants that hold without trained weights: the net
+    is the identity at init (zero final layer) and tiled inference matches
+    the single-shot path bit-for-bit."""
+    import jax
+    from dxrpathtracer_tpu.render.learned_denoise import (
+        denoise_with_params, init_params, learned_denoise)
+    p = init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    img = np.abs(rng.normal(1.0, 0.5, (96, 96, 3))).astype(np.float32)
+    alb = np.full_like(img, 0.5)
+    nrm = np.zeros_like(img)
+    nrm[..., 2] = 1.0
+    valid = np.ones(img.shape[:2], bool)
+    out = np.asarray(denoise_with_params(p, jnp.asarray(img),
+                                         jnp.asarray(alb), jnp.asarray(nrm),
+                                         jnp.asarray(valid)))
+    assert np.abs(out - img).max() < 1e-5
+    full = np.asarray(learned_denoise(img, alb, nrm, valid=jnp.asarray(valid),
+                                      params=p, tile=4096))
+    tiled = np.asarray(learned_denoise(img, alb, nrm, valid=jnp.asarray(valid),
+                                       params=p, tile=64, overlap=16))
+    assert np.array_equal(full, tiled)
