@@ -76,6 +76,12 @@ def cmd_render(args):
           file=sys.stderr)
 
     show_progress = args.progress and settings.show_progress_bar
+    trace_ctx = None
+    if getattr(args, "profile_trace", None):
+        from .profiler import device_trace
+        trace_ctx = device_trace(args.profile_trace)
+        trace_ctx.__enter__()
+        print(f"# jax.profiler trace -> {args.profile_trace}", file=sys.stderr)
     # EnableRayTracing=false selects the forward raster path
     # (DXRPathTracer::Render :1538-1559); --raster is shorthand for it.
     if args.raster or not settings.enable_ray_tracing:
@@ -98,6 +104,8 @@ def cmd_render(args):
             sys.stderr.write("\n")
         disp = sess.display_image()
 
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
     write_image(args.output, np.asarray(disp))
     if args.save_hdr:
         # raw HDR accumulation: .exr or .npy by extension
@@ -184,6 +192,11 @@ def main(argv=None):
                                "maps + PCF, or EVSM/MSM moment maps "
                                "(ShadowMapMode, ShadowHelper.h:25-108)")
     p_render.add_argument("--progress", action="store_true", default=True)
+    p_render.add_argument("--profile-trace", type=str, default=None,
+                          help="capture a jax.profiler device trace of the "
+                               "render into this directory (view in "
+                               "TensorBoard/Perfetto — the PIX-capture "
+                               "equivalent)")
     _add_settings_flags(p_render)
     p_render.set_defaults(fn=cmd_render)
 

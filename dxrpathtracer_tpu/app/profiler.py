@@ -76,3 +76,16 @@ class Profiler:
         lines = [f"{name:32s} avg {v['avg']*1e3:8.2f} ms  max {v['max']*1e3:8.2f} ms"
                  for name, v in sorted(self.stats().items())]
         return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler device trace for everything inside the scope —
+    the PIX/timestamp-query capture equivalent (Profiler.cpp + PIXMarker,
+    GraphicsTypes.h:516): per-HLO device timelines viewable in
+    TensorBoard/Perfetto. Wraps jax.profiler.trace so callers don't import
+    jax at module scope; used by `render --profile-trace DIR`."""
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield

@@ -171,3 +171,19 @@ def test_staged_tracer_matches_monolith():
             os.environ.pop("DXRPT_STAGED", None)
     diff = np.abs(imgs["staged"] - imgs["monolith"]).max()
     assert diff < 1e-5, diff
+
+
+def test_cli_render_profile_trace(tmp_path):
+    """--profile-trace captures a jax.profiler device trace around the
+    render (the PIX/timestamp-capture equivalent, SURVEY §5.1)."""
+    import os
+    from dxrpathtracer_tpu.app.cli import main
+    out = tmp_path / "r.png"
+    trace_dir = tmp_path / "trace"
+    rc = main(["render", "--current-scene", "BoxTest", "--width", "16",
+               "--height", "16", "--sqrt-num-samples", "1",
+               "--profile-trace", str(trace_dir), "--output", str(out)])
+    assert rc in (0, None)
+    assert out.exists()
+    found = [f for _root, _d, files in os.walk(trace_dir) for f in files]
+    assert found, "trace directory is empty"
