@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from .lbvh import FlatBVH, LEAF_SIZE, WIDTH
 from .traverse import (HitRecord, _argmin8_block, _bitcast_i32,
                        _child_banks, _compact_perm, _full_mask,
-                       _safe_inv, MIN_COMPACT_SIZE, MAX_COMPACT_PHASES, _BIG)
+                       _safe_inv, MIN_COMPACT_SIZE, MAX_COMPACT_PHASES, _BIG,
+                       pad_traversal_args, quarantine_pad_count)
 
 PACKET = 128
 
@@ -298,8 +299,18 @@ def packet_closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if active is None:
         active = jnp.ones((n,), jnp.bool_)
-    return _packet_traverse(bvh, ray_o, ray_d, t_min, t_max, active,
-                            first_hit=False)
+    # lane-count quarantine (see traverse.py): the pad is a whole number of
+    # inactive packets (both band edges are multiples of 128)
+    pad = quarantine_pad_count(n)
+    if pad:
+        ray_o, ray_d, t_min, t_max, active = pad_traversal_args(
+            pad, ray_o, ray_d, t_min, t_max, active)
+    rec = _packet_traverse(bvh, ray_o, ray_d, t_min, t_max, active,
+                           first_hit=False)
+    if pad:
+        rec = HitRecord(t=rec.t[:n], tri_id=rec.tri_id[:n],
+                        u=rec.u[:n], v=rec.v[:n])
+    return rec
 
 
 def packet_any_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
@@ -316,8 +327,12 @@ def packet_any_hit_rec(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if active is None:
         active = jnp.ones((n,), jnp.bool_)
+    pad = quarantine_pad_count(n)
+    if pad:
+        ray_o, ray_d, t_min, t_max, active = pad_traversal_args(
+            pad, ray_o, ray_d, t_min, t_max, active)
     rec = _packet_traverse(bvh, ray_o, ray_d, t_min, t_max, active,
                            first_hit=True)
     occluded = active & (rec.tri_id >= 0)
-    return (jnp.where(occluded, 0.0, 1.0),
-            jnp.where(occluded, rec.tri_id, -1))
+    return (jnp.where(occluded, 0.0, 1.0)[:n],
+            jnp.where(occluded, rec.tri_id, -1)[:n])

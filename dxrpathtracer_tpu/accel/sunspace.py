@@ -55,7 +55,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .lbvh import LEAF_SIZE, RECORD
-from .traverse import _bitcast_i32, _intersect_leaf
+from .traverse import (_bitcast_i32, _intersect_leaf, pad_traversal_args,
+                       quarantine_pad_count)
 
 DONE = np.int32(0x7FFFFFFF)   # sentinel: empty / lane finished
 _L = LEAF_SIZE                # triangles per chain record (shared layout)
@@ -274,11 +275,20 @@ def sun_any_hit(grid: SunGrid, ray_o, ray_d, t_min, t_max, active=None,
     (~4 records) that in-loop evaluation is cheap, unlike the 3D BVH where
     it forced the punch-through redesign (render/integrator.py).
     """
-    n = ray_o.shape[0]
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    n_out = ray_o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_out,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_out,))
     if active is None:
-        active = jnp.ones((n,), jnp.bool_)
+        active = jnp.ones((n_out,), jnp.bool_)
+    # lane-count quarantine (traverse.py): this walk is a different loop
+    # from the BVH lockstep, but it shares the compiled-shape-sensitive
+    # while_loop/compaction structure the axon band bug lives in — pad the
+    # same way rather than find out per-scene.
+    pad = quarantine_pad_count(n_out)
+    if pad:
+        ray_o, ray_d, t_min, t_max, active = pad_traversal_args(
+            pad, ray_o, ray_d, t_min, t_max, active)
+    n = ray_o.shape[0]
     done = jnp.int32(DONE)
     S = grid.grid_size
     b = grid.basis
@@ -399,4 +409,4 @@ def sun_any_hit(grid: SunGrid, ray_o, ray_d, t_min, t_max, active=None,
     else:
         out_tri = lane["btri"]
 
-    return jnp.where(out_tri >= 0, 0.0, 1.0)
+    return jnp.where(out_tri >= 0, 0.0, 1.0)[:n_out]

@@ -521,6 +521,51 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
     return rec
 
 
+# ---------------------------------------------------------------------------
+# Lane-count quarantine — axon TPU wrong-result band (2026-08-18).
+#
+# On the tunneled axon/Mosaic stack, per-ray AND packet traversals over the
+# theInn-size tables compile SILENTLY WRONG for dispatch lane counts in a
+# contiguous band: every lane returns the same single triangle at t ~ 0
+# (measured sweep on random rays, both W8 and W32 tables, jit-only, eager
+# and CPU correct):
+#     n = 6912/16384/32768: correct     n = 36864..98304: DEGENERATE
+#     n = 131072/147456/518400/524288: correct
+# This black-baked every Stronghold@192 lightmap (192^2 = 36864 texel rays)
+# while all production render/bake shapes sat outside the band — the class
+# of bug tools/crosscheck_tpu.py exists for (now covering bakes too).
+# Until the platform bug is fixed, any traversal dispatch whose lane count
+# falls inside the open band is PADDED with inactive lanes up to the
+# verified-good upper edge: padding changes only data (the padded program
+# shape is measured-correct), costs nothing outside the band, and is
+# disabled with DXRPT_NO_LANE_PAD=1 for A/Bs. Padding equivalence is pinned
+# by tests/test_traverse.py::test_quarantine_pad_equivalence.
+_PAD_BAND_LO = 32768   # largest verified-good shape below the band
+_PAD_BAND_HI = 131072  # first verified-good shape above the band
+
+
+def quarantine_pad_count(n: int) -> int:
+    """Extra inactive lanes that move a dispatch out of the quarantined
+    lane-count band (0 when n is outside the band or padding is disabled)."""
+    if os.environ.get("DXRPT_NO_LANE_PAD"):
+        return 0
+    if _PAD_BAND_LO < n < _PAD_BAND_HI:
+        return _PAD_BAND_HI - n
+    return 0
+
+
+def pad_traversal_args(pad, ray_o, ray_d, t_min, t_max, active):
+    """Append `pad` inactive lanes (unit-x direction, t_max 0) to a
+    traversal dispatch; callers slice the results back to the original n."""
+    f32 = jnp.float32
+    dpad = jnp.zeros((pad, 3), f32).at[:, 0].set(1.0)
+    return (jnp.concatenate([ray_o, jnp.zeros((pad, 3), f32)], axis=0),
+            jnp.concatenate([ray_d, dpad], axis=0),
+            jnp.concatenate([t_min, jnp.zeros((pad,), f32)]),
+            jnp.concatenate([t_max, jnp.zeros((pad,), f32)]),
+            jnp.concatenate([active, jnp.zeros((pad,), jnp.bool_)]))
+
+
 def closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None, accept_fn=None):
     """Closest-hit traversal over a flat ray batch.
 
@@ -532,7 +577,15 @@ def closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None, accept_fn
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if active is None:
         active = jnp.ones((n,), jnp.bool_)
-    return _traverse(bvh, ray_o, ray_d, t_min, t_max, active, accept_fn, first_hit=False)
+    pad = quarantine_pad_count(n)
+    if pad:
+        ray_o, ray_d, t_min, t_max, active = pad_traversal_args(
+            pad, ray_o, ray_d, t_min, t_max, active)
+    rec = _traverse(bvh, ray_o, ray_d, t_min, t_max, active, accept_fn, first_hit=False)
+    if pad:
+        rec = HitRecord(t=rec.t[:n], tri_id=rec.tri_id[:n],
+                        u=rec.u[:n], v=rec.v[:n])
+    return rec
 
 
 def any_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None, accept_fn=None):
@@ -554,5 +607,9 @@ def any_hit_rec(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if active is None:
         active = jnp.ones((n,), jnp.bool_)
+    pad = quarantine_pad_count(n)
+    if pad:
+        ray_o, ray_d, t_min, t_max, active = pad_traversal_args(
+            pad, ray_o, ray_d, t_min, t_max, active)
     rec = _traverse(bvh, ray_o, ray_d, t_min, t_max, active, accept_fn, first_hit=True)
-    return jnp.where(rec.hit, 0.0, 1.0), rec.tri_id
+    return jnp.where(rec.hit, 0.0, 1.0)[:n], rec.tri_id[:n]

@@ -205,3 +205,49 @@ def test_compaction_phases_match_brute_force(monkeypatch):
 
 def test_bvh_structure_morton():
     test_bvh_structure(mode="morton")
+
+
+def test_quarantine_pad_equivalence(monkeypatch):
+    """The lane-count quarantine (accel/traverse.py: dispatch shapes inside
+    the axon TPU wrong-result band are padded with inactive lanes to the
+    band's verified-good upper edge) must be semantics-neutral: padded and
+    unpadded dispatches agree EXACTLY on every lane. Shrink the band so the
+    pad engages at test scale instead of at 36864 lanes."""
+    from dxrpathtracer_tpu.accel import traverse as trav
+    monkeypatch.setattr(trav, "_PAD_BAND_LO", 512)
+    monkeypatch.setattr(trav, "_PAD_BAND_HI", 2048)
+
+    rng = np.random.default_rng(11)
+    v0, v1, v2 = _soup(rng, 400)
+    bvh = build_bvh(v0, v1, v2)
+    o, d = _rays(rng, 1280)  # inside the (shrunk) band; 1280 % 128 == 0
+    o_d, d_d = jnp.asarray(o), jnp.asarray(d)
+
+    assert trav.quarantine_pad_count(1280) == 768
+    rec_pad = closest_hit(bvh, o_d, d_d, 0.0, 1e30)
+    monkeypatch.setenv("DXRPT_NO_LANE_PAD", "1")
+    assert trav.quarantine_pad_count(1280) == 0
+    rec_raw = closest_hit(bvh, o_d, d_d, 0.0, 1e30)
+    monkeypatch.delenv("DXRPT_NO_LANE_PAD")
+
+    assert rec_pad.t.shape == (1280,)
+    assert np.array_equal(np.asarray(rec_pad.tri_id), np.asarray(rec_raw.tri_id))
+    assert np.array_equal(np.asarray(rec_pad.t), np.asarray(rec_raw.t))
+    assert np.array_equal(np.asarray(rec_pad.u), np.asarray(rec_raw.u))
+
+    vis_pad = np.asarray(any_hit(bvh, o_d, d_d, 0.0, 1e30))
+    monkeypatch.setenv("DXRPT_NO_LANE_PAD", "1")
+    vis_raw = np.asarray(any_hit(bvh, o_d, d_d, 0.0, 1e30))
+    monkeypatch.delenv("DXRPT_NO_LANE_PAD")
+    assert vis_pad.shape == (1280,)
+    assert np.array_equal(vis_pad, vis_raw)
+
+    from dxrpathtracer_tpu.accel.packet import packet_closest_hit
+    rec_ppad = packet_closest_hit(bvh, o_d, d_d, 0.0, 1e30)
+    monkeypatch.setenv("DXRPT_NO_LANE_PAD", "1")
+    rec_praw = packet_closest_hit(bvh, o_d, d_d, 0.0, 1e30)
+    monkeypatch.delenv("DXRPT_NO_LANE_PAD")
+    assert rec_ppad.t.shape == (1280,)
+    assert np.array_equal(np.asarray(rec_ppad.tri_id),
+                          np.asarray(rec_praw.tri_id))
+    assert np.array_equal(np.asarray(rec_ppad.t), np.asarray(rec_praw.t))
