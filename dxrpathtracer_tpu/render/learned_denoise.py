@@ -14,9 +14,12 @@ Design notes (TPU-first):
     them onto the MXU as implicit GEMMs; the dilation ladder buys a ~29px
     receptive field from 5 layers — the reach the a-trous filter gets from
     its dyadic taps, but with learned, feature-conditioned weights.
-  - The net predicts a RESIDUAL in log1p space: at init (or with zero
-    weights) the output equals the input, so optimization starts from the
-    identity rather than from black.
+  - The net predicts a RESIDUAL in log1p space ON TOP OF the guided
+    joint-bilateral output (render/denoise.py): at init (zero final layer)
+    the output equals the guided filter exactly, so training starts from
+    the strongest classical baseline and can only be asked to improve it —
+    the measured alternative (residual on the raw noisy input) trained to
+    slightly WORSE than the guided filter (PERF_NOTES.md round 3).
   - Isolated fireflies are despiked first with the same selective median
     the guided bilateral uses (render/denoise.py): an impulse 8x over the
     local median is sample noise, not structure, and nets trained on
@@ -37,8 +40,9 @@ import numpy as np
 
 # (out_channels, dilation) per hidden layer; every kernel is 3x3.
 ARCH = ((32, 1), (48, 2), (48, 4), (32, 2), (16, 1))
-IN_CHANNELS = 10   # log1p(rgb) 3 + albedo 3 + normal 3 + valid 1
-OUT_CHANNELS = 3   # residual in log1p space
+# log1p(noisy) 3 + log1p(guided) 3 + albedo 3 + normal 3 + valid 1
+IN_CHANNELS = 13
+OUT_CHANNELS = 3   # residual in log1p space, added to log1p(guided)
 
 _WEIGHTS_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "data", "denoiser_weights.npz")
@@ -80,28 +84,36 @@ def apply_net(params, features):
 
 
 def make_features(img, albedo, normal, valid):
-    """Stack the OIDN-RTLightmap input set: log1p HDR + albedo + normal +
-    coverage. img/albedo/normal (H, W, 3); valid (H, W) or None."""
+    """Stack the OIDN-RTLightmap input set: log1p noisy HDR, log1p of the
+    GUIDED joint-bilateral output (the baseline the residual refines),
+    albedo + normal guides, coverage. img/albedo/normal (H, W, 3);
+    valid (H, W) or None. Returns (features, log1p(guided))."""
+    from .denoise import guided_bilateral_denoise
     h, w = img.shape[:2]
     log_in = jnp.log1p(jnp.maximum(img, 0.0))
+    guided = guided_bilateral_denoise(img, albedo, normal, valid=valid)
+    log_g = jnp.log1p(jnp.maximum(guided, 0.0))
     v = (jnp.ones((h, w, 1), jnp.float32) if valid is None
          else valid.astype(jnp.float32)[..., None])
-    return jnp.concatenate([log_in, albedo, normal, v], axis=-1), log_in
+    return jnp.concatenate([log_in, log_g, albedo, normal, v], axis=-1), log_g
 
 
 def denoise_with_params(params, img, albedo, normal, valid=None):
     """Single-shot (untiled) denoise; see `learned_denoise` for the API."""
-    feat, log_in = make_features(img, albedo, normal, valid)
+    feat, log_g = make_features(img, albedo, normal, valid)
     res = apply_net(params, feat[None])[0]
-    out = jnp.expm1(jnp.maximum(log_in + res, 0.0))
+    out = jnp.expm1(jnp.maximum(log_g + res, 0.0))
     if valid is not None:
         out = jnp.where(valid[..., None], out, img)
     return out
 
 
-# receptive field: 2 * sum(dilations) + 2 = 22 px; 32 of overlap is safe
+# receptive field: net 2 * sum(dilations) + 2 = 22 px, plus the guided
+# bilateral's a-trous reach 2 * (1+2+4+8) = 30 px and its 3x3 despike;
+# 64 of overlap covers the combined 53 px (identity-at-init tiles are
+# exact by construction — the residual is zero everywhere).
 _TILE = 512
-_OVERLAP = 32
+_OVERLAP = 64
 
 
 def _despike(img):
@@ -127,6 +139,11 @@ def load_params(path=None):
         n = int(z["num_layers"])
         params = [(jnp.asarray(z[f"w{i}"]), jnp.asarray(z[f"b{i}"]))
                   for i in range(n)]
+    if params[0][0].shape[2] != IN_CHANNELS:
+        raise ValueError(
+            f"denoiser weights at {path} expect {params[0][0].shape[2]} input "
+            f"channels but this build uses {IN_CHANNELS} — retrain with "
+            f"tools/train_denoiser.py")
     if path == _WEIGHTS_PATH:
         _cached_params = params
     return params

@@ -109,15 +109,17 @@ def test_learned_beats_guided(bakes):
 
 
 def test_learned_identity_at_init_and_tiling():
-    """Architecture invariants that hold without trained weights: the net
-    is the identity at init (zero final layer) and tiled inference matches
-    the single-shot path bit-for-bit."""
+    """Architecture invariants that hold without trained weights: at init
+    (zero final layer) the net's output equals the GUIDED bilateral output
+    exactly — training starts from the strongest classical baseline — and
+    tiled inference matches the single-shot path."""
     import jax
+    from dxrpathtracer_tpu.render.denoise import guided_bilateral_denoise
     from dxrpathtracer_tpu.render.learned_denoise import (
         denoise_with_params, init_params, learned_denoise)
     p = init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
-    img = np.abs(rng.normal(1.0, 0.5, (96, 96, 3))).astype(np.float32)
+    img = np.abs(rng.normal(1.0, 0.5, (192, 192, 3))).astype(np.float32)
     alb = np.full_like(img, 0.5)
     nrm = np.zeros_like(img)
     nrm[..., 2] = 1.0
@@ -125,9 +127,16 @@ def test_learned_identity_at_init_and_tiling():
     out = np.asarray(denoise_with_params(p, jnp.asarray(img),
                                          jnp.asarray(alb), jnp.asarray(nrm),
                                          jnp.asarray(valid)))
-    assert np.abs(out - img).max() < 1e-5
+    guided = np.asarray(guided_bilateral_denoise(
+        jnp.asarray(img), jnp.asarray(alb), jnp.asarray(nrm),
+        valid=jnp.asarray(valid)))
+    # expm1(log1p(guided)) costs ~1 ulp; the residual itself is exactly 0
+    assert np.abs(out - guided).max() < 1e-5
+    # tiled == full when the overlap covers the combined receptive field
+    # (net 22 px + guided a-trous 30 px + despike 1 px = 53): each interior
+    # texel then sees identical context in its tile.
     full = np.asarray(learned_denoise(img, alb, nrm, valid=jnp.asarray(valid),
                                       params=p, tile=4096))
     tiled = np.asarray(learned_denoise(img, alb, nrm, valid=jnp.asarray(valid),
-                                       params=p, tile=64, overlap=16))
-    assert np.array_equal(full, tiled)
+                                       params=p, tile=160, overlap=56))
+    assert np.abs(full - tiled).max() < 1e-5

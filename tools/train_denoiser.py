@@ -49,6 +49,10 @@ def bake_dataset(scene_name, resolution, noisy_spps, ref_spp):
                   f"({time.time() - t0:.0f}s)", file=sys.stderr)
     ref = np.asarray(baker.lightmap())
     valid = np.asarray(baker.accum[..., 3] > 0.0)
+    if not valid.any():
+        print(f"  WARNING: {scene_name} bake produced ZERO valid texels — "
+              f"pairs will be unusable (investigate before training)",
+              file=sys.stderr)
     albedo = np.asarray(baker.surface_maps["albedo"])
     normal = np.asarray(baker.surface_maps["normal"])
     return [(snaps[s], ref, albedo, normal, valid) for s in sorted(snaps)]
@@ -106,7 +110,8 @@ def train(feats, refs, masks, steps, batch, lr, seed, log_every=200):
 
     def loss_fn(p, f, r, m):
         res = apply_net(p, f)
-        out = jnp.maximum(f[..., :3] + res, 0.0)  # log-space prediction
+        # channels 3:6 are log1p(guided) — the baseline the residual refines
+        out = jnp.maximum(f[..., 3:6] + res, 0.0)  # log-space prediction
         return jnp.sum(jnp.abs(out - r) * m) / (jnp.sum(m) * 3.0 + 1e-6)
 
     @jax.jit
@@ -140,6 +145,9 @@ def evaluate(params, pairs):
         return float(np.sqrt(np.mean(d * d)))
 
     for noisy, ref, albedo, normal, valid in pairs:
+        if not valid.any():
+            print("  eval: SKIPPED pair with empty valid mask", file=sys.stderr)
+            continue
         base = log_rmse(noisy, ref, valid)
         gui = log_rmse(np.asarray(guided_bilateral_denoise(
             jnp.asarray(noisy), jnp.asarray(albedo), jnp.asarray(normal),
