@@ -42,8 +42,12 @@ def run_one(width, height, frames, scene_name):
         settings_scene = Scenes.Sponza
     else:
         settings_scene = Scenes[scene_name]
+    # benchmark_mode pins the no-convergence-stop behavior (the reference's
+    # `static const bool Benchmark`, DXRPathTracer.cpp:109,247-253) while
+    # keeping every traced constant at production defaults, so the bench
+    # compiles the exact same programs a normal render uses.
     settings = AppSettings(current_scene=settings_scene,
-                           sqrt_num_samples=100,  # don't early-out during bench
+                           benchmark_mode=True,
                            max_path_length=3)
     t0 = time.time()
     sess = RenderSession(settings=settings, width=width, height=height,

@@ -247,7 +247,12 @@ def main(argv=None):
     p_uv.set_defaults(fn=cmd_uvviz)
 
     args = parser.parse_args(argv)
-    return args.fn(args)
+    # crash-dump capture around every command (the Aftermath analog,
+    # app/crashdump.py): an unhandled dispatch failure persists a JSON
+    # report of the session/settings/device state before exiting.
+    from .crashdump import crash_guard
+    with crash_guard():
+        return args.fn(args)
 
 
 if __name__ == "__main__":

@@ -193,6 +193,27 @@ class InteractiveApp:
         self.baker = None
         self.preview_idx = 0
         self._uvviz_cache = None
+        # shader hot reload (ShaderCompilation.cpp:416 file watch; polled
+        # once per second from the run loop like UpdateShaders per frame)
+        from .hotreload import ShaderWatcher
+        self.shader_watcher = ShaderWatcher()
+        self._last_watch_poll = 0.0
+        self.reload_notice = ""
+
+    def check_hot_reload(self, now=None):
+        """Poll watched compute-path sources; on change reload them and
+        rebuild the session's jitted step (App.cpp:231-237). Returns the
+        list of reloaded module names."""
+        now = time.monotonic() if now is None else now
+        if now - self._last_watch_poll < 1.0:
+            return []
+        self._last_watch_poll = now
+        reloaded = self.shader_watcher.poll_and_reload()
+        if reloaded:
+            self.session.rebuild_step()
+            short = ", ".join(n.rsplit(".", 1)[-1] for n in reloaded)
+            self.reload_notice = f"hot-reloaded: {short}"
+        return reloaded
 
     # -- input handling (DXRPathTracer.cpp:1353-1381) --
     def handle_key(self, key):
@@ -370,8 +391,9 @@ class InteractiveApp:
         cam = self.session.camera
         progress = (f"sample {min(self.session.sample_idx, s.total_samples)}"
                     f"/{s.total_samples}  " if s.show_progress_bar else "")
+        notice = f"{self.reload_notice}  " if self.reload_notice else ""
         return (f"{dt*1e3:7.1f} ms  {mrays:6.1f} MRays/s  "
-                f"{progress}"
+                f"{progress}{notice}"
                 f"cam ({cam.position[0]:.1f} {cam.position[1]:.1f} "
                 f"{cam.position[2]:.1f})  "
                 f"{'raster' if self.raster_mode else 'path'}  "
@@ -453,6 +475,7 @@ class InteractiveApp:
                 while key is not None:
                     self.handle_key(key)
                     key = keys.poll()
+                self.check_hot_reload()
                 self.session.update()
                 self.render_one()
                 self.present()

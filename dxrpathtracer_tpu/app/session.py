@@ -23,8 +23,7 @@ import numpy as np
 from ..accel.lbvh import build_bvh_for_scene
 from ..app.settings import AppSettings, Scenes
 from ..render.camera import FirstPersonCamera
-from ..render.integrator import (FrameConstants, StagedTracer, raygen,
-                                 render_sample)
+from ..render.integrator import FrameConstants
 from ..render.postfx import post_process
 from ..scene.registry import PRESETS, load_scene
 from ..sky.skycache import SkyCache
@@ -128,6 +127,11 @@ class RenderSession:
         self.reset_accumulation()
         self._step = self._build_step()
 
+        # crash-dump capture (Aftermath analog, app/crashdump.py): the CLI
+        # guard resolves the active session through this registry
+        from .crashdump import register_session
+        register_session(self)
+
     # ------------------------------------------------------------------
     def _update_sun_grid(self):
         s = self.settings
@@ -189,6 +193,10 @@ class RenderSession:
         cold-compile times are comparable (PERF_NOTES.md). Staged remains
         the architecture the dense/binned traversal experiments need."""
         import os
+        # Late-bound so a shader hot reload (app/hotreload.py) of the
+        # integrator is picked up by rebuild_step() — the import re-resolves
+        # against the reloaded module in sys.modules.
+        from ..render.integrator import StagedTracer, raygen, render_sample
 
         slab_h = self._slab_h
         width, height = self.width, self.height
@@ -287,6 +295,14 @@ class RenderSession:
             self._last_restart_key = key
             self.reset_accumulation()
 
+    def rebuild_step(self):
+        """Hot-reload hook: rebuild the jitted per-sample step from the
+        CURRENT module code and restart the progressive accumulation — the
+        analog of the reference re-creating its PSOs after a shader reload
+        (App.cpp:231-237) plus the implied path-trace restart."""
+        self._step = self._build_step()
+        self.reset_accumulation()
+
     def reset_accumulation(self):
         self._accum_slabs = [jnp.zeros((self._slab_h, self.width, 3), jnp.float32)
                              for _ in range(0, self.height, self._slab_h)]
@@ -313,6 +329,8 @@ class RenderSession:
 
     @property
     def done(self) -> bool:
+        if self.settings.benchmark_mode:
+            return False  # DXRPathTracer.cpp:109 Benchmark: never converge
         return self.sample_idx >= self.settings.total_samples
 
     def render_frame(self, force: bool = False) -> bool:

@@ -90,6 +90,13 @@ class AppSettings:
     enable_sunspace_shadows: bool = True
     clamp_roughness: bool = False
     avoid_caustic_paths: bool = False
+    # Benchmark mode (the reference's `static const bool Benchmark`,
+    # DXRPathTracer.cpp:109,247-253: pinned settings + no convergence stop
+    # so frame times are measured on the steady-state progressive loop).
+    # Here: disables the SqrtNumSamples^2 early-out; the CMJ pattern keeps
+    # its production size so the traced program is identical to a normal
+    # render (one compile cache entry serves both).
+    benchmark_mode: bool = False
     sqrt_num_samples: int = 4
     max_path_length: int = 3
     max_any_hit_path_length: int = 1

@@ -43,6 +43,21 @@ def test_early_out_at_total_samples():
     assert sess.render_frame() is False
 
 
+def test_benchmark_mode_never_converges():
+    """benchmark_mode = the reference's `static const bool Benchmark`
+    (DXRPathTracer.cpp:109,247-253): the progressive loop never early-outs,
+    and the flag itself is not a restart key (flipping it mid-session must
+    not reset the accumulation)."""
+    sess = _small_session(benchmark_mode=True)
+    for _ in range(6):
+        assert sess.render_frame() is True
+    assert sess.sample_idx == 6  # past SqrtNumSamples^2 = 4
+    assert not sess.done
+
+    base = AppSettings(sqrt_num_samples=2)
+    assert base.restart_key() == base.replace(benchmark_mode=True).restart_key()
+
+
 def test_checkpoint_resume():
     sess = _small_session()
     sess.render_frame()
