@@ -69,6 +69,14 @@ def cmd_render(args):
     from ..render.film import write_image
 
     settings = _settings_from_args(args)
+    # --lightmap: the reference's EnableLightMapRender flow (Mesh.hlsl:155-162)
+    # from a `bake --output FILE.npz` bundle (lightmap + the atlas tri UVs it
+    # was baked against).
+    lightmap = lightmap_uvs = None
+    if getattr(args, "lightmap", None):
+        bundle = np.load(args.lightmap)
+        lightmap, lightmap_uvs = bundle["lightmap"], bundle["tri_uv"]
+        settings = settings.replace(enable_light_map_render=True)
     t0 = time.time()
     sess = RenderSession(settings=settings, width=args.width, height=args.height)
     print(f"# scene={sess.preset.name} tris={sess.scene_host.num_triangles} "
@@ -85,7 +93,9 @@ def cmd_render(args):
     # EnableRayTracing=false selects the forward raster path
     # (DXRPathTracer::Render :1538-1559); --raster is shorthand for it.
     if args.raster or not settings.enable_ray_tracing:
-        img = sess.render_raster_frame(shadow_mode=args.shadow_mode)
+        img = sess.render_raster_frame(shadow_mode=args.shadow_mode,
+                                       lightmap=lightmap,
+                                       lightmap_uvs=lightmap_uvs)
         from ..render.postfx import post_process
         s = sess.settings
         disp = post_process(img, s.exposure, s.bloom_exposure, s.bloom_magnitude,
@@ -145,7 +155,14 @@ def cmd_bake(args):
         sys.stderr.write("\n")
     lm = baker.denoised_lightmap(args.denoise) if args.denoise else baker.lightmap()
     arr = np.asarray(lm)
-    if args.output.endswith((".npy", ".exr")):
+    if args.output.endswith(".npz"):
+        # lit-render bundle: HDR lightmap + the atlas UVs it was baked
+        # against, consumed by `render --raster --lightmap FILE.npz`
+        uvs = (baker.atlas.tri_uv if hasattr(baker.atlas, "tri_uv")
+               else baker.atlas.triangle_uvs())
+        np.savez_compressed(args.output, lightmap=arr,
+                            tri_uv=np.asarray(uvs))
+    elif args.output.endswith((".npy", ".exr")):
         write_image(args.output, arr)
     else:
         disp = tone_map_filmic_alu(arr * (2.0 ** settings.exposure) / FP16Scale)
@@ -191,6 +208,11 @@ def main(argv=None):
                           help="raster sun shadows: exact rays, CSM depth "
                                "maps + PCF, or EVSM/MSM moment maps "
                                "(ShadowMapMode, ShadowHelper.h:25-108)")
+    p_render.add_argument("--lightmap", type=str, default=None,
+                          help="raster mode: render lightmap-lit from a "
+                               "`bake --output FILE.npz` bundle (the "
+                               "reference's EnableLightMapRender, "
+                               "Mesh.hlsl:155-162)")
     p_render.add_argument("--progress", action="store_true", default=True)
     p_render.add_argument("--profile-trace", type=str, default=None,
                           help="capture a jax.profiler device trace of the "

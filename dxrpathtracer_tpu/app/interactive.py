@@ -320,7 +320,17 @@ class InteractiveApp:
             self.baker.bake_step()
             np.asarray(self.baker._accum_slabs[-1][:1, :1])
         elif self.raster_mode:
-            img = self.session.render_raster_frame()
+            # EnableLightMapRender consumes the in-session bake live, like
+            # the reference's Mesh.hlsl:155-162 branch
+            lm = uvs = None
+            if (self.session.settings.enable_light_map_render
+                    and self.baker is not None):
+                lm = self.baker.lightmap()
+                uvs = (self.baker.atlas.tri_uv
+                       if hasattr(self.baker.atlas, "tri_uv")
+                       else self.baker.atlas.triangle_uvs())
+            img = self.session.render_raster_frame(lightmap=lm,
+                                                   lightmap_uvs=uvs)
             self.session.accum = img  # display path shares the accum buffer
             np.asarray(self.session.accum[:1, :1])
         else:

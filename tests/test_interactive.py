@@ -204,3 +204,22 @@ def test_stable_power_state_presents_synchronously(capsys):
     app.present()   # first present must already draw (no warm-up frame)
     out = capsys.readouterr().out
     assert "\x1b[38;2;" in out
+
+
+def test_raster_mode_consumes_live_bake_when_lightmap_render_enabled():
+    """EnableLightMapRender in the viewer samples the in-session bake in
+    raster mode (the reference's Mesh.hlsl:155-162 branch consuming the
+    baked lightmap), and renders a different image than live lighting."""
+    app = _app()
+    app.run_scripted([("b", 2), ("b", 0)])      # bake 2 samples, exit bake
+    assert app.baker is not None and not app.bake_mode
+    app.session.settings = app.session.settings.replace(
+        enable_ray_tracing=False)
+    app.run_scripted([(None, 1)])               # raster, live lighting
+    live = np.asarray(app.session.accum).copy()
+    app.session.settings = app.session.settings.replace(
+        enable_light_map_render=True)
+    app.run_scripted([(None, 1)])               # raster, lightmap-lit
+    lit = np.asarray(app.session.accum)
+    assert np.isfinite(lit).all()
+    assert not np.allclose(lit, live)

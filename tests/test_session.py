@@ -202,3 +202,25 @@ def test_cli_render_profile_trace(tmp_path):
     assert out.exists()
     found = [f for _root, _d, files in os.walk(trace_dir) for f in files]
     assert found, "trace directory is empty"
+
+
+def test_cli_bake_bundle_then_lightmap_lit_render(tmp_path):
+    """`bake --output FILE.npz` saves a {lightmap, tri_uv} bundle and
+    `render --raster --lightmap FILE.npz` renders lightmap-lit from it —
+    the CLI form of the reference's EnableLightMapRender flow
+    (Mesh.hlsl:155-162)."""
+    from dxrpathtracer_tpu.app.cli import main
+    bundle = tmp_path / "lm.npz"
+    rc = main(["bake", "--current-scene", "BoxTest", "--resolution", "32",
+               "--samples", "1", "--output", str(bundle)])
+    assert rc in (0, None)
+    data = np.load(bundle)
+    assert data["lightmap"].shape == (32, 32, 3)
+    assert data["tri_uv"].ndim == 3 and data["tri_uv"].shape[1:] == (3, 2)
+
+    out = tmp_path / "lit.png"
+    rc = main(["render", "--raster", "--current-scene", "BoxTest",
+               "--width", "32", "--height", "16",
+               "--lightmap", str(bundle), "--output", str(out)])
+    assert rc in (0, None)
+    assert out.exists()
