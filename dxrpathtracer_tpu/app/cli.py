@@ -123,6 +123,86 @@ def cmd_render(args):
     print(f"# wrote {args.output}", file=sys.stderr)
 
 
+def cmd_animate(args):
+    """Turntable animation with per-frame ON-DEVICE BVH rebuild.
+
+    The dynamic-geometry flow the reference's GPU accel-structure builds
+    enable (DXRPathTracer.cpp:2331-2488): every frame rigidly rotates the
+    whole scene on device (scene/animate.py), rebuilds the LBVH on device
+    (accel/device_build.py), and renders through the session's compiled
+    step — same shapes and static metadata each frame, so nothing
+    retraces and geometry never round-trips to the host.
+    """
+    import jax
+    from .session import RenderSession
+    from ..accel.device_build import build_table_device, lbvh_plan
+    from ..accel.lbvh import WIDTH, FlatBVH
+    from ..render.film import write_image
+    from ..scene.animate import rotate_scene_y
+
+    settings = _settings_from_args(args)
+    t0 = time.time()
+    sess = RenderSession(settings=settings, width=args.width, height=args.height)
+    # Dynamic geometry routes every traversal through the per-frame
+    # device-rebuilt W8 table; the W32/sunspace structures are host-built
+    # accelerators for static scenes (render_sample falls back when None).
+    sess.bvh2 = None
+    sess.bvh_ray = None
+    sess.sun_grid = None
+    sess._tri_table = None
+    sess._step = sess._build_step()
+
+    plan = lbvh_plan(sess.scene_host.num_triangles)
+    pos = np.asarray(sess.scene_host.positions)
+    lo, hi = pos.min(axis=0), pos.max(axis=0)
+    center = np.array([(lo[0] + hi[0]) / 2, 0.0, (lo[2] + hi[2]) / 2],
+                      np.float32)
+
+    @jax.jit
+    def frame_geometry(scene, theta):
+        sc = rotate_scene_y(scene, theta, center)
+        v0 = sc.positions[sc.tri_idx[:, 0]]
+        v1 = sc.positions[sc.tri_idx[:, 1]]
+        v2 = sc.positions[sc.tri_idx[:, 2]]
+        return sc, build_table_device(v0, v1, v2, plan)
+
+    os.makedirs(args.output, exist_ok=True)
+    print(f"# scene={sess.preset.name} tris={sess.scene_host.num_triangles} "
+          f"frames={args.frames} spp={args.spp} init={time.time() - t0:.1f}s",
+          file=sys.stderr)
+    base_scene = sess.scene
+    paths = []
+    import jax.numpy as jnp
+    for f in range(args.frames):
+        theta = 2.0 * np.pi * f / args.frames
+        sc, table = frame_geometry(base_scene, jnp.float32(theta))
+        bvh = FlatBVH(table=table, num_rows=plan.num_rows,
+                      num_tris=plan.num_tris, num_leaves=plan.num_leaves,
+                      leaf_size=plan.leaf_size, max_depth=plan.depth + 2,
+                      root_code=plan.root_code, width=WIDTH)
+        sess.reset_accumulation()
+        t1 = time.time()
+        for s in range(args.spp):
+            frame = sess.frame_constants(s)
+            sess._accum_slabs = sess._step(sc, bvh, sess._accum_slabs,
+                                           sess._sky_cube_dev, frame,
+                                           sess.settings)
+        sess.sample_idx = args.spp
+        disp = np.asarray(sess.display_image())
+        path = os.path.join(args.output, f"frame_{f:03d}.png")
+        write_image(path, disp)
+        paths.append(path)
+        print(f"# frame {f + 1}/{args.frames} {(time.time() - t1) * 1e3:.0f} ms "
+              f"-> {path}", file=sys.stderr)
+
+    if args.gif:
+        from PIL import Image
+        ims = [Image.open(p) for p in paths]
+        ims[0].save(args.gif, save_all=True, append_images=ims[1:],
+                    duration=max(20, int(1000 / args.fps)), loop=0)
+        print(f"# wrote {args.gif}", file=sys.stderr)
+
+
 def cmd_bake(args):
     from .session import RenderSession
     from ..bake.baker import Baker
@@ -221,6 +301,22 @@ def main(argv=None):
                                "equivalent)")
     _add_settings_flags(p_render)
     p_render.set_defaults(fn=cmd_render)
+
+    p_anim = sub.add_parser("animate",
+                            help="turntable animation with per-frame "
+                                 "on-device BVH rebuild (dynamic geometry)")
+    p_anim.add_argument("--width", type=int, default=640)
+    p_anim.add_argument("--height", type=int, default=360)
+    p_anim.add_argument("--frames", type=int, default=24)
+    p_anim.add_argument("--spp", type=int, default=4,
+                        help="samples per animation frame")
+    p_anim.add_argument("--output", type=str, default="anim",
+                        help="output directory for frame_NNN.png")
+    p_anim.add_argument("--gif", type=str, default=None,
+                        help="also assemble the frames into a GIF")
+    p_anim.add_argument("--fps", type=float, default=12.0)
+    _add_settings_flags(p_anim)
+    p_anim.set_defaults(fn=cmd_animate)
 
     p_bake = sub.add_parser("bake", help="bake a GI lightmap")
     p_bake.add_argument("--resolution", type=int, default=1024)

@@ -1,5 +1,19 @@
 import os
 
+# XLA:CPU compiles of the deepest traversal while_loops have segfaulted
+# inside backend_compile_and_load when the suite runs long in one process
+# (observed twice at tests/test_raster.py PCF compiles, 2026-08-19; the same
+# test passes in a fresh process). The crash signature is compile-time
+# recursion vs the default 8 MB main-thread stack — raise the soft limit to
+# the hard limit before anything compiles.
+import resource
+
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):
+    pass
+
 # Force CPU with 8 virtual devices BEFORE jax initializes: multi-chip sharding
 # tests run on a simulated mesh (SURVEY.md §4 — the CPU backend is our "WARP
 # software raytracing" equivalent for CI).
