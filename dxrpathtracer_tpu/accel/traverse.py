@@ -305,7 +305,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         bv=jnp.zeros((n,), jnp.float32),
     )
 
-    def body(s):
+    def body(s, rec_override=None):
         (idx, ox, oy, oz, dx, dy, dz, ivx, ivy, ivz, tmin,
          cur, pmask, snode, smask, sp,
          best_t, best_tri, best_u, best_v, it) = s
@@ -313,7 +313,8 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         # per-trace decision: the body is retraced at each compaction
         # phase's lane count, and the kernel needs a 128-multiple lane tile
         # dividing it
-        pallas_tile = _pb.pick_tile(cur.shape[0]) if pallas_enabled else None
+        pallas_tile = (_pb.pick_tile(cur.shape[0])
+                       if pallas_enabled and rec_override is None else None)
         if pallas_tile is not None:
             alive_p = cur != done_code
             is_leaf_p = alive_p & (cur < 0)
@@ -335,14 +336,26 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
         alive = cur != done_code
         is_leaf = alive & (cur < 0)
         is_int = alive & (cur >= 0)
-        row = jnp.where(is_leaf, ~cur, jnp.where(is_int, cur, 0))
-        # The only gather. NOTE: splitting it into 4 independent sub-gathers
-        # + concat (latency hiding, ~1.3x on the isolated gather —
-        # tools/microbench_gather.py) MISCOMPILES inside while_loop on the
-        # axon TPU stack: lanes >= 128 silently return misses for N <= ~576
-        # (eager execution of the same body is correct). Keep the single
-        # gather until the platform stack updates.
-        rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
+        if rec_override is not None:
+            # Peeled first step: every live lane is at the root, so the
+            # record is a BROADCAST of one statically-indexed row instead of
+            # a gather — and the all-same-row gather it replaces is this
+            # platform's measured WORST case (tools/microbench_onehot_top.py:
+            # 13.2 ms vs 8.2 ms random at 518k lanes). Dead lanes see
+            # different rec values than the gather path would give them, but
+            # every rec consumer is masked by is_leaf/is_int, so the state
+            # update is bit-identical.
+            rec = rec_override
+        else:
+            # The only gather. NOTE: splitting it into 4 independent
+            # sub-gathers + concat (latency hiding, ~1.3x on the isolated
+            # gather — tools/microbench_gather.py) MISCOMPILES inside
+            # while_loop on the axon TPU stack: lanes >= 128 silently return
+            # misses for N <= ~576 (eager execution of the same body is
+            # correct). Keep the single gather until the platform stack
+            # updates.
+            row = jnp.where(is_leaf, ~cur, jnp.where(is_int, cur, 0))
+            rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
 
         # ---- internal: slab-test all W children, bank by bank ----
         # (one (m, 8) f32 bank classically; two (m, W/2) de-interleaved bf16
@@ -449,6 +462,24 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
                   "cur", "pmask", "snode", "smask", "sp",
                   "bt", "btri", "bu", "bv")
     it = jnp.zeros((), jnp.int32)
+
+    # Root peel: run step 1 OUTSIDE the loop with the root record broadcast
+    # from a static index — no gather. Only applies when the root is an
+    # internal row (single-leaf scenes start at a leaf). Bit-exact vs the
+    # unpeeled loop (the loop just runs one fewer iteration). Measured
+    # NEUTRAL on the v5e (tools/ab_root_peel.py: -0.1%/+0.2% on the
+    # production bounce/terminal populations) — the all-same-row gather the
+    # peel removes is only the platform's worst case when EVERY iteration
+    # is degenerate (microbench_onehot_top.py clips all steps), not for the
+    # single first step. Default OFF: zero steady-state win, one extra body
+    # instantiation per traversal compile.
+    if int(os.environ.get("DXRPT_ROOT_PEEL", "0")) and bvh.root_code >= 0:
+        rec0 = jnp.broadcast_to(bvh.table[bvh.root_code][None, :],
+                                (n, bvh.table.shape[1]))
+        state = tuple(lane[k] for k in keys_order) + (it,)
+        state = body(state, rec_override=rec0)
+        lane = dict(zip(keys_order, state[:-1]))
+        it = state[-1]
     phase_iters = []  # cumulative step count at each phase boundary (stats)
     exit_chunks = []  # packed rows of lanes that exited at each boundary
     for pi, size in enumerate(sizes):

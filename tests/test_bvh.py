@@ -251,3 +251,28 @@ def test_quarantine_pad_equivalence(monkeypatch):
     assert np.array_equal(np.asarray(rec_ppad.tri_id),
                           np.asarray(rec_praw.tri_id))
     assert np.array_equal(np.asarray(rec_ppad.t), np.asarray(rec_praw.t))
+
+
+def test_root_peel_equivalence(monkeypatch):
+    """The root peel (accel/traverse.py: step 1 runs OUTSIDE the while_loop
+    with the root record broadcast from a static index instead of an
+    all-lanes-same-row gather) must be bit-exact vs the unpeeled loop, on
+    both W8 and W32 tables, for closest and any hit."""
+    rng = np.random.default_rng(17)
+    v0, v1, v2 = _soup(rng, 600)
+    o, d = _rays(rng, 2048)
+    o_d, d_d = jnp.asarray(o), jnp.asarray(d)
+
+    for bvh in (build_bvh(v0, v1, v2), build_bvh(v0, v1, v2, width=32)):
+        monkeypatch.setenv("DXRPT_ROOT_PEEL", "1")
+        rec_on = closest_hit(bvh, o_d, d_d, 0.0, 1e30)
+        vis_on = np.asarray(any_hit(bvh, o_d, d_d, 0.0, 1e30))
+        monkeypatch.setenv("DXRPT_ROOT_PEEL", "0")
+        rec_off = closest_hit(bvh, o_d, d_d, 0.0, 1e30)
+        vis_off = np.asarray(any_hit(bvh, o_d, d_d, 0.0, 1e30))
+        monkeypatch.delenv("DXRPT_ROOT_PEEL")
+        assert np.array_equal(np.asarray(rec_on.tri_id),
+                              np.asarray(rec_off.tri_id))
+        assert np.array_equal(np.asarray(rec_on.t), np.asarray(rec_off.t))
+        assert np.array_equal(np.asarray(rec_on.u), np.asarray(rec_off.u))
+        assert np.array_equal(vis_on, vis_off)
