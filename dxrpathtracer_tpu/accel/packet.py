@@ -242,9 +242,11 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
     # fixed cost (tools/costmodel.py), so shrinking lane count alone is not
     # enough — UNROLL steps per loop iteration amortize it.
     UNROLL = int(os.environ.get("DXRPT_PACKET_UNROLL", "2"))
+    from .traverse import compact_knobs
+    min_compact, max_phases = compact_knobs()
     sizes = [p]
-    while (len(sizes) <= MAX_COMPACT_PHASES + 2
-           and (sizes[-1] + 1) // 2 >= max(MIN_COMPACT_SIZE // PACKET, 32)):
+    while (len(sizes) <= max_phases + 2
+           and (sizes[-1] + 1) // 2 >= max(min_compact // PACKET, 32)):
         sizes.append((sizes[-1] + 1) // 2)
 
     def body_unrolled(s):

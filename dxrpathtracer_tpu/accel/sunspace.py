@@ -345,9 +345,11 @@ def sun_any_hit(grid: SunGrid, ray_o, ray_d, t_min, t_max, active=None,
             s = body(s)
         return s
 
+    from .traverse import compact_knobs
+    min_compact, max_phases = compact_knobs()
     sizes = [n]
-    while (len(sizes) <= MAX_COMPACT_PHASES
-           and sizes[-1] // 2 >= MIN_COMPACT_SIZE):
+    while (len(sizes) <= max_phases
+           and sizes[-1] // 2 >= min_compact):
         sizes.append(sizes[-1] // 2)
 
     # Boundary compaction uses the same packed-row scheme as

@@ -215,6 +215,25 @@ def _intersect_leaf(bvh, rec, o, d, t_min, is_leaf, best, accept_fn):
 # permute cost.
 MIN_COMPACT_SIZE = 8192
 MAX_COMPACT_PHASES = 4
+# The per-ray engines default to a DEEPER schedule: at 518k lanes the
+# 4x8192 schedule leaves a ~32k tail running to the worst lane plus up to
+# half-dead lanes inside each phase; 8 phases with a 2048 floor measured
+# 121.3 -> 114.6 ms (closest) / 104.4 -> 98.1 ms (any) on the production
+# bounce/terminal populations, bit-identical (tools/ab_compact_schedule.py,
+# v5e 960x540). Packets/sunspace keep the shallow schedule: their lane
+# counts are already small (4k packets / short grid chains), so extra
+# phases only buy compile time. DXRPT_SPREAD_DEAD_ROWS measured neutral.
+PER_RAY_MIN_COMPACT_SIZE = 2048
+PER_RAY_MAX_COMPACT_PHASES = 8
+
+
+def compact_knobs(default_min=MIN_COMPACT_SIZE,
+                  default_max=MAX_COMPACT_PHASES):
+    """(min_size, max_phases) with env overrides for schedule A/Bs
+    (tools/ab_compact_schedule.py). Read at trace time so a re-jit picks
+    up the current values."""
+    return (int(os.environ.get("DXRPT_MIN_COMPACT_SIZE", default_min)),
+            int(os.environ.get("DXRPT_MAX_COMPACT_PHASES", default_max)))
 
 
 
@@ -354,7 +373,17 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
             # misses for N <= ~576 (eager execution of the same body is
             # correct). Keep the single gather until the platform stack
             # updates.
-            row = jnp.where(is_leaf, ~cur, jnp.where(is_int, cur, 0))
+            # Dead (finished-but-not-yet-compacted) lanes still participate
+            # in the gather; row 0 for all of them is the platform's WORST
+            # gather pattern (microbench_onehot_top.py: all-same-row 13.2 ms
+            # vs random 8.2 at 518k). DXRPT_SPREAD_DEAD_ROWS=1 spreads dead
+            # lanes across rows instead (consumers are masked by
+            # is_leaf/is_int, so results are bit-identical).
+            if int(os.environ.get("DXRPT_SPREAD_DEAD_ROWS", "0")):
+                dead_row = idx % jnp.int32(bvh.num_rows)
+            else:
+                dead_row = 0
+            row = jnp.where(is_leaf, ~cur, jnp.where(is_int, cur, dead_row))
             rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
 
         # ---- internal: slab-test all W children, bank by bank ----
@@ -437,9 +466,11 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
                 cur_next, pmask_next, snode, smask, sp_next,
                 best_t, best_tri, best_u, best_v, it + 1)
 
+    min_compact, max_phases = compact_knobs(PER_RAY_MIN_COMPACT_SIZE,
+                                            PER_RAY_MAX_COMPACT_PHASES)
     sizes = [n]
-    while (len(sizes) <= MAX_COMPACT_PHASES
-           and sizes[-1] // 2 >= MIN_COMPACT_SIZE):
+    while (len(sizes) <= max_phases
+           and sizes[-1] // 2 >= min_compact):
         nxt = sizes[-1] // 2
         if nxt >= 2048:
             # multiples of 2048 give the Pallas body its full lane tile

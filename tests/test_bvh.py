@@ -276,3 +276,32 @@ def test_root_peel_equivalence(monkeypatch):
         assert np.array_equal(np.asarray(rec_on.t), np.asarray(rec_off.t))
         assert np.array_equal(np.asarray(rec_on.u), np.asarray(rec_off.u))
         assert np.array_equal(vis_on, vis_off)
+
+
+def test_compact_schedule_knobs_equivalence(monkeypatch):
+    """Deeper compaction schedules (DXRPT_MAX_COMPACT_PHASES /
+    DXRPT_MIN_COMPACT_SIZE) and spread dead-lane gather rows
+    (DXRPT_SPREAD_DEAD_ROWS) only change WHICH rows finished lanes fetch
+    and where phase boundaries fall — every consumer is masked, so results
+    must be bit-identical on both table widths, closest and any hit."""
+    rng = np.random.default_rng(23)
+    v0, v1, v2 = _soup(rng, 600)
+    o, d = _rays(rng, 4096)
+    o_d, d_d = jnp.asarray(o), jnp.asarray(d)
+
+    for bvh in (build_bvh(v0, v1, v2), build_bvh(v0, v1, v2, width=32)):
+        rec_base = closest_hit(bvh, o_d, d_d, 0.0, 1e30)
+        vis_base = np.asarray(any_hit(bvh, o_d, d_d, 0.0, 1e30))
+        monkeypatch.setenv("DXRPT_MAX_COMPACT_PHASES", "8")
+        monkeypatch.setenv("DXRPT_MIN_COMPACT_SIZE", "256")
+        monkeypatch.setenv("DXRPT_SPREAD_DEAD_ROWS", "1")
+        rec_deep = closest_hit(bvh, o_d, d_d, 0.0, 1e30)
+        vis_deep = np.asarray(any_hit(bvh, o_d, d_d, 0.0, 1e30))
+        monkeypatch.delenv("DXRPT_MAX_COMPACT_PHASES")
+        monkeypatch.delenv("DXRPT_MIN_COMPACT_SIZE")
+        monkeypatch.delenv("DXRPT_SPREAD_DEAD_ROWS")
+        assert np.array_equal(np.asarray(rec_deep.tri_id),
+                              np.asarray(rec_base.tri_id))
+        assert np.array_equal(np.asarray(rec_deep.t), np.asarray(rec_base.t))
+        assert np.array_equal(np.asarray(rec_deep.u), np.asarray(rec_base.u))
+        assert np.array_equal(vis_deep, vis_base)
