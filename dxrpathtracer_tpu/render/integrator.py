@@ -449,9 +449,15 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
                 normalize(closest, eps=1e-37), r_vec)
         else:
             shade_sun_dir = jnp.broadcast_to(sun_d, (n, 3))
+        # Exact-zero cull: calc_lighting multiplies by saturate(NdotL)
+        # against shade_sun_dir, so lanes facing away from the sun
+        # contribute exactly 0 regardless of visibility — skip their
+        # occlusion traversal (the compaction phases turn the smaller
+        # active set into real savings). Bit-identical output.
+        sun_relevant = hit & (dot(normal_ws, shade_sun_dir) > 0.0)
         shadow_reqs.append((pos, jnp.broadcast_to(sun_d, (n, 3)),
                             jnp.full((n,), 1e-5, f32),
-                            jnp.full((n,), FP32Max, f32), hit))
+                            jnp.full((n,), FP32Max, f32), sun_relevant))
         sun_light = brdf_lib.calc_lighting(
             normal_ws, shade_sun_dir, frame.sun_irradiance[None, :],
             diffuse_albedo, specular_albedo, roughness, pos,
@@ -480,7 +486,9 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
             falloff = saturate(1.0 - dd ** 4)
             falloff = (falloff * falloff) / (dist * dist + 1.0)
             ang_att = ang_att * falloff
-            relevant = hit & (ang_att > 0.0)
+            # NdotL <= 0 zeroes calc_lighting exactly — cull those lanes'
+            # shadow traversal too (bit-identical, see sun cull above).
+            relevant = hit & (ang_att > 0.0) & (dot(normal_ws, to_light) > 0.0)
 
             shadow_reqs.append((
                 pos + normal_ws * 0.01, to_light,
@@ -543,10 +551,17 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
     # Terminal sky-visibility ray joins the batched any_hit call
     # (RayTrace.hlsl:411-438).
     if not flags["continue_paths"] and not furnace:
+        # Exact-zero cull: the terminal ray only feeds
+        # beta * vis * sky * throughput — lanes whose path weight is
+        # exactly zero in every channel (metal diffuse picks; VNDF
+        # reflections below the horizon where G2 == 0) need no sky
+        # visibility. Bit-identical output.
+        term_weight = state["beta"] * throughput
         shadow_reqs.append((pos, ray_dir_ws,
                             jnp.full((n,), 1e-5, f32),
                             jnp.full((n,), FP32Max, f32),
-                            hit & ~lane_dead))
+                            hit & ~lane_dead
+                            & jnp.any(term_weight != 0.0, axis=-1)))
 
     mid = dict(hit=hit, lane_dead=lane_dead, local=local,
                throughput=throughput, ray_dir_ws=ray_dir_ws,
@@ -611,10 +626,15 @@ def _apply_vertex(settings: AppSettings, sky_cube, depth: int, flags, state,
     if flags["continue_paths"]:
         total = total + jnp.where(hit[..., None] & ~lane_dead[..., None],
                                   beta * local, 0.0)
+        # Exact-zero cull: once the accumulated path weight is zero in
+        # every channel, all future vertices contribute exactly 0 —
+        # terminate the lane (bit-identical; the reference would keep
+        # tracing and adding zeros, RayTrace.hlsl:379-438).
+        beta_next = beta * mid["throughput"]
         return dict(
             total=total,
-            beta=beta * mid["throughput"],
-            active=hit & ~lane_dead,
+            beta=beta_next,
+            active=hit & ~lane_dead & jnp.any(beta_next != 0.0, axis=-1),
             prev_is_diffuse=mid["pick_diffuse"],
             prev_roughness=mid["roughness"],
             ray_o=mid["pos"],
