@@ -38,16 +38,20 @@ try:
         WRONG numerics (observed: furnace sphere 0.704 vs true 0.8688 from a
         cache entry carrying +prefer-no-scatter/-gather this host lacks)."""
         feats = ""
+        model = ""
         try:
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
+                    if line.startswith("flags") and not feats:
                         feats = " ".join(sorted(line.split(":")[1].split()))
+                    elif line.startswith("model name") and not model:
+                        model = line.split(":", 1)[1].strip()
+                    if feats and model:
                         break
         except OSError:
             pass
         return _hashlib.sha1(
-            (feats + _jax.__version__).encode()).hexdigest()[:12]
+            (feats + model + _jax.__version__).encode()).hexdigest()[:12]
 
     if _os.environ.get("DXRPT_NO_COMPILATION_CACHE"):
         _cache_dir = ""

@@ -605,6 +605,22 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
 _PAD_BAND_LO = 32768   # largest verified-good shape below the band
 _PAD_BAND_HI = 131072  # first verified-good shape above the band
 
+# Round 4: the band is sweep-derived, not folklore. tools/sweep_lane_bands.py
+# compiles+runs every grid lane count on the device for all 5 scene tables
+# (both widths, render + bake ray populations) against the verified REF_N
+# dispatch and an independent numpy brute-force oracle, then writes the
+# measured band to data/lane_quarantine.json. The constants above remain the
+# fallback when no sweep artifact is committed.
+try:
+    import json as _json
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "lane_quarantine.json")) as _f:
+        _q = _json.load(_f)
+    _PAD_BAND_LO = int(_q["band_lo"])
+    _PAD_BAND_HI = int(_q["band_hi"])
+except (OSError, KeyError, ValueError):
+    pass
+
 
 def quarantine_pad_count(n: int) -> int:
     """Extra inactive lanes that move a dispatch out of the quarantined

@@ -124,6 +124,14 @@ class RenderSession:
         self.sample_idx = 0
         self._last_restart_key = None
         self._slab_h = self._slab_rows()
+        # Software-raster primary visibility (render/swraster.py): host-
+        # binned (tile, tri) pair lists, rebuilt whenever the camera moves
+        # (a camera move restarts accumulation anyway — the same
+        # amortization as the sun grid above).
+        self._raster_slabs = None
+        self._raster_key = None
+        self._raster_tri_table = None
+        self._update_raster()
         self.reset_accumulation()
         self._step = self._build_step()
 
@@ -151,6 +159,57 @@ class RenderSession:
                 self.scene_host, sun_dir / np.linalg.norm(sun_dir),
                 positions=np.asarray(self.scene_host.positions),
                 tri_idx=np.asarray(self.scene_host.tri_idx))
+
+    # Raster primaries only pay off when the per-sample pair work undercuts
+    # the packet traversal; below this slab pixel count the packet engine
+    # stays (pair count ~tracks triangle count, not resolution, so tiny
+    # frames would do MORE raster work than ray work).
+    RASTER_MIN_PIXELS = 262144
+
+    def _update_raster(self):
+        s = self.settings
+        from ..render.integrator import _packet_tile_dims
+        min_px = int(os.environ.get("DXRPT_RASTER_MIN_PIXELS",
+                                    self.RASTER_MIN_PIXELS))
+        slab_px = self._slab_h * self.width
+        pk = _packet_tile_dims(self._slab_h, self.width)
+        want = (s.enable_sw_raster and s.enable_packet_traversal
+                and not self.scene_host.materials.any_opacity
+                and slab_px >= min_px and slab_px % 128 == 0
+                and pk is not None)
+        key = ((self.camera.state_tuple(), self.width, self.height)
+               if want else None)
+        if key == self._raster_key:
+            return
+        self._raster_key = key
+        if not want:
+            self._raster_slabs = None
+            return
+        from ..accel.history import build_tri_table
+        from ..render.swraster import (bin_pairs_host, build_raster_bins,
+                                       pad_quantum, project_tri_bboxes)
+        with self.profiler.cpu_scope("BuildRasterBins"):
+            pos = np.asarray(self.scene_host.positions)
+            tri = np.asarray(self.scene_host.tri_idx)
+            if self._raster_tri_table is None:
+                self._raster_tri_table = jax.device_put(
+                    build_tri_table(pos, tri))
+            ty, tx = pk
+            vp = np.asarray(self.camera.view_projection(), np.float64)
+            near = float(self.camera.near_clip)
+            row0s = list(range(0, self.height, self._slab_h))
+            bboxes = project_tri_bboxes(pos, tri, vp, near, self.width,
+                                        self.height)
+            pairs = [bin_pairs_host(bboxes, self.width, self._slab_h, r0,
+                                    ty, tx) for r0 in row0s]
+            # one executable for all slabs: pad every slab to the max bucket
+            pad = max(pad_quantum(len(p[0])) for p in pairs)
+            self._raster_slabs = [
+                build_raster_bins(pos, tri, vp, near, self.width,
+                                  self.height, self._slab_h, r0, ty, tx,
+                                  self._raster_tri_table, pad_to=pad,
+                                  bboxes=bboxes)[0]
+                for r0 in row0s]
 
     def _update_sky(self):
         s = self.settings
@@ -211,14 +270,16 @@ class RenderSession:
             @partial(jax.jit, static_argnames=("settings",),
                      donate_argnums=(4, 5))
             def step_slab(scene, bvh, bvh2, bvh_ray, accum_slab, hist,
-                          sky_cube, frame, row0, sun_grid, tri_tab, settings):
+                          sky_cube, frame, row0, sun_grid, tri_tab, raster,
+                          settings):
                 history = (None if tri_tab is None
                            else {**hist, "tri_table": tri_tab})
                 out = render_sample(scene, bvh, sky_cube, settings, frame,
                                     width, slab_h, accum_slab,
                                     row_offset=row0, total_height=height,
                                     bvh2=bvh2, sun_bvh=sun_grid,
-                                    ray_bvh=bvh_ray, history=history)
+                                    ray_bvh=bvh_ray, history=history,
+                                    raster=raster)
                 if history is None:
                     return out, hist
                 accum_out, hist_out = out
@@ -241,7 +302,7 @@ class RenderSession:
 
             def step_slab(scene, bvh, _bvh2, _bvh_ray, accum_slab, hist,
                           sky_cube, frame, row0, _sun_grid, _tri_tab,
-                          settings):
+                          _raster, settings):
                 o, d, length, pix = raygen_slab(frame, row0, settings)
                 radiance = tracer.trace(scene, bvh, sky_cube, settings, frame,
                                         o, d, length, pix, width * height,
@@ -253,11 +314,14 @@ class RenderSession:
         row0_dev = [jnp.int32(r0) for r0 in range(0, height, slab_h)]
 
         def step(scene, bvh, slabs, sky_cube, frame, settings):
+            rasters = (self._raster_slabs
+                       or [None] * len(slabs))
             outs = [step_slab(scene, bvh, bvh2, bvh_ray, slab, hist,
                               sky_cube, frame, r0, self.sun_grid, tri_table,
-                              settings)
-                    for slab, hist, r0 in zip(slabs, self._hist_slabs,
-                                              row0_dev)]
+                              raster, settings)
+                    for slab, hist, r0, raster in zip(slabs,
+                                                      self._hist_slabs,
+                                                      row0_dev, rasters)]
             self._hist_slabs = [o[1] for o in outs]
             return [o[0] for o in outs]
 
@@ -289,6 +353,7 @@ class RenderSession:
         (DXRPathTracer::Update, :1338-1461)."""
         self._update_sky()
         self._update_sun_grid()
+        self._update_raster()
         key = (self.settings.restart_key(), self.camera.state_tuple(),
                self.width, self.height)
         if key != self._last_restart_key or self.settings.always_reset_path_trace:

@@ -88,6 +88,12 @@ class AppSettings:
     # grid (accel/sunspace.py) instead of the 3D BVH. Bit-identical
     # visibility by construction; the grid rebuilds when the sun moves.
     enable_sunspace_shadows: bool = True
+    # Software-raster primary visibility (render/swraster.py): depth-1
+    # closest hits from binned ray casting over screen tiles (host bins
+    # rebuilt per camera restart) instead of the packet BVH traversal.
+    # Hit-exact vs the traversal up to equal-t tie order; engages only on
+    # opaque scenes at packet-tiled dispatch sizes >= the session threshold.
+    enable_sw_raster: bool = True
     clamp_roughness: bool = False
     avoid_caustic_paths: bool = False
     # Benchmark mode (the reference's `static const bool Benchmark`,

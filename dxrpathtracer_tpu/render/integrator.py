@@ -555,7 +555,12 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
         # beta * vis * sky * throughput — lanes whose path weight is
         # exactly zero in every channel (metal diffuse picks; VNDF
         # reflections below the horizon where G2 == 0) need no sky
-        # visibility. Bit-identical output.
+        # visibility. Bit-identical up to an underflow caveat: the gate
+        # tests beta * throughput while the apply side computes
+        # beta * (vis * sky * throughput) in a different association
+        # order, so a product that flushes to exactly 0 here could round
+        # to a subnormal there (~1e-38-scale light through a forced
+        # vis=1). Visually invisible; noted for strict-exactness audits.
         term_weight = state["beta"] * throughput
         shadow_reqs.append((pos, ray_dir_ws,
                             jnp.full((n,), 1e-5, f32),
@@ -628,8 +633,11 @@ def _apply_vertex(settings: AppSettings, sky_cube, depth: int, flags, state,
                                   beta * local, 0.0)
         # Exact-zero cull: once the accumulated path weight is zero in
         # every channel, all future vertices contribute exactly 0 —
-        # terminate the lane (bit-identical; the reference would keep
-        # tracing and adding zeros, RayTrace.hlsl:379-438).
+        # terminate the lane (the reference would keep tracing and adding
+        # zeros, RayTrace.hlsl:379-438). One pathological divergence: a
+        # zero-beta lane that later produced a NaN/Inf `local` (degenerate
+        # normal) would propagate 0*NaN = NaN in the reference; here the
+        # lane stops first and the pixel stays clean.
         beta_next = beta * mid["throughput"]
         return dict(
             total=total,
@@ -660,7 +668,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 first_set_idx: int = 1, initial_is_diffuse: bool = False,
                 t_min0=0.0, active0=None, sample_idx=None,
                 packet_coherent: bool = False, bvh2=None, sun_bvh=None,
-                ray_bvh=None, history=None):
+                ray_bvh=None, history=None, raster=None):
     """Trace a wavefront of rays to completion; returns (N, 3) radiance.
 
     ray_o/ray_d/t_max describe the depth-1 rays (already jittered primaries for
@@ -691,6 +699,13 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     classic W8 `bvh`. Results are bit-exact either way (leaves stay f32;
     bf16 child AABBs are conservatively rounded, admitting only spurious
     descents).
+
+    raster (optional) is a render/swraster.RasterBins for THESE rays (camera
+    primaries in packet-tile order): depth-1 closest hits then come from the
+    binned software rasterizer (~2 gathered rows per screen-tile PAIR
+    instead of ~7 BVH rows per ray) — hit-exact vs the packet traversal up
+    to equal-t tie order. Opaque scenes only (alpha punch-through needs
+    re-traversal with advanced t_min, which bins can't answer).
 
     history (optional) enables EXACT temporal hit reuse at depth 1
     (accel/history.py): a dict {"prim_tri": (N,) i32 last-sample hit ids,
@@ -735,7 +750,14 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         # measurement was 148 packet vs 167-183 per-ray). Shadow/terminal
         # rays at depth >= 2 are per-ray for the same reason.
         pk_now = use_packet and (depth == 1 or ray_bvh is None)
-        if alpha_now:
+        raster_now = (raster is not None and depth == 1 and use_packet
+                      and not alpha_now and not use_history)
+        if raster_now:
+            from .swraster import raster_closest_hit
+            rec = raster_closest_hit(raster, state["ray_o"], state["ray_d"],
+                                     state["t_min"], state["t_max"],
+                                     state["active"])
+        elif alpha_now:
             base = (pk_closest if pk_now
                     else partial(closest_hit, rbvh))
             rec = _punch_through_closest(
@@ -1051,7 +1073,7 @@ def _untile_order(x, height, width, ty, tx):
 def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                   width: int, height: int, accum, row_offset=0,
                   total_height=None, bvh2=None, sun_bvh=None, ray_bvh=None,
-                  accum_sample_idx=None, history=None):
+                  accum_sample_idx=None, history=None, raster=None):
     """One progressive sample: raygen + trace + running-mean accumulation
     (RaygenShader, RayTrace.hlsl:92-149). Returns the new accumulation image
     (height, width, 3) f32.
@@ -1114,7 +1136,10 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
             _tile_order(ray_len, height, width, ty, tx),
             _tile_order(pixel_idx, height, width, ty, tx),
             n, first_set_idx=1, packet_coherent=True, bvh2=bvh2,
-            sun_bvh=sun_bvh, ray_bvh=ray_bvh, history=history)
+            sun_bvh=sun_bvh, ray_bvh=ray_bvh, history=history,
+            raster=raster if (raster is not None
+                              and (raster.ty, raster.tx) == (ty, tx))
+            else None)
         if history is not None:
             radiance, history = out
         else:

@@ -23,11 +23,16 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
-import sys, json
+import sys, json, os
 sys.path.insert(0, {repo!r})
 import jax
 if {cpu!r} == "cpu":
     jax.config.update("jax_platforms", "cpu")
+    # The CPU run is the CORRECTNESS REFERENCE: never let it execute
+    # persistent-cache XLA:CPU AOT entries (foreign-host entries load with
+    # only an error log but can run with silently wrong numerics — the
+    # round-3 "+prefer-no-scatter" loads; same policy as tests/conftest.py).
+    os.environ["DXRPT_NO_COMPILATION_CACHE"] = "1"
 import numpy as np
 from dxrpathtracer_tpu.app.session import RenderSession
 from dxrpathtracer_tpu.app.settings import AppSettings, Scenes
@@ -47,11 +52,12 @@ print(json.dumps({{"platform": jax.devices()[0].platform,
 # through the same traversal but at different lane counts and with the
 # TBN/CMJ/firefly program around them, so they need their own check.
 _CHILD_BAKE = r"""
-import sys, json
+import sys, json, os
 sys.path.insert(0, {repo!r})
 import jax
 if {cpu!r} == "cpu":
     jax.config.update("jax_platforms", "cpu")
+    os.environ["DXRPT_NO_COMPILATION_CACHE"] = "1"  # see _CHILD
 import numpy as np
 from dxrpathtracer_tpu.app.session import RenderSession
 from dxrpathtracer_tpu.app.settings import AppSettings, Scenes

@@ -37,6 +37,12 @@ CONFIGS = [
     (32, 12, 128),   # bf16 internal at the 512B ceiling
     (16, 24, 256),   # 1KB rows (24-tri leaves)
     (32, 24, 256),
+    # Round-4 candidates (VERDICT #1a): FAT f32 leaves in 1 KB rows — exact,
+    # no bf16-leaf retest machinery. Internal stays bf16 W32 (512 B used) or
+    # widens to bf16 W64 (768 B AABBs + 256 B codes = 1 KB exactly).
+    (32, 25, 256),   # 25 tris * 10 slots = 250 <= 256
+    (64, 25, 256),
+    (32, 18, 192),   # 768 B rows: 18-tri leaves, W32 internals
 ]
 
 
@@ -117,7 +123,9 @@ class SimTree:
                 tn = np.maximum(np.minimum(t0, t1).max(axis=1), 1e-4)
                 tf = np.minimum(np.maximum(t0, t1).min(axis=1), t_best)
                 valid = (lo[:, 0] <= hi[:, 0]) & (tn <= tf)
-                gate = ((mask >> np.arange(W)) & 1).astype(bool)
+                # python-int shifts: W=64 masks overflow numpy int64
+                gate = np.array([(mask >> j) & 1 for j in range(W)],
+                                dtype=bool)
                 hitm = valid & gate
                 if hitm.any():
                     keys = np.where(hitm, tn, 3e38)
