@@ -429,6 +429,46 @@ def sponza_alpha_standin(num_cards: int = 384, seed: int = 7):
     return scene, PRESETS[Scenes.Sponza]
 
 
+def tiny_alpha_scene():
+    """Minimal textured + alpha-tested scene (a ground plane and three
+    upright opacity cards, ~10 tris): exercises the bindless-texture gather
+    and the alpha-test hit-group selection without a 246k-triangle build.
+    Used by the multichip dryrun (a sharded render must be correct on
+    alpha-tested content, not just opaque BoxTest — VERDICT r3 #8) and as a
+    fast fixture anywhere the full sponza_alpha_standin is overkill.
+
+    Falls back to a procedural checker mask if the reference DDS is absent."""
+    from pathlib import Path
+
+    from .dds import load_dds
+    from .procedural import quat_from_roll_pitch_yaw
+    from .textures import AtlasBuilder, default_material_table
+
+    meshes = [make_plane((10.0, 10.0), (0.0, 0.0, 0.0), material_idx=0)]
+    for k, x in enumerate((-1.5, 0.0, 1.5)):
+        q = quat_from_roll_pitch_yaw(np.pi / 2.0, 0.35 * k, 0.0)
+        meshes.append(make_plane((1.5, 1.5), (x, 0.8, 0.5 * k),
+                                 orientation=q, material_idx=1))
+
+    builder = AtlasBuilder()
+    materials = default_material_table(2, builder)
+    dds_path = Path("/root/reference") / FOLIAGE_DDS
+    if dds_path.exists():
+        mask = load_dds(dds_path).data
+    else:
+        yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        mask = (((yy // 8 + xx // 8) % 2).astype(np.float32))[..., None]
+    op_idx = builder.add("alpha_card_opacity", mask)
+    opacity = np.asarray(materials.opacity).copy()
+    opacity[1] = op_idx
+    has_op = np.asarray(materials.has_opacity).copy()
+    has_op[1] = True
+    materials = dataclasses.replace(
+        materials, opacity=opacity, has_opacity=has_op, any_opacity=True)
+    scene = build_scene(meshes, materials=materials, atlas_builder=builder)
+    return scene, PRESETS[Scenes.Sponza]
+
+
 def load_scene(scene_enum: Scenes,
                strict: bool | None = None) -> tuple[Scene, ScenePreset]:
     """Returns (scene, preset). The scene pytree has HOST numpy leaves — move

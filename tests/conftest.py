@@ -81,7 +81,8 @@ _QUICK = {
     ("test_swraster.py", "test_near_plane_crossing_triangle"),
     ("test_exr.py", "test_cross_validate_cv2_reads_ours"),
     ("test_exr.py", "test_cross_validate_we_read_cv2"),
-    ("test_oracle.py", None),
+    ("test_oracle.py", "test_oracle_boxtest"),
+    ("test_oracle.py", "test_oracle_white_furnace"),
     ("test_integrator.py", "test_white_furnace_miss_is_one"),
 }
 
