@@ -200,16 +200,24 @@ class RenderSession:
             row0s = list(range(0, self.height, self._slab_h))
             bboxes = project_tri_bboxes(pos, tri, vp, near, self.width,
                                         self.height)
-            pairs = [bin_pairs_host(bboxes, self.width, self._slab_h, r0,
-                                    ty, tx) for r0 in row0s]
-            # one executable for all slabs: pad every slab to the max bucket
-            pad = max(pad_quantum(len(p[0])) for p in pairs)
+            built = [build_raster_bins(pos, tri, vp, near, self.width,
+                                       self.height, self._slab_h, r0, ty,
+                                       tx, self._raster_tri_table,
+                                       bboxes=bboxes)[0]
+                     for r0 in row0s]
+            # one executable for all slabs: pad every slab to the max
+            # (pair-tail, deep-tile) buckets
+            pair_pad = max(b.pair_tri.shape[0] for b in built)
+            deep_pad = max(b.deep_tiles.shape[0] for b in built)
             self._raster_slabs = [
-                build_raster_bins(pos, tri, vp, near, self.width,
-                                  self.height, self._slab_h, r0, ty, tx,
-                                  self._raster_tri_table, pad_to=pad,
-                                  bboxes=bboxes)[0]
-                for r0 in row0s]
+                b if (b.pair_tri.shape[0] == pair_pad
+                      and b.deep_tiles.shape[0] == deep_pad)
+                else build_raster_bins(pos, tri, vp, near, self.width,
+                                       self.height, self._slab_h, r0, ty,
+                                       tx, self._raster_tri_table,
+                                       pad_to=(pair_pad, deep_pad),
+                                       bboxes=bboxes)[0]
+                for b, r0 in zip(built, row0s)]
 
     def _update_sky(self):
         s = self.settings
@@ -231,6 +239,11 @@ class RenderSession:
         max_rays = int(os.environ.get("DXRPT_MAX_SLAB_RAYS",
                                       self.MAX_SLAB_RAYS))
         n_slabs = max(1, -(-n // max_rays))
+        # (A 216-row/5-slab variant giving square-ish (8, 16) tiles was
+        # A/B'd in round 4 and LOST end-to-end: the raster primary barely
+        # cares about tile shape (16.1 ms at (2, 64) vs 15.2 at (8, 16))
+        # while the extra slab costs ~60 ms of per-ray dispatch — bench
+        # 1321.8 vs 1258.8 ms. Fewest slabs above MAX_SLAB_RAYS stands.)
         while n_slabs > 1 and self.height % n_slabs != 0:
             n_slabs += 1
         return self.height // n_slabs if n_slabs <= self.height else self.height

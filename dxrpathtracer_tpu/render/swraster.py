@@ -59,12 +59,33 @@ def _register(cls, meta=()):
 
 @dataclasses.dataclass(frozen=True)
 class RasterBins:
-    """Tile-sorted (tile, triangle) pair lists for one row slab + the shared
+    """Binned (tile, triangle) work lists for one row slab + the shared
     exact triangle table. Host-built per (camera, slab); pair counts are
     bucketed to _PAD_QUANTUM so every slab of a frame shares one
-    executable."""
+    executable.
 
-    pair_tri: jax.Array    # (P,) i32 triangle id, -1 on padding
+    Three device representations of the same pair set, by tile depth
+    (every number from honest enqueued timing on the v5e, 2026-08-20):
+      dense_tbl — the first K_DENSE triangles of every tile as a
+        (n_tiles, K_DENSE) table: ONE batched gather + one fused
+        (n_tiles, K_DENSE, K) broadcast MT + a level-axis min. ~4-5 ms at
+        1080p-slab scale. (Per-level unrolled ops serialized on the TPU at
+        ~1 ms of fixed overhead each; the pair-major layout's per-pair
+        pixel-block gathers cost 13+ ms — both measured and rejected.)
+      deep_* — tiles deeper than K_DENSE get a second dense table of
+        K_DEEP more levels; only THEIR pixel blocks are gathered (a few
+        hundred 4.6 KB rows, vs the pair-major phase gathering one per
+        PAIR), then the same batched MT + min shape.
+      pair_* — the remaining tail (tiles deeper than K_DENSE + K_DEEP),
+        tile-sorted for the segmented min-scan. A handful of pairs for
+        real cameras; empty pair arrays skip the phase at trace time.
+    """
+
+    dense_tbl: jax.Array   # (n_tiles, K_DENSE) i32 tri ids, -1 pad
+    deep_tiles: jax.Array  # (D,) i32 tile id of each deep slot, -1 pad
+    deep_tbl: jax.Array    # (D, K_DEEP) i32 tri ids, -1 pad
+    deep_slot: jax.Array   # (n_tiles,) i32 deep slot of tile, -1 if shallow
+    pair_tri: jax.Array    # (P,) i32 tail tri ids, -1 on padding
     pair_tile: jax.Array   # (P,) i32 tile index (clipped in-range)
     pair_first: jax.Array  # (P, 1) f32 1.0 at each tile-segment start
     seg_last: jax.Array    # (n_tiles,) i32 index of tile's last pair, -1 empty
@@ -74,6 +95,10 @@ class RasterBins:
 
 
 _register(RasterBins, meta=("ty", "tx"))
+
+K_DENSE = 64   # dense levels per tile (>= p90 of per-tile counts at 1080p)
+K_DEEP = 256   # extra levels for deep tiles
+_DEEP_QUANTUM = 128
 
 
 def project_tri_bboxes(positions, tri_idx, view_proj, near, width,
@@ -194,6 +219,54 @@ def build_raster_bins(positions, tri_idx, view_proj, near, width,
                                     width, total_height)
     tri_s, tile_s, first, seg_last = bin_pairs_host(
         bboxes, width, slab_h, row0, ty, tx)
+    n_tiles = (width // tx) * (slab_h // ty)
+
+    # split by rank-within-tile: [0, K_DENSE) -> dense table;
+    # [K_DENSE, K_DENSE + K_DEEP) -> per-deep-tile table; the tail stays
+    # pair-major for the scan path.
+    P_all = len(tri_s)
+    dense = np.full((n_tiles, K_DENSE), -1, np.int32)
+    deep_slot = np.full(n_tiles, -1, np.int64)
+    deep_tiles = np.zeros(0, np.int64)
+    deep = np.zeros((0, K_DEEP), np.int32)
+    if P_all:
+        starts = np.flatnonzero(first)
+        seg_len = np.diff(np.concatenate([starts, [P_all]]))
+        rank = np.arange(P_all) - np.repeat(starts, seg_len)
+        in_dense = rank < K_DENSE
+        dense[tile_s[in_dense], rank[in_dense]] = tri_s[in_dense]
+        in_deep = ~in_dense & (rank < K_DENSE + K_DEEP)
+        deep_tiles = np.unique(tile_s[in_deep])
+        deep_slot[deep_tiles] = np.arange(len(deep_tiles))
+        deep = np.full((len(deep_tiles), K_DEEP), -1, np.int32)
+        deep[deep_slot[tile_s[in_deep]],
+             rank[in_deep] - K_DENSE] = tri_s[in_deep]
+        tail = ~in_dense & ~in_deep
+        tri_s = tri_s[tail]
+        tile_s = tile_s[tail]
+        # rebuild segment structure for the tail subset
+        P_ovf = len(tri_s)
+        first = np.ones(P_ovf, bool)
+        if P_ovf > 1:
+            first[1:] = tile_s[1:] != tile_s[:-1]
+        seg_last = np.full(n_tiles, -1, np.int64)
+        if P_ovf:
+            o_starts = np.flatnonzero(first)
+            o_ends = np.concatenate([o_starts[1:] - 1, [P_ovf - 1]])
+            seg_last[tile_s[o_starts]] = o_ends
+
+    # bucket the deep-tile count so slabs/cameras share executables
+    d = len(deep_tiles)
+    d_pad = 0 if d == 0 else -(-d // _DEEP_QUANTUM) * _DEEP_QUANTUM
+    if pad_to is not None and isinstance(pad_to, tuple):
+        pad_to, d_pad_req = pad_to
+        d_pad = max(d_pad, d_pad_req)
+    if d_pad > d:
+        deep_tiles = np.concatenate(
+            [deep_tiles, np.full(d_pad - d, -1, np.int64)])
+        deep = np.concatenate(
+            [deep, np.full((d_pad - d, K_DEEP), -1, np.int32)], axis=0)
+
     P = len(tri_s)
     P_pad = pad_to if pad_to is not None else pad_quantum(P)
     assert P_pad >= P
@@ -207,15 +280,23 @@ def build_raster_bins(positions, tri_idx, view_proj, near, width,
         first = np.concatenate([first, np.zeros(pad, bool)])
         first[P] = True
     return RasterBins(
-        pair_tri=jnp.asarray(tri_s),
-        pair_tile=jnp.asarray(tile_s),
+        dense_tbl=jnp.asarray(dense),
+        deep_tiles=jnp.asarray(deep_tiles.astype(np.int32)),
+        deep_tbl=jnp.asarray(deep),
+        deep_slot=jnp.asarray(deep_slot.astype(np.int32)),
+        pair_tri=jnp.asarray(tri_s.astype(np.int32)),
+        pair_tile=jnp.asarray(tile_s.astype(np.int32)),
         pair_first=jnp.asarray(first.astype(np.float32)[:, None]),
-        seg_last=jnp.asarray(seg_last),
+        seg_last=jnp.asarray(seg_last.astype(np.int32)),
         tri_table=tri_table, ty=int(ty), tx=int(tx)), P
 
 
 def pad_quantum(p):
-    return max(_PAD_QUANTUM, -(-max(p, 1) // _PAD_QUANTUM) * _PAD_QUANTUM)
+    """Pair-count bucket; 0 stays 0 (no overflow -> the pair-major phase is
+    skipped entirely at trace time)."""
+    if p == 0:
+        return 0
+    return max(_PAD_QUANTUM, -(-p // _PAD_QUANTUM) * _PAD_QUANTUM)
 
 
 def _mt_blocks(tt, ox, oy, oz, dx, dy, dz, tmin, tmax):
@@ -246,6 +327,29 @@ def _mt_blocks(tt, ox, oy, oz, dx, dy, dz, tmin, tmax):
     return t, u, v, ok
 
 
+def _levels_min(tri_table, tbl, comps, act, K):
+    """Batched level-table visibility: MT of tbl[r, k] against row r's K
+    pixels for all (r, k) at once, min-reduced over k with lowest-id
+    tie-break. tbl: (R, KD) i32 tri ids (-1 pad); comps: 8 (R, K) pixel
+    component arrays; act: (R, K) bool. Returns (best_t, best_id)."""
+    R, kd = tbl.shape
+    tt = jnp.take(tri_table, jnp.maximum(tbl.reshape(-1), 0), axis=0)
+    t3, _u3, _v3, ok3 = _mt_blocks(
+        tt,
+        *(jnp.broadcast_to(c[:, None, :], (R, kd, K)).reshape(-1, K)
+          for c in comps))
+    t3 = t3.reshape(R, kd, K)
+    ok3 = (ok3.reshape(R, kd, K) & act[:, None, :]
+           & (tbl >= 0)[:, :, None])
+    key3 = jnp.where(ok3, t3, _BIG)
+    best_t = jnp.min(key3, axis=1)                          # (R, K)
+    id_big = jnp.int32(2**31 - 1)
+    ids3 = jnp.where(ok3, tbl[:, :, None], id_big)
+    id_min = jnp.min(jnp.where(key3 <= best_t[:, None, :], ids3, id_big),
+                     axis=1)
+    return best_t, jnp.where(best_t < _BIG, id_min, -1)
+
+
 def raster_closest_hit(bins: RasterBins, ray_o, ray_d, t_min, t_max,
                        active=None):
     """Closest-hit over packet-tiled primary rays via the binned pair lists.
@@ -266,50 +370,89 @@ def raster_closest_hit(bins: RasterBins, ray_o, ray_d, t_min, t_max,
     if active is None:
         active = jnp.ones((n,), jnp.bool_)
 
-    # (n_tiles, 9K) pixel-block rows: [ox oy oz dx dy dz tmin tmax act]
-    comps = [ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
-             ray_d[:, 0], ray_d[:, 1], ray_d[:, 2],
-             t_min, t_max, active.astype(f32)]
-    block = jnp.concatenate([c.reshape(n_tiles, K) for c in comps], axis=1)
+    # Per-tile pixel blocks — reshapes of the lane arrays, NEVER gathered.
+    ox, oy, oz = (ray_o[:, c].reshape(n_tiles, K) for c in range(3))
+    dx, dy, dz = (ray_d[:, c].reshape(n_tiles, K) for c in range(3))
+    tmn = t_min.reshape(n_tiles, K)
+    tmx = t_max.reshape(n_tiles, K)
+    act = active.reshape(n_tiles, K)
 
-    blk = jnp.take(block, bins.pair_tile, axis=0)          # (P, 9K)
-    tt = jnp.take(bins.tri_table,
-                  jnp.maximum(bins.pair_tri, 0), axis=0)   # (P, 9)
+    # ---- dense phase: ALL K_DENSE levels of every tile in ONE batched
+    # broadcast MT + a min-reduce over the level axis. One big gather
+    # (n_tiles * K_DENSE rows) + fused (n_tiles, KD, K) elementwise math:
+    # a per-level unrolled loop was 64 tiny serialized ops' worth of fixed
+    # overhead on the TPU (measured ~1 ms/level — ops execute one at a
+    # time; there is no cross-op overlap to hide small gathers in).
+    comps = (ox, oy, oz, dx, dy, dz, tmn, tmx)
+    best_t, best_id = _levels_min(bins.tri_table, bins.dense_tbl, comps,
+                                  act, K)
 
-    ox, oy, oz = blk[:, 0:K], blk[:, K:2 * K], blk[:, 2 * K:3 * K]
-    dx, dy, dz = blk[:, 3 * K:4 * K], blk[:, 4 * K:5 * K], blk[:, 5 * K:6 * K]
-    tmn, tmx = blk[:, 6 * K:7 * K], blk[:, 7 * K:8 * K]
-    act = blk[:, 8 * K:9 * K] > 0.0
+    # ---- deep phase: tiles deeper than K_DENSE get K_DEEP more levels;
+    # ONLY their pixel blocks are gathered (a few hundred rows) and the
+    # same batched MT + min runs at (D, K_DEEP, K).
+    if bins.deep_tiles.shape[0]:
+        dt = jnp.maximum(bins.deep_tiles, 0)
+        comps_d = tuple(jnp.take(c, dt, axis=0) for c in comps)
+        act_d = (jnp.take(act, dt, axis=0)
+                 & (bins.deep_tiles >= 0)[:, None])
+        deep_t, deep_id = _levels_min(bins.tri_table, bins.deep_tbl,
+                                      comps_d, act_d, K)
+        # merge back per tile (scatter-free: each tile gathers its slot)
+        ds = bins.deep_slot                                 # (n_tiles,)
+        mt_ = jnp.take(deep_t, jnp.maximum(ds, 0), axis=0)
+        mid_ = jnp.take(deep_id, jnp.maximum(ds, 0), axis=0)
+        has = (ds >= 0)[:, None]
+        mt_ = jnp.where(has, mt_, _BIG)
+        mid_ = jnp.where(has, mid_, -1)
+        take_d = ((mid_ >= 0)
+                  & ((mt_ < best_t) | ((mt_ == best_t) & (mid_ < best_id))))
+        best_t = jnp.where(take_d, mt_, best_t)
+        best_id = jnp.where(take_d, mid_, best_id)
 
-    t, _u, _v, ok = _mt_blocks(tt, ox, oy, oz, dx, dy, dz, tmn, tmx)
-    ok = ok & act & (bins.pair_tri >= 0)[:, None]
-    key = jnp.where(ok, t, _BIG)                            # (P, K)
-    tid = jnp.where(ok, bins.pair_tri[:, None], -1)
+    # ---- overflow phase: pair-major + segmented min-scan ----
+    if bins.pair_tri.shape[0]:
+        blk9 = jnp.concatenate(
+            [ox, oy, oz, dx, dy, dz, tmn, tmx, act.astype(f32)], axis=1)
+        blk = jnp.take(blk9, bins.pair_tile, axis=0)        # (P, 9K)
+        tt = jnp.take(bins.tri_table,
+                      jnp.maximum(bins.pair_tri, 0), axis=0)
+        t, _u, _v, ok = _mt_blocks(
+            tt, blk[:, 0:K], blk[:, K:2 * K], blk[:, 2 * K:3 * K],
+            blk[:, 3 * K:4 * K], blk[:, 4 * K:5 * K], blk[:, 5 * K:6 * K],
+            blk[:, 6 * K:7 * K], blk[:, 7 * K:8 * K])
+        ok = ok & (blk[:, 8 * K:9 * K] > 0.0) & (bins.pair_tri >= 0)[:, None]
+        key = jnp.where(ok, t, _BIG)                        # (P, K)
+        tid = jnp.where(ok, bins.pair_tri[:, None], -1)
 
-    # Segmented min-scan along the pair axis (segments = tiles). The
-    # combine is the standard segmented-min operator: a start flag resets
-    # the running min. Associative, so lax.associative_scan's log-depth
-    # evaluation is exact. Ties in t take the lower triangle id.
-    def comb(a, b):
-        fa, ka, ia = a
-        fb, kb, ib = b
-        b_wins = (kb < ka) | ((kb == ka) & (ib < ia))
-        reset = fb > 0.0
-        k = jnp.where(reset, kb, jnp.where(b_wins, kb, ka))
-        i = jnp.where(reset, ib, jnp.where(b_wins, ib, ia))
-        return (jnp.maximum(fa, fb), k, i)
+        # Segmented min-scan along the pair axis (segments = tiles); a
+        # start flag resets the running min. Associative, so
+        # lax.associative_scan's log-depth evaluation is exact. Ties in t
+        # take the lower triangle id.
+        def comb(a, b):
+            fa, ka, ia = a
+            fb, kb, ib = b
+            b_wins = (kb < ka) | ((kb == ka) & (ib < ia))
+            reset = fb > 0.0
+            kk = jnp.where(reset, kb, jnp.where(b_wins, kb, ka))
+            ii = jnp.where(reset, ib, jnp.where(b_wins, ib, ia))
+            return (jnp.maximum(fa, fb), kk, ii)
 
-    _, kf, idf = jax.lax.associative_scan(
-        comb, (bins.pair_first, key, tid), axis=0)
+        _, kf, idf = jax.lax.associative_scan(
+            comb, (bins.pair_first, key, tid), axis=0)
 
-    # per-tile winner rows: the segment's LAST pair holds its full min
-    safe_last = jnp.maximum(bins.seg_last, 0)
-    win_t = jnp.take(kf, safe_last, axis=0)                 # (n_tiles, K)
-    win_id = jnp.take(idf, safe_last, axis=0)
-    empty = (bins.seg_last < 0)[:, None]
-    win_id = jnp.where(empty, -1, win_id)
+        safe_last = jnp.maximum(bins.seg_last, 0)
+        ov_t = jnp.take(kf, safe_last, axis=0)              # (n_tiles, K)
+        ov_id = jnp.take(idf, safe_last, axis=0)
+        has_ovf = (bins.seg_last >= 0)[:, None]
+        ov_t = jnp.where(has_ovf, ov_t, _BIG)
+        ov_id = jnp.where(has_ovf, ov_id, -1)
+        take_ovf = ((ov_id >= 0)
+                    & ((ov_t < best_t) | ((ov_t == best_t)
+                                          & (ov_id < best_id))))
+        best_t = jnp.where(take_ovf, ov_t, best_t)
+        best_id = jnp.where(take_ovf, ov_id, best_id)
 
-    tri_id = win_id.reshape(n)
+    tri_id = best_id.reshape(n)
     hit = tri_id >= 0
 
     # Exact re-test of each pixel's winner with its own ray: one (N,) row

@@ -30,16 +30,21 @@ def main():
     from dxrpathtracer_tpu.app.session import RenderSession
     from dxrpathtracer_tpu.app.settings import AppSettings, Scenes
 
-    def timed_frame(sess, reps=3):
+    def timed_frame(sess, reps=4, trials=3):
+        # enqueue `reps` frames per sync: one dispatch+readback pays the
+        # ~35-73 ms tunnel RTT floor (tools/_timing.py) — the round-3
+        # version of this tool synced per frame and every number under
+        # ~100 ms carried up to a full RTT of error
         sess.render_frame()
-        float(np.asarray(sess.accum[0, 0, 0]))  # tiny sync
-        ts = []
-        for _ in range(reps):
+        float(np.asarray(sess.accum[0, 0, 0]))  # compile + warm
+        best = float("inf")
+        for _ in range(trials):
             t0 = time.time()
-            sess.render_frame()
+            for _ in range(reps):
+                sess.render_frame(force=True)
             float(np.asarray(sess.accum[0, 0, 0]))
-            ts.append(time.time() - t0)
-        return min(ts)
+            best = min(best, (time.time() - t0) / reps)
+        return best
 
     results = {}
     for label, kw in [
