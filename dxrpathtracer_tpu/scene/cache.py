@@ -139,6 +139,11 @@ def default_cache_dir() -> str:
 def scene_cache_key(fbx_path: str, preset) -> str:
     h = hashlib.sha256()
     h.update(f"loader-v{LOADER_VERSION}".encode())
+    # alpha-split preprocessing (scene/alphasplit.py) changes the built
+    # geometry, so its config is part of the key
+    h.update(("alphasplit:"
+              + os.environ.get("DXRPT_NO_ALPHA_SPLIT", "")
+              + ":" + os.environ.get("DXRPT_ALPHA_SPLIT_LEVEL", "4")).encode())
     h.update(repr(dataclasses.astuple(preset)).encode())
     with open(fbx_path, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):

@@ -214,6 +214,8 @@ def _suntemple_standin_scene():
     if any_op:
         materials = dataclasses.replace(
             materials, opacity=opacity, has_opacity=has_op, any_opacity=True)
+        from .alphasplit import maybe_split_alpha
+        meshes, materials = maybe_split_alpha(meshes, materials, builder)
     return build_scene(meshes, materials=materials, atlas_builder=builder)
 
 
@@ -341,7 +343,11 @@ def _load_fbx_scene_full(preset: ScenePreset, strict: bool = False):
         angular_attenuation=[[l.inner_angle, l.outer_angle] for l in fbx.spot_lights],
     ) if fbx.spot_lights else make_spot_lights()
 
-    return build_scene(fbx.meshes, materials=materials, atlas_builder=builder,
+    meshes = fbx.meshes
+    if materials.any_opacity:
+        from .alphasplit import maybe_split_alpha
+        meshes, materials = maybe_split_alpha(meshes, materials, builder)
+    return build_scene(meshes, materials=materials, atlas_builder=builder,
                        lights=lights)
 
 
@@ -425,6 +431,8 @@ def sponza_alpha_standin(num_cards: int = 384, seed: int = 7):
     materials = dataclasses.replace(
         materials, opacity=opacity, has_opacity=has_op, any_opacity=True)
 
+    from .alphasplit import maybe_split_alpha
+    meshes, materials = maybe_split_alpha(meshes, materials, builder)
     scene = build_scene(meshes, materials=materials, atlas_builder=builder)
     return scene, PRESETS[Scenes.Sponza]
 

@@ -84,6 +84,9 @@ _QUICK = {
     ("test_oracle.py", "test_oracle_boxtest"),
     ("test_oracle.py", "test_oracle_white_furnace"),
     ("test_integrator.py", "test_white_furnace_miss_is_one"),
+    ("test_alphasplit.py", "test_classifier_matches_bruteforce"),
+    ("test_alphasplit.py", "test_extreme_masks"),
+    ("test_alphasplit.py", "test_cache_key_includes_split_env"),
 }
 
 _SLOW = {

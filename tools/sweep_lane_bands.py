@@ -138,6 +138,55 @@ def brute_check(v0, v1, v2, o, d, t_max, ref_t, ref_tri, k=256):
     return bad
 
 
+# Round-3's manually-bisected bad points (PERF_NOTES session 9): per-ray
+# closest over the theInn W8+W32 tables, degenerate for these lane counts.
+# The derived band always covers them — a partial sweep must never SHRINK
+# the quarantine below evidence from earlier sessions.
+KNOWN_BAD = [24576, 36864, 49152, 57600, 65536, 73728, 98304]
+
+
+def _point_ok(p):
+    """Re-evaluate a sweep point under the fraction criterion (older
+    artifacts stored strict equality, which flags near-tie fp noise)."""
+    n = p["n"]
+    lim = max(128, int(0.005 * n))
+    ok = True
+    if "closest_mismatch" in p:
+        ok = ok and p["closest_mismatch"] <= lim
+    if "any_mismatch" in p:
+        ok = ok and p["any_mismatch"] <= lim
+    return ok
+
+
+def derive_band(points, backend):
+    """Union quarantine band: covers every measured-bad lane count AND the
+    round-3 known-bad list, bounded by the nearest measured-good points."""
+    bad_ns = sorted({p["n"] for p in points
+                     if p.get("kind") != "ref" and not _point_ok(p)}
+                    | set(KNOWN_BAD))
+    good_ns = sorted({p["n"] for p in points
+                      if p.get("kind") != "ref" and _point_ok(p)})
+    # a lane count measured bad ANYWHERE is never a band edge
+    good_ns = [n for n in good_ns if n not in bad_ns]
+    if not bad_ns:
+        return None
+    lo_cands = [n for n in good_ns if n < min(bad_ns)]
+    hi_cands = [n for n in good_ns if n > max(bad_ns)]
+    # Padded dispatches land exactly ON band_hi, so band_hi choice is a
+    # compiled-program shape: keep the incumbent edge (131072, the round-3
+    # verified-good shape every production pad already compiles at) when
+    # measurements allow it, so a re-derivation doesn't invalidate the
+    # whole warm XLA cache for a cosmetically-smaller pad.
+    incumbent = 131072
+    band_hi = min(hi_cands) if hi_cands else REF_N
+    if incumbent in hi_cands:
+        band_hi = incumbent
+    return dict(band_lo=max(lo_cands) if lo_cands else 0,
+                band_hi=band_hi,
+                bad_points=bad_ns, backend=backend,
+                source="tools/sweep_lane_bands.py")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", default="Sponza,SunTemple,BoxTest,WhiteFurnace,Stronghold")
@@ -145,7 +194,30 @@ def main():
                     help="one scene, short grid (smoke test)")
     ap.add_argument("--widths", default="8,32")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--derive-only", action="store_true",
+                    help="re-derive the quarantine band from an existing "
+                         "artifact (no device work)")
     args = ap.parse_args()
+
+    if args.derive_only:
+        path = args.out or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "artifacts", "lane_sweep_tpu.json")
+        with open(path) as f:
+            results = json.load(f)
+        derived = derive_band(results["points"], results.get("backend", "?"))
+        results["derived_band"] = derived
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"derived band: {derived}")
+        if derived:
+            qpath = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "dxrpathtracer_tpu", "data", "lane_quarantine.json")
+            with open(qpath, "w") as f:
+                json.dump(derived, f, indent=1)
+            print(f"wrote {qpath}")
+        return
 
     import jax
     import jax.numpy as jnp
@@ -216,7 +288,14 @@ def main():
                             (np.asarray(rec.tri_id) != ref_tri[:n])
                             | (np.asarray(rec.t) != ref_t[:n])))
                         row["closest_mismatch"] = bad
-                        row["ok"] = bad == 0
+                        # Shape-dependent fp rounding legitimately flips
+                        # near-tie winners at the ~0.02% level (measured:
+                        # 7-90 of 524288 across ALL lane counts, including
+                        # verified-good ones); the miscompile signature is
+                        # catastrophic (~100% of lanes, one degenerate tri).
+                        # A max(128, 0.5%) threshold separates them by
+                        # 2-3 orders of magnitude either side.
+                        row["ok"] = bad <= max(128, int(0.005 * n))
                     if do_a:
                         if ref_any is None:
                             va, _ = any_hit_rec(bvh, o, d, tmin, tmax)
@@ -225,7 +304,8 @@ def main():
                                             tmax[:n])
                         bad_a = int(np.sum(np.asarray(va) != ref_any[:n]))
                         row["any_mismatch"] = bad_a
-                        row["ok"] = row.get("ok", True) and bad_a == 0
+                        row["ok"] = (row.get("ok", True)
+                                     and bad_a <= max(128, int(0.005 * n)))
                     row["sec"] = round(time.time() - t0, 1)
                     results["points"].append(row)
                     print(f"  n={n:7d} {'OK ' if row['ok'] else 'BAD'} "
@@ -238,18 +318,7 @@ def main():
                     json.dump(results, f, indent=1)
 
     # ---- derive quarantine bounds ----
-    bad_ns = sorted({p["n"] for p in results["points"]
-                     if p.get("kind") != "ref" and not p["ok"]})
-    good_ns = sorted({p["n"] for p in results["points"]
-                      if p.get("kind") != "ref" and p["ok"]})
-    derived = None
-    if bad_ns:
-        lo_cands = [n for n in good_ns if n < min(bad_ns)]
-        hi_cands = [n for n in good_ns if n > max(bad_ns)]
-        derived = dict(band_lo=max(lo_cands) if lo_cands else 0,
-                       band_hi=min(hi_cands) if hi_cands else REF_N,
-                       bad_points=bad_ns, backend=backend,
-                       source="tools/sweep_lane_bands.py")
+    derived = derive_band(results["points"], backend)
     results["derived_band"] = derived
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
