@@ -198,13 +198,20 @@ def split_alpha_meshes(meshes, materials, builder, threshold=0.35,
 
 def maybe_split_alpha(meshes, materials, builder, threshold=0.35,
                       max_level=None):
-    """Env-gated entry used by the scene registry: subdivides alpha meshes
-    unless DXRPT_NO_ALPHA_SPLIT=1 (the A/B and bit-parity escape hatch).
-    DXRPT_ALPHA_SPLIT_LEVEL overrides the max subdivision depth."""
+    """Env-gated entry used by the scene registry. DEFAULT OFF: the
+    interleaved device A/B (tools/ab_alphasplit.py, 2026-08-20) measured
+    SponzaAlpha@540p at 883 ms unsplit vs 1114 ms at level 4 vs 1676 ms at
+    level 6 — the subdivided foliage grows the BVH (36.8k -> 59k/279k rows)
+    faster than the dropped punch-through rounds pay back, because internal
+    rows dominate rows/ray on these topologies (PERF_NOTES round-4
+    fat-record simulation found the same shape). Kept as an opt-in
+    (DXRPT_ALPHA_SPLIT=1 [+ DXRPT_ALPHA_SPLIT_LEVEL]) and canary candidate:
+    hit-parity is test-pinned, so a future stack where gathers get cheaper
+    relative to rounds can re-measure in one env flip."""
     import logging
     import os
 
-    if os.environ.get("DXRPT_NO_ALPHA_SPLIT") == "1":
+    if os.environ.get("DXRPT_ALPHA_SPLIT") != "1":
         return meshes, materials
     if max_level is None:
         max_level = int(os.environ.get("DXRPT_ALPHA_SPLIT_LEVEL", "4"))

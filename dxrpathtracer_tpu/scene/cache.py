@@ -142,7 +142,7 @@ def scene_cache_key(fbx_path: str, preset) -> str:
     # alpha-split preprocessing (scene/alphasplit.py) changes the built
     # geometry, so its config is part of the key
     h.update(("alphasplit:"
-              + os.environ.get("DXRPT_NO_ALPHA_SPLIT", "")
+              + os.environ.get("DXRPT_ALPHA_SPLIT", "")
               + ":" + os.environ.get("DXRPT_ALPHA_SPLIT_LEVEL", "4")).encode())
     h.update(repr(dataclasses.astuple(preset)).encode())
     with open(fbx_path, "rb") as f:

@@ -163,11 +163,10 @@ def test_cache_key_includes_split_env(monkeypatch, tmp_path):
     f = tmp_path / "x.fbx"
     f.write_bytes(b"not an fbx")
     preset = PRESETS[Scenes.Sponza]
-    monkeypatch.delenv("DXRPT_NO_ALPHA_SPLIT", raising=False)
+    monkeypatch.delenv("DXRPT_ALPHA_SPLIT", raising=False)
     k0 = scene_cache_key(str(f), preset)
-    monkeypatch.setenv("DXRPT_NO_ALPHA_SPLIT", "1")
+    monkeypatch.setenv("DXRPT_ALPHA_SPLIT", "1")
     k1 = scene_cache_key(str(f), preset)
-    monkeypatch.delenv("DXRPT_NO_ALPHA_SPLIT")
     monkeypatch.setenv("DXRPT_ALPHA_SPLIT_LEVEL", "6")
     k2 = scene_cache_key(str(f), preset)
     assert len({k0, k1, k2}) == 3

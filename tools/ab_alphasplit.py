@@ -28,13 +28,13 @@ def build_session(level, width, height):
     from dxrpathtracer_tpu.scene.registry import sponza_alpha_standin
 
     old = {k: os.environ.get(k)
-           for k in ("DXRPT_NO_ALPHA_SPLIT", "DXRPT_ALPHA_SPLIT_LEVEL")}
+           for k in ("DXRPT_ALPHA_SPLIT", "DXRPT_ALPHA_SPLIT_LEVEL")}
     try:
         if level == 0:
-            os.environ["DXRPT_NO_ALPHA_SPLIT"] = "1"
+            os.environ.pop("DXRPT_ALPHA_SPLIT", None)
             os.environ.pop("DXRPT_ALPHA_SPLIT_LEVEL", None)
         else:
-            os.environ.pop("DXRPT_NO_ALPHA_SPLIT", None)
+            os.environ["DXRPT_ALPHA_SPLIT"] = "1"
             os.environ["DXRPT_ALPHA_SPLIT_LEVEL"] = str(level)
         scene, preset = sponza_alpha_standin()
         settings = AppSettings(current_scene=Scenes.Sponza,
