@@ -59,10 +59,38 @@ try:
         _cache_dir = _os.environ.get(
             "DXRPT_COMPILATION_CACHE",
             _os.path.expanduser("~/.cache/dxrpt_xla_cache"))
+    _cache_root = _cache_dir
     if _cache_dir:
         _cache_dir = _os.path.join(_cache_dir, _host_cache_key())
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:  # pragma: no cover - cache is best-effort
-    pass
+    _cache_root = ""
+
+
+def pin_backend_cache_dir():
+    """Re-point the persistent compile cache at a backend-stable directory
+    once the real backend is known (call after jax backend init, before the
+    first compile — RenderSession.__init__ does).
+
+    Why: the import-time cache dir is keyed by host CPU features because
+    XLA:CPU entries are host-AOT binaries (wrong-numerics hazard across
+    hosts, see _host_cache_key). But TPU executables are portable, and the
+    host key CHANGES when the VM migrates — round 3's driver bench paid a
+    189.8 s cold compile because its morning VM reported different cpuinfo
+    flags than the builder session that warmed the cache (two sibling cache
+    dirs, 89 MB of TPU entries stranded). Accelerator entries now live in
+    one `<backend>-jax<version>` directory that survives migrations; the
+    CPU backend keeps the host key."""
+    import jax
+
+    if not _cache_root or _os.environ.get("DXRPT_NO_COMPILATION_CACHE"):
+        return None
+    backend = jax.default_backend()
+    if backend == "cpu":
+        return None
+    stable = _os.path.join(_cache_root, f"{backend}-jax{jax.__version__}")
+    _os.makedirs(stable, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", stable)
+    return stable

@@ -54,6 +54,12 @@ class RenderSession:
         self.height = height
         self.profiler = Profiler()
 
+        # Accelerator compile-cache entries are host-portable; move the
+        # persistent cache to the migration-stable per-backend dir before
+        # the first compile (see dxrpathtracer_tpu.pin_backend_cache_dir).
+        from .. import pin_backend_cache_dir
+        pin_backend_cache_dir()
+
         if scene is None:
             scene, preset = load_scene(self.settings.current_scene)
         # Keep host numpy copies (BVH build reads them without device->host

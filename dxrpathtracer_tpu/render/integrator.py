@@ -38,6 +38,7 @@ Semantics parity checklist vs RayTrace.hlsl (each implemented below):
 """
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -184,7 +185,7 @@ def _make_alpha_test(scene, settings: AppSettings):
 
 
 def _punch_through_closest(closest_fn, accept, o, d, t_min, t_max, active,
-                           max_rounds: int = 8):
+                           max_rounds: int = 8, rest_fn=None):
     """Closest-hit with alpha testing as PUNCH-THROUGH: traverse with
     FORCE_OPAQUE semantics, evaluate the opacity accept_fn ONCE per
     candidate hit OUTSIDE the traversal loop, and re-traverse past rejected
@@ -201,7 +202,15 @@ def _punch_through_closest(closest_fn, accept, o, d, t_min, t_max, active,
 
     Identical results to the in-loop accept_fn for rejection chains up to
     max_rounds deep (foliage is 1-3); deeper chains fall back to treating
-    the surviving surface as opaque (pinned in tests)."""
+    the surviving surface as opaque (pinned in tests).
+
+    rest_fn (optional) handles rounds >= 2. Round 1 serves EVERY lane, so
+    coherent populations want the packet traversal; the surviving rejected
+    lanes (~a quarter, scattered across tiles) re-traverse round after
+    round, and a packet round re-walks the full node sequence of every
+    tile with even ONE active lane — the compacted per-ray W32 traversal
+    is the right engine there (interleaved device A/B in PERF_NOTES
+    round 4). Same results: both engines are hit-exact."""
     n = o.shape[0]
     f32 = jnp.float32
     i32 = jnp.int32
@@ -210,21 +219,25 @@ def _punch_through_closest(closest_fn, accept, o, d, t_min, t_max, active,
         und = s[0]
         return jnp.any(und) & (s[5] < max_rounds)
 
-    def body(s):
-        und, bt, btri, bu, bv, r, cur_tmin = s
-        rec = closest_fn(o, d, cur_tmin, t_max, und)
-        hit = und & (rec.tri_id >= 0)
-        acc = accept(rec.tri_id, rec.u, rec.v)
-        last = r >= max_rounds - 1
-        take = hit & (acc | last)   # final round: surviving surface = opaque
-        bt = jnp.where(take, rec.t, jnp.where(und & ~hit, t_max, bt))
-        btri = jnp.where(take, rec.tri_id, jnp.where(und & ~hit, -1, btri))
-        bu = jnp.where(take, rec.u, bu)
-        bv = jnp.where(take, rec.v, bv)
-        rejected = hit & ~acc & ~last
-        # strictly beyond the rejected surface (relative + absolute nudge)
-        cur_tmin = jnp.where(rejected, rec.t * (1.0 + 4e-6) + 1e-6, cur_tmin)
-        return (rejected, bt, btri, bu, bv, r + 1, cur_tmin)
+    def make_body(fn):
+        def body(s):
+            und, bt, btri, bu, bv, r, cur_tmin = s
+            rec = fn(o, d, cur_tmin, t_max, und)
+            hit = und & (rec.tri_id >= 0)
+            acc = accept(rec.tri_id, rec.u, rec.v)
+            last = r >= max_rounds - 1
+            take = hit & (acc | last)  # final round: surviving = opaque
+            bt = jnp.where(take, rec.t, jnp.where(und & ~hit, t_max, bt))
+            btri = jnp.where(take, rec.tri_id,
+                             jnp.where(und & ~hit, -1, btri))
+            bu = jnp.where(take, rec.u, bu)
+            bv = jnp.where(take, rec.v, bv)
+            rejected = hit & ~acc & ~last
+            # strictly beyond the rejected surface (relative+absolute nudge)
+            cur_tmin = jnp.where(rejected, rec.t * (1.0 + 4e-6) + 1e-6,
+                                 cur_tmin)
+            return (rejected, bt, btri, bu, bv, r + 1, cur_tmin)
+        return body
 
     state = (active,
              t_max.astype(f32) if hasattr(t_max, "astype")
@@ -233,7 +246,13 @@ def _punch_through_closest(closest_fn, accept, o, d, t_min, t_max, active,
              jnp.zeros((n,), f32), jnp.zeros((n,), f32),
              jnp.zeros((), i32),
              jnp.broadcast_to(jnp.asarray(t_min, f32), (n,)).astype(f32))
-    out = jax.lax.while_loop(cond, body, state)
+    if os.environ.get("DXRPT_NO_PUNCH_HYBRID"):  # A/B escape hatch
+        rest_fn = None
+    if rest_fn is not None and max_rounds > 1:
+        state = make_body(closest_fn)(state)  # peeled coherent round 1
+        out = jax.lax.while_loop(cond, make_body(rest_fn), state)
+    else:
+        out = jax.lax.while_loop(cond, make_body(closest_fn), state)
     from ..accel.traverse import HitRecord
     return HitRecord(t=out[1], tri_id=out[2], u=out[3], v=out[4])
 
@@ -762,7 +781,8 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                     else partial(closest_hit, rbvh))
             rec = _punch_through_closest(
                 base, alpha_test, state["ray_o"], state["ray_d"],
-                state["t_min"], state["t_max"], state["active"])
+                state["t_min"], state["t_max"], state["active"],
+                rest_fn=partial(closest_hit, rbvh) if pk_now else None)
         elif use_history and depth == 1:
             # Temporal hit reuse (accel/history.py): last sample's per-lane
             # hit triangle is revalidated (exact t upper bound) and the
@@ -829,7 +849,8 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 r = reqs[i]
                 if use_alpha:
                     rec = _punch_through_closest(
-                        pk_closest, alpha_test, r[0], r[1], r[2], r[3], r[4])
+                        pk_closest, alpha_test, r[0], r[1], r[2], r[3], r[4],
+                        rest_fn=partial(closest_hit, rbvh))
                     vis_list[i] = jnp.where(r[4] & (rec.tri_id >= 0),
                                             0.0, 1.0)
                 elif use_history and depth == 1 and kind == "sun":
