@@ -89,6 +89,15 @@ def pin_backend_cache_dir():
         return None
     backend = jax.default_backend()
     if backend == "cpu":
+        # The host-feature key is NOT sufficient for XLA:CPU AOT entries:
+        # observed live (round 4) — a VM migration kept /proc/cpuinfo
+        # identical while LLVM's detected tuning changed
+        # (+prefer-no-scatter/gather), so same-key entries loaded with an
+        # error log and undefined numerics. Three incidents of this class
+        # now; CPU caching is opt-in (DXRPT_CPU_CACHE=1) and correctness
+        # tooling (tests, crosscheck) must never set it.
+        if not _os.environ.get("DXRPT_CPU_CACHE"):
+            jax.config.update("jax_compilation_cache_dir", None)
         return None
     stable = _os.path.join(_cache_root, f"{backend}-jax{jax.__version__}")
     _os.makedirs(stable, exist_ok=True)

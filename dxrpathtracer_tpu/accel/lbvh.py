@@ -56,7 +56,8 @@ def _register(cls, meta=()):
 
 
 @partial(_register, meta=("num_rows", "num_tris", "num_leaves", "leaf_size",
-                          "max_depth", "root_code", "width"))
+                          "max_depth", "root_code", "width",
+                          "has_alpha_flags"))
 @dataclasses.dataclass(frozen=True)
 class FlatBVH:
     table: jax.Array  # (num_rows, RECORD) f32 unified records
@@ -70,6 +71,61 @@ class FlatBVH:
     # width in (16, 32) uses the bf16 internal layout (conservative directed
     # rounding — see build_table_numpy_sah_wide), leaves unchanged in f32.
     width: int = WIDTH
+    # leaf tri-id slots carry bit 30 = "alpha-tested material" (flag_alpha
+    # _tris post-pass): the traversal reads the flag from the already-
+    # streamed record (zero extra gathers) to collect alpha candidates
+    # in-loop; leaf intersectors strip the bit before returning tri ids.
+    has_alpha_flags: bool = False
+
+
+ALPHA_TID_BIT = np.int32(1 << 30)   # flag bit inside leaf tri-id slots
+
+
+def _leaf_rows(table: np.ndarray, root_code: int, width: int):
+    """Host BFS over the packed table: returns the leaf row ids. Child
+    codes live at [48:56) (W8) or [3W:4W) (wide bf16 layout); empty child
+    slots store code 0, which cannot be a real child (row 0 is the root)."""
+    leaves = []
+    if root_code < 0:
+        return [~root_code]
+    if width == 8:
+        code_lo, code_hi = 48, 56
+    else:
+        code_lo, code_hi = 3 * width, 4 * width
+    stack = [root_code]
+    seen = set()
+    while stack:
+        rid = stack.pop()
+        if rid in seen:
+            continue
+        seen.add(rid)
+        codes = table[rid, code_lo:code_hi].view(np.int32)
+        for c in codes:
+            c = int(c)
+            if c == 0:
+                continue  # empty slot
+            if c < 0:
+                leaves.append(~c)
+            else:
+                stack.append(c)
+    return leaves
+
+
+def flag_alpha_tris(table: np.ndarray, root_code: int, width: int,
+                    tri_alpha: np.ndarray) -> np.ndarray:
+    """OR ALPHA_TID_BIT into every leaf tri-id slot whose triangle has an
+    alpha-tested material. Runs on the HOST packed table (works for every
+    builder, native included); padded slots (tid == -1) are untouched."""
+    L = LEAF_SIZE
+    tri_alpha = np.asarray(tri_alpha, bool)
+    for rid in _leaf_rows(table, root_code, width):
+        tids = table[rid, 9 * L:10 * L].view(np.int32).copy()
+        valid = tids >= 0
+        flag = np.zeros_like(tids, bool)
+        flag[valid] = tri_alpha[tids[valid]]
+        tids[flag] |= ALPHA_TID_BIT
+        table[rid, 9 * L:10 * L] = tids.view(np.float32)
+    return table
 
 
 def morton_codes_30(centroids: np.ndarray) -> np.ndarray:
@@ -91,7 +147,8 @@ def morton_codes_30(centroids: np.ndarray) -> np.ndarray:
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               leaf_size: int = LEAF_SIZE, use_native: bool = True,
-              mode: str = "sah", width: int = WIDTH) -> FlatBVH:
+              mode: str = "sah", width: int = WIDTH,
+              tri_alpha: np.ndarray | None = None) -> FlatBVH:
     """Build a FlatBVH from (T, 3) triangle vertices (host numpy -> device).
 
     mode="sah" (default) is the quality build — binned SAH collapsed wide,
@@ -130,10 +187,15 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         packed = build(v0, v1, v2, leaf_size)
 
     table, num_rows, num_leaves, depth, root_code = packed
+    has_flags = tri_alpha is not None and bool(np.asarray(tri_alpha).any())
+    if has_flags:
+        table = np.ascontiguousarray(table)
+        flag_alpha_tris(table, int(root_code), int(width), tri_alpha)
     return FlatBVH(table=jnp.asarray(table), num_rows=int(num_rows),
                    num_tris=int(num_tris), num_leaves=int(num_leaves),
                    leaf_size=int(leaf_size), max_depth=int(depth) + 2,
-                   root_code=int(root_code), width=int(width))
+                   root_code=int(root_code), width=int(width),
+                   has_alpha_flags=has_flags)
 
 
 def build_table_numpy(v0, v1, v2, leaf_size: int = LEAF_SIZE):
@@ -680,10 +742,20 @@ def build_split_bvh(v0, v1, v2, leaf_size: int = MXU_LEAF,
 
 
 def build_bvh_for_scene(scene, positions=None, tri_idx=None,
-                        width: int = WIDTH) -> FlatBVH:
+                        width: int = WIDTH,
+                        flag_alpha: bool = False) -> FlatBVH:
     """Build from a Scene pytree. Pass host-numpy `positions`/`tri_idx` when
-    available to avoid device->host readbacks (slow over the TPU tunnel)."""
+    available to avoid device->host readbacks (slow over the TPU tunnel).
+
+    flag_alpha=True marks alpha-material triangles in the leaf tri-id slots
+    (ALPHA_TID_BIT) so the packet traversal can collect alpha candidates
+    in-loop — used by the K-candidate punch replacement."""
     pos = positions if positions is not None else np.asarray(scene.positions)
     tri = tri_idx if tri_idx is not None else np.asarray(scene.tri_idx)
+    tri_alpha = None
+    if flag_alpha and getattr(scene.materials, "any_opacity", False):
+        tri_mat = np.asarray(scene.tri_material)
+        has_op = np.asarray(scene.materials.has_opacity, bool)
+        tri_alpha = has_op[tri_mat]
     return build_bvh(pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]],
-                     width=width)
+                     width=width, tri_alpha=tri_alpha)

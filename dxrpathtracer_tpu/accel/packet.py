@@ -50,13 +50,28 @@ from .traverse import (HitRecord, _argmin8_block, _bitcast_i32,
                        pad_traversal_args, quarantine_pad_count)
 
 PACKET = 128
+# candidates extracted per leaf visit in the alpha-collect walk
+LEAF_EXTRACT = int(os.environ.get("DXRPT_LEAF_EXTRACT", "2"))
 
 
 def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
-                     first_hit: bool, stats: bool = False):
+                     first_hit: bool, stats: bool = False,
+                     collect_alpha: int = 0):
+    """collect_alpha=Kc > 0 turns on K-CANDIDATE alpha collection (requires
+    bvh.has_alpha_flags): the closest-hit walk treats flagged (alpha-
+    material) triangles as transparent for the best-hit/pruning state and
+    instead records each lane's Kc NEAREST flagged candidates (tri, t, u,
+    v) plus an overflow bit (more in-reach candidates existed than fit:
+    >1 flagged hit inside one leaf visit, or a sorted-buffer drop). One
+    traversal thus replaces the punch-through loop's re-traversals; the
+    caller alpha-tests the few candidates OUTSIDE the loop and falls back
+    to punch-through only for overflow lanes (render/integrator.py)."""
     n = ray_o.shape[0]
     if n % PACKET != 0:
         raise ValueError(f"packet traversal needs N % {PACKET} == 0, got {n}")
+    if collect_alpha:
+        assert not first_hit, "alpha collection is a closest-walk mode"
+        assert bvh.has_alpha_flags, "table was built without alpha flags"
     p = n // PACKET
     K = PACKET
 
@@ -93,6 +108,13 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
         bv=jnp.zeros((p, K), jnp.float32),
         it=jnp.zeros((), jnp.int32),
     )
+    if collect_alpha:
+        for sslot in range(collect_alpha):
+            state[f"ct{sslot}"] = jnp.full((p, K), _BIG, jnp.float32)
+            state[f"ctri{sslot}"] = jnp.full((p, K), -1, jnp.int32)
+            state[f"cu{sslot}"] = jnp.zeros((p, K), jnp.float32)
+            state[f"cv{sslot}"] = jnp.zeros((p, K), jnp.float32)
+        state["ovf"] = jnp.zeros((p, K), jnp.bool_)
 
     def body(s):
         cur = s["cur"]
@@ -106,6 +128,20 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
         ray_live = s["act"]
         if first_hit:
             ray_live = ray_live & (s["btri"] < 0)
+
+        # Pruning bound. Plain walks prune by the best (opaque) hit. The
+        # alpha-collect walk additionally prunes by the FARTHEST kept
+        # candidate once the K-buffer is full: anything beyond it can
+        # neither enter the buffer nor win (the resolver punches when all
+        # K reject), so without this bound a ray would walk the entire
+        # card field it used to stop at (measured: the unpruned walk gave
+        # back the whole punch-loop saving).
+        prune_t = s["bt"]
+        if collect_alpha:
+            last = collect_alpha - 1
+            kfull = s[f"ctri{last}"] >= 0
+            prune_t = jnp.minimum(prune_t,
+                                  jnp.where(kfull, s[f"ct{last}"], _BIG))
 
         # ---- internal: slab-test W children x K rays, bank by bank ----
         # (one (p, 8, K) f32 bank classically; two (p, W/2, K) de-interleaved
@@ -125,7 +161,7 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
             tn = jnp.maximum(jnp.maximum(nx, ny),
                              jnp.maximum(nz, s["tmin"][:, None, :]))
             tf = jnp.minimum(jnp.minimum(xx_, xy_),
-                             jnp.minimum(xz_, s["bt"][:, None, :]))
+                             jnp.minimum(xz_, prune_t[:, None, :]))
             # Empty child slots are encoded lo > hi in the RECORD (must be
             # tested there, not via the slab result — inf arithmetic can
             # "hit").
@@ -160,6 +196,10 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
         e2x, e2y, e2z = (rec[:, 6 * L:7 * L], rec[:, 7 * L:8 * L],
                          rec[:, 8 * L:9 * L])
         tid = _bitcast_i32(rec[:, 9 * L:10 * L])               # (p, L)
+        if bvh.has_alpha_flags:
+            from .lbvh import ALPHA_TID_BIT
+            aflag = (tid >= 0) & ((tid & jnp.int32(ALPHA_TID_BIT)) != 0)
+            tid = jnp.where(tid >= 0, tid & ~jnp.int32(ALPHA_TID_BIT), tid)
 
         rdx, rdy, rdz = (s["dx"][:, None, :], s["dy"][:, None, :],
                          s["dz"][:, None, :])
@@ -182,18 +222,72 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
         ok = (is_leaf[:, None, None] & (tid >= 0)[:, :, None]
               & (jnp.abs(det) > 1e-12)
               & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-              & (t >= s["tmin"][:, None, :]) & (t < s["bt"][:, None, :])
+              & (t >= s["tmin"][:, None, :]) & (t < prune_t[:, None, :])
               & ray_live[:, None, :])
 
-        # per-ray min over the L axis, lowest slot wins ties
-        key = jnp.where(ok, t, _BIG)                          # (p, L, K)
-        ck = jnp.min(key, axis=1)                             # (p, K)
-        slot = jnp.arange(L, dtype=jnp.int32)[None, :, None]
-        min_slot = jnp.min(jnp.where(key <= ck[:, None, :], slot, L), axis=1)
-        first = slot == min_slot[:, None, :]                  # (p, L, K)
-        ctid = jnp.sum(jnp.where(first, tid[:, :, None], 0), axis=1)
-        cu = jnp.sum(jnp.where(first, u, 0.0), axis=1)
-        cv = jnp.sum(jnp.where(first, v, 0.0), axis=1)
+        def leaf_min(ok_mask):
+            # per-ray min over the L axis, lowest slot wins ties
+            key = jnp.where(ok_mask, t, _BIG)                 # (p, L, K)
+            ck = jnp.min(key, axis=1)                         # (p, K)
+            slot = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+            min_slot = jnp.min(jnp.where(key <= ck[:, None, :], slot, L),
+                               axis=1)
+            first = slot == min_slot[:, None, :]              # (p, L, K)
+            ctid = jnp.sum(jnp.where(first, tid[:, :, None], 0), axis=1)
+            cu = jnp.sum(jnp.where(first, u, 0.0), axis=1)
+            cv = jnp.sum(jnp.where(first, v, 0.0), axis=1)
+            return ck, ctid, cu, cv
+
+        extra = {}
+        if collect_alpha:
+            ok_a = ok & aflag[:, :, None]
+            ok = ok & ~aflag[:, :, None]
+            # Up to LEAF_EXTRACT nearest candidates per leaf visit feed the
+            # sorted Kc-buffer (dense card fields regularly put 2 different
+            # cards' triangles in one leaf on one ray: single-extract
+            # measured 13-19% in-leaf overflow on SponzaAlpha primaries);
+            # only deeper in-leaf pileups or buffer drops overflow.
+            bufs = {nm: [s[f"{nm}{i}"] for i in range(collect_alpha)]
+                    for nm in ("ct", "ctri", "cu", "cv")}
+            ovf = s["ovf"]
+            ok_rem = ok_a
+            slot = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+            for _ in range(LEAF_EXTRACT):
+                key = jnp.where(ok_rem, t, _BIG)
+                ck_ = jnp.min(key, axis=1)
+                min_slot = jnp.min(jnp.where(key <= ck_[:, None, :],
+                                             slot, L), axis=1)
+                first = ok_rem & (slot == min_slot[:, None, :])
+                cand_t = ck_
+                cand_tri = jnp.sum(jnp.where(first, tid[:, :, None], 0),
+                                   axis=1)
+                cand_u = jnp.sum(jnp.where(first, u, 0.0), axis=1)
+                cand_v = jnp.sum(jnp.where(first, v, 0.0), axis=1)
+                cand_valid = cand_t < _BIG
+                ok_rem = ok_rem & ~first
+                for sslot in range(collect_alpha):
+                    st, stri = bufs["ct"][sslot], bufs["ctri"][sslot]
+                    su, sv = bufs["cu"][sslot], bufs["cv"][sslot]
+                    take = cand_valid & (cand_t < st)
+                    bufs["ct"][sslot] = jnp.where(take, cand_t, st)
+                    bufs["ctri"][sslot] = jnp.where(take, cand_tri, stri)
+                    bufs["cu"][sslot] = jnp.where(take, cand_u, su)
+                    bufs["cv"][sslot] = jnp.where(take, cand_v, sv)
+                    # displaced occupant becomes the carried candidate
+                    disp_valid = take & (stri >= 0)
+                    cand_t = jnp.where(take, st, cand_t)
+                    cand_tri = jnp.where(take, stri, cand_tri)
+                    cand_u = jnp.where(take, su, cand_u)
+                    cand_v = jnp.where(take, sv, cand_v)
+                    cand_valid = disp_valid | (cand_valid & ~take)
+                ovf = ovf | cand_valid  # a valid candidate fell off
+            ovf = ovf | jnp.any(ok_rem, axis=1)  # >LEAF_EXTRACT in leaf
+            for sslot in range(collect_alpha):
+                for nm in ("ct", "ctri", "cu", "cv"):
+                    extra[f"{nm}{sslot}"] = bufs[nm][sslot]
+            extra["ovf"] = ovf
+
+        ck, ctid, cu, cv = leaf_min(ok)
         win = ck < _BIG
         btri = jnp.where(win, ctid, s["btri"])
         bu = jnp.where(win, cu, s["bu"])
@@ -229,13 +323,21 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
 
         return dict(s, cur=cur_next, pmask=pmask_next, snode=snode,
                     smask=smask, sp=sp_next, bt=bt, btri=btri, bu=bu, bv=bv,
-                    it=s["it"] + 1)
+                    it=s["it"] + 1, **extra)
 
     # phase schedule over PACKETS (same policy as the per-ray path)
     out_t = pk(t_max.astype(jnp.float32))
     out_tri = jnp.full((p, K), -1, jnp.int32)
     out_u = jnp.zeros((p, K), jnp.float32)
     out_v = jnp.zeros((p, K), jnp.float32)
+    out_cand = {}
+    if collect_alpha:
+        for sslot in range(collect_alpha):
+            out_cand[f"ct{sslot}"] = jnp.full((p, K), _BIG, jnp.float32)
+            out_cand[f"ctri{sslot}"] = jnp.full((p, K), -1, jnp.int32)
+            out_cand[f"cu{sslot}"] = jnp.zeros((p, K), jnp.float32)
+            out_cand[f"cv{sslot}"] = jnp.zeros((p, K), jnp.float32)
+        out_cand["ovf"] = jnp.zeros((p, K), jnp.bool_)
 
     # Packet phases compact harder than the per-ray path (ceil-halving, more
     # phases): the tail is dominated by the ~125 us/iteration while_loop
@@ -275,6 +377,9 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
         out_tri = out_tri.at[state["idx"]].set(state["btri"], mode="drop")
         out_u = out_u.at[state["idx"]].set(state["bu"], mode="drop")
         out_v = out_v.at[state["idx"]].set(state["bv"], mode="drop")
+        for ck_ in out_cand:
+            out_cand[ck_] = out_cand[ck_].at[state["idx"]].set(
+                state[ck_], mode="drop")
 
         if not final:
             perm = _compact_perm(state["cur"] == done_code,
@@ -287,6 +392,19 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
 
     rec = HitRecord(t=out_t.reshape(n), tri_id=out_tri.reshape(n),
                     u=out_u.reshape(n), v=out_v.reshape(n))
+    if collect_alpha:
+        Kc = collect_alpha
+        cands = dict(
+            t=jnp.stack([out_cand[f"ct{s_}"].reshape(n)
+                         for s_ in range(Kc)], axis=1),
+            tri=jnp.stack([out_cand[f"ctri{s_}"].reshape(n)
+                           for s_ in range(Kc)], axis=1),
+            u=jnp.stack([out_cand[f"cu{s_}"].reshape(n)
+                         for s_ in range(Kc)], axis=1),
+            v=jnp.stack([out_cand[f"cv{s_}"].reshape(n)
+                         for s_ in range(Kc)], axis=1),
+            overflow=out_cand["ovf"].reshape(n))
+        return rec, cands
     if stats:
         return rec, {"sizes": tuple(sizes),
                      "phase_iters": jnp.stack(phase_iters)}
@@ -313,6 +431,31 @@ def packet_closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
         rec = HitRecord(t=rec.t[:n], tri_id=rec.tri_id[:n],
                         u=rec.u[:n], v=rec.v[:n])
     return rec
+
+
+def packet_closest_hit_alpha(bvh: FlatBVH, ray_o, ray_d, t_min, t_max,
+                             active=None, k_cands: int = 4):
+    """Closest-hit walk that ALSO returns each lane's k_cands nearest
+    alpha-material candidates (see _packet_traverse collect_alpha). Returns
+    (HitRecord opaque_best, cands) where cands = {t/tri/u/v: (N, Kc),
+    overflow: (N,) bool}; candidate tri ids are flag-stripped, padded
+    slots hold tri=-1/t=_BIG. Requires bvh.has_alpha_flags."""
+    n = ray_o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if active is None:
+        active = jnp.ones((n,), jnp.bool_)
+    pad = quarantine_pad_count(n)
+    if pad:
+        ray_o, ray_d, t_min, t_max, active = pad_traversal_args(
+            pad, ray_o, ray_d, t_min, t_max, active)
+    rec, cands = _packet_traverse(bvh, ray_o, ray_d, t_min, t_max, active,
+                                  first_hit=False, collect_alpha=k_cands)
+    if pad:
+        rec = HitRecord(t=rec.t[:n], tri_id=rec.tri_id[:n],
+                        u=rec.u[:n], v=rec.v[:n])
+        cands = {k_: v[:n] for k_, v in cands.items()}
+    return rec, cands
 
 
 def packet_any_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):

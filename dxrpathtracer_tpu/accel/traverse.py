@@ -161,6 +161,11 @@ def _intersect_leaf(bvh, rec, o, d, t_min, is_leaf, best, accept_fn):
     e1x, e1y, e1z = rec[:, 3 * L:4 * L], rec[:, 4 * L:5 * L], rec[:, 5 * L:6 * L]
     e2x, e2y, e2z = rec[:, 6 * L:7 * L], rec[:, 7 * L:8 * L], rec[:, 8 * L:9 * L]
     tid = _bitcast_i32(rec[:, 9 * L:10 * L])
+    if getattr(bvh, "has_alpha_flags", False):
+        # leaf tri ids carry the alpha-material bit (lbvh.ALPHA_TID_BIT);
+        # the per-ray engines don't use it — strip before any consumer
+        from .lbvh import ALPHA_TID_BIT
+        tid = jnp.where(tid >= 0, tid & ~jnp.int32(ALPHA_TID_BIT), tid)
 
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z

@@ -80,8 +80,11 @@ class RenderSession:
         with self.profiler.cpu_scope("BuildAccelStructure"):
             pos = np.asarray(self.scene_host.positions)
             tri = np.asarray(self.scene_host.tri_idx)
-            self.bvh = build_bvh_for_scene(self.scene, positions=pos,
-                                           tri_idx=tri)
+            # flag_alpha marks alpha-material triangles in the W8 table's
+            # leaf tri ids so the packet K-candidate walk replaces the
+            # punch-through loop on alpha scenes (no-op on opaque scenes)
+            self.bvh = build_bvh_for_scene(self.scene_host, positions=pos,
+                                           tri_idx=tri, flag_alpha=True)
             # Second table for the PER-RAY traversals only: wide bf16-internal
             # W=32 records (same 512 B rows, 32-ary fanout) cut rows/ray ~35%
             # and measured 89 vs 129 ms on terminal any-hit at 960x540, while

@@ -204,13 +204,14 @@ def _punch_through_closest(closest_fn, accept, o, d, t_min, t_max, active,
     max_rounds deep (foliage is 1-3); deeper chains fall back to treating
     the surviving surface as opaque (pinned in tests).
 
-    rest_fn (optional) handles rounds >= 2. Round 1 serves EVERY lane, so
-    coherent populations want the packet traversal; the surviving rejected
-    lanes (~a quarter, scattered across tiles) re-traverse round after
-    round, and a packet round re-walks the full node sequence of every
-    tile with even ONE active lane — the compacted per-ray W32 traversal
-    is the right engine there (interleaved device A/B in PERF_NOTES
-    round 4). Same results: both engines are hit-exact."""
+    rest_fn (optional, DEFAULT OFF) swaps rounds >= 2 onto a second engine
+    (the compacted per-ray W32 traversal). Measured WORSE on-device
+    (SponzaAlpha@540p interleaved: premium 509 -> 923 ms): inside a
+    while_loop the per-ray engine pays near-full-population cost per round
+    — its compaction phases are iteration-indexed, not occupancy-indexed,
+    so a 25%-occupied round still walks the full lockstep schedule, while
+    a packet round at least skips tiles with no rejected lanes. Kept as
+    DXRPT_PUNCH_HYBRID=1 for re-measurement on future stacks."""
     n = o.shape[0]
     f32 = jnp.float32
     i32 = jnp.int32
@@ -246,7 +247,7 @@ def _punch_through_closest(closest_fn, accept, o, d, t_min, t_max, active,
              jnp.zeros((n,), f32), jnp.zeros((n,), f32),
              jnp.zeros((), i32),
              jnp.broadcast_to(jnp.asarray(t_min, f32), (n,)).astype(f32))
-    if os.environ.get("DXRPT_NO_PUNCH_HYBRID"):  # A/B escape hatch
+    if not os.environ.get("DXRPT_PUNCH_HYBRID"):  # measured-negative: opt-in
         rest_fn = None
     if rest_fn is not None and max_rounds > 1:
         state = make_body(closest_fn)(state)  # peeled coherent round 1
@@ -255,6 +256,50 @@ def _punch_through_closest(closest_fn, accept, o, d, t_min, t_max, active,
         out = jax.lax.while_loop(cond, make_body(closest_fn), state)
     from ..accel.traverse import HitRecord
     return HitRecord(t=out[1], tri_id=out[2], u=out[3], v=out[4])
+
+
+def _kcand_closest(kcand_fn, punch_fn, accept, o, d, t_min, t_max, active,
+                   max_rounds: int = 8):
+    """Alpha-tested closest hit via ONE K-candidate packet traversal
+    (accel/packet.packet_closest_hit_alpha) instead of the punch-through
+    re-traversal loop: the walk returns the nearest opaque hit plus each
+    lane's K nearest alpha candidates; the opacity accept_fn runs on those
+    few candidates OUTSIDE the loop (sorted, so the first accepted slot is
+    the winner), and only overflow lanes (more in-reach candidates than K)
+    fall back to the punch loop. Exact same semantics: every candidate
+    nearer than the winner is alpha-tested, none skipped."""
+    n = o.shape[0]
+    rec, cands = kcand_fn(o, d, t_min, t_max, active)
+    kc = cands["tri"].shape[1]
+    # batched taps, nearest-first; winner = first accepted candidate
+    win_t = rec.t
+    win_tri = rec.tri_id
+    win_u = rec.u
+    win_v = rec.v
+    resolved = jnp.zeros((n,), jnp.bool_)
+    for s in range(kc):
+        tri_s = cands["tri"][:, s]
+        valid = (tri_s >= 0) & (cands["t"][:, s] < rec.t)
+        acc = accept(tri_s, cands["u"][:, s], cands["v"][:, s])
+        take = valid & acc & ~resolved
+        win_t = jnp.where(take, cands["t"][:, s], win_t)
+        win_tri = jnp.where(take, tri_s, win_tri)
+        win_u = jnp.where(take, cands["u"][:, s], win_u)
+        win_v = jnp.where(take, cands["v"][:, s], win_v)
+        resolved = resolved | take
+    # Punch when the walk may have hidden information: an in-leaf overflow
+    # (a dropped candidate could have been nearer than kept ones), or a
+    # FULL buffer with every kept candidate rejected — the walk pruned at
+    # the K-th candidate's t, so the true winner may lie beyond it.
+    buffer_full = cands["tri"][:, -1] >= 0
+    need_punch = active & (cands["overflow"] | (buffer_full & ~resolved))
+    prec = punch_fn(o, d, t_min, t_max, need_punch, max_rounds)
+    from ..accel.traverse import HitRecord
+    return HitRecord(
+        t=jnp.where(need_punch, prec.t, win_t),
+        tri_id=jnp.where(need_punch, prec.tri_id, win_tri),
+        u=jnp.where(need_punch, prec.u, win_u),
+        v=jnp.where(need_punch, prec.v, win_v))
 
 
 def _to_tangent(v_ws, tan, bit, nrm):
@@ -779,10 +824,24 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         elif alpha_now:
             base = (pk_closest if pk_now
                     else partial(closest_hit, rbvh))
-            rec = _punch_through_closest(
-                base, alpha_test, state["ray_o"], state["ray_d"],
-                state["t_min"], state["t_max"], state["active"],
-                rest_fn=partial(closest_hit, rbvh) if pk_now else None)
+
+            def punch_fn(o_, d_, tn_, tx_, act_, mr_, _base=base):
+                return _punch_through_closest(_base, alpha_test, o_, d_,
+                                              tn_, tx_, act_, max_rounds=mr_)
+
+            if (pk_now and not use_mxu and bvh.has_alpha_flags
+                    and not os.environ.get("DXRPT_NO_KCAND")):
+                from ..accel.packet import packet_closest_hit_alpha
+                kc = int(os.environ.get("DXRPT_KCAND", "8"))
+                rec = _kcand_closest(
+                    partial(packet_closest_hit_alpha, bvh, k_cands=kc),
+                    punch_fn, alpha_test, state["ray_o"], state["ray_d"],
+                    state["t_min"], state["t_max"], state["active"])
+            else:
+                rec = _punch_through_closest(
+                    base, alpha_test, state["ray_o"], state["ray_d"],
+                    state["t_min"], state["t_max"], state["active"],
+                    rest_fn=partial(closest_hit, rbvh) if pk_now else None)
         elif use_history and depth == 1:
             # Temporal hit reuse (accel/history.py): last sample's per-lane
             # hit triangle is revalidated (exact t upper bound) and the
@@ -848,9 +907,24 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 # visibility punches through with the PACKET closest-hit.
                 r = reqs[i]
                 if use_alpha:
-                    rec = _punch_through_closest(
-                        pk_closest, alpha_test, r[0], r[1], r[2], r[3], r[4],
-                        rest_fn=partial(closest_hit, rbvh))
+                    def sun_punch_fn(o_, d_, tn_, tx_, act_, mr_):
+                        return _punch_through_closest(
+                            pk_closest, alpha_test, o_, d_, tn_, tx_, act_,
+                            max_rounds=mr_)
+
+                    if (not use_mxu and bvh.has_alpha_flags
+                            and not os.environ.get("DXRPT_NO_KCAND")):
+                        from ..accel.packet import packet_closest_hit_alpha
+                        kc = int(os.environ.get("DXRPT_KCAND", "8"))
+                        rec = _kcand_closest(
+                            partial(packet_closest_hit_alpha, bvh,
+                                    k_cands=kc),
+                            sun_punch_fn, alpha_test,
+                            r[0], r[1], r[2], r[3], r[4])
+                    else:
+                        rec = _punch_through_closest(
+                            pk_closest, alpha_test, r[0], r[1], r[2], r[3],
+                            r[4], rest_fn=partial(closest_hit, rbvh))
                     vis_list[i] = jnp.where(r[4] & (rec.tri_id >= 0),
                                             0.0, 1.0)
                 elif use_history and depth == 1 and kind == "sun":

@@ -448,8 +448,8 @@ def tiny_alpha_scene():
     Falls back to a procedural checker mask if the reference DDS is absent."""
     from pathlib import Path
 
+    from ..core.quaternion import quat_from_roll_pitch_yaw
     from .dds import load_dds
-    from .procedural import quat_from_roll_pitch_yaw
     from .textures import AtlasBuilder, default_material_table
 
     meshes = [make_plane((10.0, 10.0), (0.0, 0.0, 0.0), material_idx=0)]
