@@ -112,18 +112,26 @@ def _leaf_rows(table: np.ndarray, root_code: int, width: int):
 
 
 def flag_alpha_tris(table: np.ndarray, root_code: int, width: int,
-                    tri_alpha: np.ndarray) -> np.ndarray:
-    """OR ALPHA_TID_BIT into every leaf tri-id slot whose triangle has an
-    alpha-tested material. Runs on the HOST packed table (works for every
-    builder, native included); padded slots (tid == -1) are untouched."""
+                    tri_alpha: np.ndarray | None,
+                    tri_ids: np.ndarray | None = None) -> np.ndarray:
+    """Leaf tri-id post-pass on the HOST packed table (works for every
+    builder, native included); padded slots (tid == -1) are untouched.
+
+    tri_alpha: OR ALPHA_TID_BIT into slots whose triangle has an
+    alpha-tested material. tri_ids: remap local build indices to global
+    scene triangle ids FIRST (for sub-geometry tables, e.g. the alpha-only
+    table — the builder numbers triangles 0..T_sub, but shading/accept
+    lookups need scene ids)."""
     L = LEAF_SIZE
-    tri_alpha = np.asarray(tri_alpha, bool)
     for rid in _leaf_rows(table, root_code, width):
         tids = table[rid, 9 * L:10 * L].view(np.int32).copy()
         valid = tids >= 0
-        flag = np.zeros_like(tids, bool)
-        flag[valid] = tri_alpha[tids[valid]]
-        tids[flag] |= ALPHA_TID_BIT
+        if tri_ids is not None:
+            tids[valid] = np.asarray(tri_ids, np.int32)[tids[valid]]
+        if tri_alpha is not None:
+            flag = np.zeros_like(tids, bool)
+            flag[valid] = np.asarray(tri_alpha, bool)[tids[valid]]
+            tids[flag] |= ALPHA_TID_BIT
         table[rid, 9 * L:10 * L] = tids.view(np.float32)
     return table
 
@@ -148,7 +156,8 @@ def morton_codes_30(centroids: np.ndarray) -> np.ndarray:
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               leaf_size: int = LEAF_SIZE, use_native: bool = True,
               mode: str = "sah", width: int = WIDTH,
-              tri_alpha: np.ndarray | None = None) -> FlatBVH:
+              tri_alpha: np.ndarray | None = None,
+              tri_ids: np.ndarray | None = None) -> FlatBVH:
     """Build a FlatBVH from (T, 3) triangle vertices (host numpy -> device).
 
     mode="sah" (default) is the quality build — binned SAH collapsed wide,
@@ -188,9 +197,10 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
     table, num_rows, num_leaves, depth, root_code = packed
     has_flags = tri_alpha is not None and bool(np.asarray(tri_alpha).any())
-    if has_flags:
+    if has_flags or tri_ids is not None:
         table = np.ascontiguousarray(table)
-        flag_alpha_tris(table, int(root_code), int(width), tri_alpha)
+        flag_alpha_tris(table, int(root_code), int(width),
+                        tri_alpha if has_flags else None, tri_ids=tri_ids)
     return FlatBVH(table=jnp.asarray(table), num_rows=int(num_rows),
                    num_tris=int(num_tris), num_leaves=int(num_leaves),
                    leaf_size=int(leaf_size), max_depth=int(depth) + 2,

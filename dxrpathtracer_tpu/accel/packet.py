@@ -56,7 +56,7 @@ LEAF_EXTRACT = int(os.environ.get("DXRPT_LEAF_EXTRACT", "2"))
 
 def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
                      first_hit: bool, stats: bool = False,
-                     collect_alpha: int = 0):
+                     collect_alpha: int = 0, exclude_alpha: bool = False):
     """collect_alpha=Kc > 0 turns on K-CANDIDATE alpha collection (requires
     bvh.has_alpha_flags): the closest-hit walk treats flagged (alpha-
     material) triangles as transparent for the best-hit/pruning state and
@@ -200,6 +200,8 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
             from .lbvh import ALPHA_TID_BIT
             aflag = (tid >= 0) & ((tid & jnp.int32(ALPHA_TID_BIT)) != 0)
             tid = jnp.where(tid >= 0, tid & ~jnp.int32(ALPHA_TID_BIT), tid)
+        else:
+            aflag = None
 
         rdx, rdy, rdz = (s["dx"][:, None, :], s["dy"][:, None, :],
                          s["dz"][:, None, :])
@@ -224,6 +226,11 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
               & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
               & (t >= s["tmin"][:, None, :]) & (t < prune_t[:, None, :])
               & ray_live[:, None, :])
+        if exclude_alpha and aflag is not None:
+            # opaque-only walk: alpha-material hits neither terminate nor
+            # prune — candidates come from the separate alpha-only table
+            # (the split-table design, render/integrator.py)
+            ok = ok & ~aflag[:, :, None]
 
         def leaf_min(ok_mask):
             # per-ray min over the L axis, lowest slot wins ties
@@ -411,9 +418,12 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
     return rec
 
 
-def packet_closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
+def packet_closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None,
+                       exclude_alpha: bool = False):
     """Closest-hit over coherent packets (see module docstring).
-    accept_fn is not supported — alpha-tested rays use accel.traverse."""
+    accept_fn is not supported — alpha-tested rays use accel.traverse.
+    exclude_alpha=True ignores flagged (alpha-material) triangles — the
+    opaque-only step of the split-table alpha design."""
     n = ray_o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -426,7 +436,7 @@ def packet_closest_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
         ray_o, ray_d, t_min, t_max, active = pad_traversal_args(
             pad, ray_o, ray_d, t_min, t_max, active)
     rec = _packet_traverse(bvh, ray_o, ray_d, t_min, t_max, active,
-                           first_hit=False)
+                           first_hit=False, exclude_alpha=exclude_alpha)
     if pad:
         rec = HitRecord(t=rec.t[:n], tri_id=rec.tri_id[:n],
                         u=rec.u[:n], v=rec.v[:n])
@@ -464,7 +474,8 @@ def packet_any_hit(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
     return packet_any_hit_rec(bvh, ray_o, ray_d, t_min, t_max, active)[0]
 
 
-def packet_any_hit_rec(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
+def packet_any_hit_rec(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None,
+                       exclude_alpha: bool = False):
     """packet_any_hit that also returns the occluder triangle id (-1 when
     unoccluded) for the history-seeded shadow path (accel/history.py)."""
     n = ray_o.shape[0]
@@ -477,7 +488,7 @@ def packet_any_hit_rec(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active=None):
         ray_o, ray_d, t_min, t_max, active = pad_traversal_args(
             pad, ray_o, ray_d, t_min, t_max, active)
     rec = _packet_traverse(bvh, ray_o, ray_d, t_min, t_max, active,
-                           first_hit=True)
+                           first_hit=True, exclude_alpha=exclude_alpha)
     occluded = active & (rec.tri_id >= 0)
     return (jnp.where(occluded, 0.0, 1.0)[:n],
             jnp.where(occluded, rec.tri_id, -1)[:n])

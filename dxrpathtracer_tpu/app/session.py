@@ -81,10 +81,30 @@ class RenderSession:
             pos = np.asarray(self.scene_host.positions)
             tri = np.asarray(self.scene_host.tri_idx)
             # flag_alpha marks alpha-material triangles in the W8 table's
-            # leaf tri ids so the packet K-candidate walk replaces the
-            # punch-through loop on alpha scenes (no-op on opaque scenes)
+            # leaf tri ids so the opaque-only walk of the split-table alpha
+            # design can ignore them in-loop (no-op on opaque scenes)
             self.bvh = build_bvh_for_scene(self.scene_host, positions=pos,
                                            tri_idx=tri, flag_alpha=True)
+            # Split-table alpha design (render/integrator.py
+            # _split_alpha_closest): a TINY separate BVH over just the
+            # alpha-material triangles. The K-candidate collection walk runs
+            # on this table — its per-iteration buffer bookkeeping is only
+            # affordable on a ~100-row walk, and punch-through fallback
+            # rounds against it cost ms instead of a full-scene traversal.
+            self.bvh_alpha = None
+            if getattr(self.scene_host.materials, "any_opacity", False):
+                from ..accel.lbvh import build_bvh
+                tri_mat = np.asarray(self.scene_host.tri_material)
+                has_op = np.asarray(self.scene_host.materials.has_opacity,
+                                    bool)
+                amask = has_op[tri_mat]
+                if amask.any():
+                    aidx = np.where(amask)[0].astype(np.int32)
+                    atr = tri[aidx]
+                    self.bvh_alpha = build_bvh(
+                        pos[atr[:, 0]], pos[atr[:, 1]], pos[atr[:, 2]],
+                        tri_alpha=has_op[tri_mat],  # global mask, post-remap
+                        tri_ids=aidx)
             # Second table for the PER-RAY traversals only: wide bf16-internal
             # W=32 records (same 512 B rows, 32-ary fanout) cut rows/ray ~35%
             # and measured 89 vs 129 ms on terminal any-hit at 960x540, while
@@ -286,6 +306,8 @@ class RenderSession:
 
         bvh_ray = getattr(self, "bvh_ray", None)
 
+        bvh_alpha = getattr(self, "bvh_alpha", None)
+
         tri_table = getattr(self, "_tri_table", None)
 
         if not os.environ.get("DXRPT_STAGED"):
@@ -293,7 +315,7 @@ class RenderSession:
                      donate_argnums=(4, 5))
             def step_slab(scene, bvh, bvh2, bvh_ray, accum_slab, hist,
                           sky_cube, frame, row0, sun_grid, tri_tab, raster,
-                          settings):
+                          alpha_bvh, settings):
                 history = (None if tri_tab is None
                            else {**hist, "tri_table": tri_tab})
                 out = render_sample(scene, bvh, sky_cube, settings, frame,
@@ -301,7 +323,7 @@ class RenderSession:
                                     row_offset=row0, total_height=height,
                                     bvh2=bvh2, sun_bvh=sun_grid,
                                     ray_bvh=bvh_ray, history=history,
-                                    raster=raster)
+                                    raster=raster, alpha_bvh=alpha_bvh)
                 if history is None:
                     return out, hist
                 accum_out, hist_out = out
@@ -324,7 +346,7 @@ class RenderSession:
 
             def step_slab(scene, bvh, _bvh2, _bvh_ray, accum_slab, hist,
                           sky_cube, frame, row0, _sun_grid, _tri_tab,
-                          _raster, settings):
+                          _raster, _alpha_bvh, settings):
                 o, d, length, pix = raygen_slab(frame, row0, settings)
                 radiance = tracer.trace(scene, bvh, sky_cube, settings, frame,
                                         o, d, length, pix, width * height,
@@ -340,7 +362,7 @@ class RenderSession:
                        or [None] * len(slabs))
             outs = [step_slab(scene, bvh, bvh2, bvh_ray, slab, hist,
                               sky_cube, frame, r0, self.sun_grid, tri_table,
-                              raster, settings)
+                              raster, bvh_alpha, settings)
                     for slab, hist, r0, raster in zip(slabs,
                                                       self._hist_slabs,
                                                       row0_dev, rasters)]

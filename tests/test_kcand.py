@@ -141,6 +141,61 @@ def test_candidates_sorted_and_stripped(alpha_fixture):
         assert not (~valid[:, s] & valid[:, s + 1]).any()
 
 
+def test_split_tables_match_punch(alpha_fixture):
+    """The production split-table design (opaque-only walk + tiny alpha
+    table + punch-tiny fallback) vs the single-table punch reference."""
+    from dxrpathtracer_tpu.accel.lbvh import build_bvh
+    from dxrpathtracer_tpu.render.integrator import (_split_alpha_closest,
+                                                     _split_alpha_visibility)
+    from dxrpathtracer_tpu.scene.registry import tiny_alpha_scene
+
+    scene, _ = tiny_alpha_scene()
+    sc, bvh, _, accept = alpha_fixture
+    pos = np.asarray(scene.positions)
+    tri = np.asarray(scene.tri_idx)
+    tri_mat = np.asarray(scene.tri_material)
+    has_op = np.asarray(scene.materials.has_opacity, bool)
+    aidx = np.where(has_op[tri_mat])[0].astype(np.int32)
+    atr = tri[aidx]
+    bvh_alpha = build_bvh(pos[atr[:, 0]], pos[atr[:, 1]], pos[atr[:, 2]],
+                          tri_alpha=has_op[tri_mat], tri_ids=aidx)
+    assert bvh_alpha.has_alpha_flags
+
+    n = 128 * 48
+    o, d = _card_rays(n, seed=5)
+    act = jnp.ones((n,), bool)
+    pk = partial(packet_closest_hit, bvh)
+
+    def alpha_punch_fn(o_, d_, tn_, tx_, a_, mr_):
+        return _punch_through_closest(
+            partial(packet_closest_hit, bvh_alpha), accept, o_, d_, tn_,
+            tx_, a_, max_rounds=mr_)
+
+    ref = _punch_through_closest(pk, accept, o, d, 0.001, 100.0, act)
+    got = _split_alpha_closest(
+        partial(packet_closest_hit, bvh, exclude_alpha=True),
+        partial(packet_closest_hit_alpha, bvh_alpha, k_cands=4),
+        alpha_punch_fn, accept, o, d,
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.full((n,), 100.0, jnp.float32), act)
+    ri, gi = np.asarray(ref.tri_id), np.asarray(got.tri_id)
+    rt, gt = np.asarray(ref.t), np.asarray(got.t)
+    mism = (ri != gi) | (np.abs(rt - gt) > 1e-5)
+    assert mism.sum() <= max(2, n // 1000), mism.sum()
+
+    # visibility flavor: blocked iff punch closest found an accepted hit
+    from dxrpathtracer_tpu.accel.packet import packet_any_hit_rec
+    vis = _split_alpha_visibility(
+        partial(packet_any_hit_rec, bvh, exclude_alpha=True),
+        partial(packet_closest_hit_alpha, bvh_alpha, k_cands=4),
+        alpha_punch_fn, accept, o, d,
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.full((n,), 100.0, jnp.float32), act)
+    want_blocked = ri >= 0
+    got_blocked = np.asarray(vis) == 0.0
+    assert (want_blocked == got_blocked).mean() > 0.999
+
+
 def test_render_image_kcand_vs_punch(alpha_fixture, monkeypatch):
     """Full trace_paths image with the K-candidate path vs DXRPT_NO_KCAND:
     the alpha resolution feeding shading/NEE must agree statistically

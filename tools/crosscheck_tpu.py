@@ -36,10 +36,17 @@ if {cpu!r} == "cpu":
 import numpy as np
 from dxrpathtracer_tpu.app.session import RenderSession
 from dxrpathtracer_tpu.app.settings import AppSettings, Scenes
+scene = preset = None
+name = {scene!r}
+if name == "SponzaAlpha":
+    # alpha-tested configuration (real BC4 opacity, K-candidate path)
+    from dxrpathtracer_tpu.scene.registry import sponza_alpha_standin
+    scene, preset = sponza_alpha_standin(num_cards=96)
+    name = "Sponza"
 sess = RenderSession(
-    settings=AppSettings(current_scene=getattr(Scenes, {scene!r}),
+    settings=AppSettings(current_scene=getattr(Scenes, name),
                          sqrt_num_samples=2),
-    width={w}, height={h})
+    width={w}, height={h}, scene=scene, preset=preset)
 img = np.asarray(sess.render_to_completion())
 np.save({out!r}, img)
 print(json.dumps({{"platform": jax.devices()[0].platform,
