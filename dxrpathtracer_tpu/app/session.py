@@ -202,8 +202,14 @@ class RenderSession:
                                     self.RASTER_MIN_PIXELS))
         slab_px = self._slab_h * self.width
         pk = _packet_tile_dims(self._slab_h, self.width)
+        # Alpha scenes: the raster binds ONLY opaque triangles and serves
+        # as the opaque-only step of the split-table alpha design (the
+        # tiny alpha BVH supplies the candidates) — alpha geometry is
+        # masked out of the bboxes below.
+        alpha_ok = (not self.scene_host.materials.any_opacity
+                    or getattr(self, "bvh_alpha", None) is not None)
         want = (s.enable_sw_raster and s.enable_packet_traversal
-                and not self.scene_host.materials.any_opacity
+                and alpha_ok
                 and slab_px >= min_px and slab_px % 128 == 0
                 and pk is not None)
         key = ((self.camera.state_tuple(), self.width, self.height)
@@ -229,6 +235,12 @@ class RenderSession:
             row0s = list(range(0, self.height, self._slab_h))
             bboxes = project_tri_bboxes(pos, tri, vp, near, self.width,
                                         self.height)
+            if self.scene_host.materials.any_opacity:
+                tri_mat = np.asarray(self.scene_host.tri_material)
+                has_op = np.asarray(self.scene_host.materials.has_opacity,
+                                    bool)
+                ok_mask, *rest_bb = bboxes
+                bboxes = (ok_mask & ~has_op[tri_mat], *rest_bb)
             built = [build_raster_bins(pos, tri, vp, near, self.width,
                                        self.height, self._slab_h, r0, ty,
                                        tx, self._raster_tri_table,

@@ -888,8 +888,20 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                         partial(packet_closest_hit, alpha_bvh), alpha_test,
                         o_, d_, tn_, tx_, act_, max_rounds=mr_)
 
+                if (raster is not None and depth == 1
+                        and not use_history):
+                    # session binds only OPAQUE triangles into the raster
+                    # on alpha scenes: it IS the opaque-only step
+                    from .swraster import raster_closest_hit
+
+                    def opq_fn(o_, d_, tn_, tx_, act_):
+                        return raster_closest_hit(raster, o_, d_, tn_,
+                                                  tx_, act_)
+                else:
+                    opq_fn = partial(packet_closest_hit, bvh,
+                                     exclude_alpha=True)
                 rec = _split_alpha_closest(
-                    partial(packet_closest_hit, bvh, exclude_alpha=True),
+                    opq_fn,
                     partial(packet_closest_hit_alpha, alpha_bvh,
                             k_cands=kc),
                     alpha_punch_fn, alpha_test,

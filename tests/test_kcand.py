@@ -196,6 +196,35 @@ def test_split_tables_match_punch(alpha_fixture):
     assert (want_blocked == got_blocked).mean() > 0.999
 
 
+def test_render_image_raster_opq_alpha(alpha_fixture, monkeypatch):
+    """Force the software raster to engage on the alpha scene (it binds
+    only opaque triangles and serves as the split design's opaque step):
+    the image must match the non-raster split render statistically."""
+    from dxrpathtracer_tpu.app.session import RenderSession
+    from dxrpathtracer_tpu.app.settings import Scenes
+    from dxrpathtracer_tpu.scene.registry import tiny_alpha_scene
+
+    scene, preset = tiny_alpha_scene()
+    sets = AppSettings(current_scene=Scenes.Sponza, sqrt_num_samples=1)
+    imgs = []
+    for force_raster in (True, False):
+        if force_raster:
+            monkeypatch.setenv("DXRPT_RASTER_MIN_PIXELS", "1")
+        else:
+            monkeypatch.delenv("DXRPT_RASTER_MIN_PIXELS", raising=False)
+        sess = RenderSession(settings=sets, width=128, height=64,
+                             scene=scene, preset=preset)
+        if force_raster:
+            assert sess._raster_slabs is not None, \
+                "raster did not engage on the alpha scene"
+        sess.render_to_completion()
+        imgs.append(np.asarray(sess.accum))
+    a, b = imgs
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    npx = (np.abs(a - b).max(-1) > 1e-4).sum()
+    assert npx <= a.shape[0] * a.shape[1] * 0.005, npx
+
+
 def test_render_image_kcand_vs_punch(alpha_fixture, monkeypatch):
     """Full trace_paths image with the K-candidate path vs DXRPT_NO_KCAND:
     the alpha resolution feeding shading/NEE must agree statistically

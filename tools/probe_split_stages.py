@@ -1,0 +1,118 @@
+"""Per-stage device timing of the split-table alpha design at production
+shapes: opaque-only walk, tiny-table candidate walk, taps, punch-tiny
+fallback — plus the monolithic punch reference. Localizes the cost that
+the whole-frame A/B (probe_alpha_premium) can only see in aggregate.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from dxrpathtracer_tpu.app.session import RenderSession
+    from dxrpathtracer_tpu.app.settings import AppSettings, Scenes
+    from dxrpathtracer_tpu.accel.packet import (packet_any_hit_rec,
+                                                packet_closest_hit,
+                                                packet_closest_hit_alpha)
+    from dxrpathtracer_tpu.render.integrator import (_make_alpha_test,
+                                                     _punch_through_closest,
+                                                     _packet_tile_dims,
+                                                     _tile_order, raygen)
+    from dxrpathtracer_tpu.scene.registry import sponza_alpha_standin
+
+    scene, preset = sponza_alpha_standin()
+    sess = RenderSession(settings=AppSettings(current_scene=Scenes.Sponza,
+                                              benchmark_mode=True),
+                         width=960, height=540, scene=scene, preset=preset)
+    bvh, bvh_alpha = sess.bvh, sess.bvh_alpha
+    sc = sess.scene
+    accept = _make_alpha_test(sc, sess.settings)
+    print(f"# full rows {bvh.num_rows}  alpha rows "
+          f"{bvh_alpha.num_rows if bvh_alpha else None}", flush=True)
+
+    # production primary rays in packet-tile order
+    fr = sess.frame_constants(0)
+    o, d, length, pix = raygen(sess.settings, fr, 960, 540, 0, 540)
+    ty, tx = _packet_tile_dims(540, 960)
+    o = _tile_order(o, 540, 960, ty, tx)
+    d = _tile_order(d, 540, 960, ty, tx)
+    length = _tile_order(length, 540, 960, ty, tx)
+    n = o.shape[0]
+    act = jnp.ones((n,), bool)
+    tmin = jnp.full((n,), 1e-3, jnp.float32)
+
+    stages = {}
+
+    def timed(name, fn, reps=4):
+        out = fn()
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+            else x, out)
+        # enqueue reps then sync via tiny readback
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn()
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(leaf.ravel()[0]))
+        dt = (time.time() - t0) / reps
+        stages[name] = dt
+        print(f"{name:28s} {dt*1e3:8.1f} ms", flush=True)
+        return out
+
+    pk_full = jax.jit(lambda o_, d_, tn, tx_, a: packet_closest_hit(
+        bvh, o_, d_, tn, tx_, a))
+    pk_opq = jax.jit(lambda o_, d_, tn, tx_, a: packet_closest_hit(
+        bvh, o_, d_, tn, tx_, a, exclude_alpha=True))
+    timed("closest FORCE_OPAQUE (full)", lambda: pk_full(o, d, tmin, length, act))
+    rec = timed("closest opq-only (full)", lambda: pk_opq(o, d, tmin, length, act))
+
+    kc = int(os.environ.get("DXRPT_KCAND", "8"))
+    kcand = jax.jit(lambda o_, d_, tn, tx_, a: packet_closest_hit_alpha(
+        bvh_alpha, o_, d_, tn, tx_, a, k_cands=kc))
+    _, cands = timed(f"tiny kcand walk (K={kc})",
+                     lambda: kcand(o, d, tmin, rec.t, act))
+
+    def taps():
+        accs = []
+        for s in range(kc):
+            accs.append(accept(cands["tri"][:, s], cands["u"][:, s],
+                               cands["v"][:, s]))
+        return jnp.stack(accs)
+    timed("taps (K slots)", jax.jit(taps))
+
+    full = cands["tri"][:, -1] >= 0
+    np_need = np.asarray(cands["overflow"] | full)
+    print(f"# punch fraction: {np_need.mean()*100:.2f}%", flush=True)
+    need = jnp.asarray(np_need)
+
+    punch_tiny = jax.jit(lambda a: _punch_through_closest(
+        partial(packet_closest_hit, bvh_alpha), accept, o, d, tmin, rec.t, a))
+    timed("punch-tiny (need lanes)", lambda: punch_tiny(need))
+
+    punch_full = jax.jit(lambda a: _punch_through_closest(
+        partial(packet_closest_hit, bvh), accept, o, d, tmin, length, a))
+    timed("punch-full (reference)", lambda: punch_full(act))
+
+    any_opq = jax.jit(lambda o_, d_, tn, tx_, a: packet_any_hit_rec(
+        bvh, o_, d_, tn, tx_, a, exclude_alpha=True))
+    timed("any-hit opq-only (full)", lambda: any_opq(o, d, tmin, length, act))
+
+    split_total = (stages["closest opq-only (full)"]
+                   + stages[f"tiny kcand walk (K={kc})"]
+                   + stages["taps (K slots)"]
+                   + stages["punch-tiny (need lanes)"])
+    print(f"\nsplit primary total ~{split_total*1e3:.1f} ms vs punch-full "
+          f"{stages['punch-full (reference)']*1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
