@@ -306,6 +306,45 @@ def _resolve_candidates(rec, cands, accept, active):
     return HitRecord(t=win_t, tri_id=win_tri, u=win_u, v=win_v), need_punch
 
 
+def _compact_punch(punch_fn, o, d, t_min, t_max, need, max_rounds: int):
+    """Run the punch-through fallback on a COMPACTED fixed-size dispatch.
+
+    The fallback involves a few percent of lanes, but a full-width punch
+    round still pays the packet walk's per-iteration floor over every
+    packet — measured 269 ms for 4.5% of lanes on the 125-row alpha table
+    (tools/probe_split_stages.py). Gathering the needy lanes into a
+    quarantine-safe static shape (16384 or 131072 — the open miscompile
+    band between them must not be dispatched) cuts each round ~4x; a
+    full-width sweeper handles the (rare) overflow beyond the cap and
+    compiles to a while_loop whose condition is immediately false
+    otherwise. Returns (HitRecord over all n lanes, handled mask)."""
+    from ..accel.traverse import HitRecord
+    n = o.shape[0]
+    cap = 16384 if n <= 16384 * 4 else 131072
+    cap = min(cap, n)
+    cnt = jnp.sum(need.astype(jnp.int32))
+    idx = jnp.nonzero(need, size=cap, fill_value=0)[0]
+    valid = jnp.arange(cap, dtype=jnp.int32) < cnt
+    prec = punch_fn(o[idx], d[idx], t_min[idx], t_max[idx], valid,
+                    max_rounds)
+    # scatter back (duplicate fill indices masked out via mode="drop")
+    idx_v = jnp.where(valid, idx, n)
+    out_t = t_max.at[idx_v].set(prec.t, mode="drop")
+    out_tri = jnp.full((n,), -1, jnp.int32).at[idx_v].set(prec.tri_id,
+                                                          mode="drop")
+    out_u = jnp.zeros((n,), jnp.float32).at[idx_v].set(prec.u, mode="drop")
+    out_v = jnp.zeros((n,), jnp.float32).at[idx_v].set(prec.v, mode="drop")
+    handled = jnp.zeros((n,), jnp.bool_).at[idx_v].set(True, mode="drop")
+    leftover = need & ~handled
+    lrec = punch_fn(o, d, t_min, t_max, leftover, max_rounds)
+    rec = HitRecord(
+        t=jnp.where(leftover, lrec.t, out_t),
+        tri_id=jnp.where(leftover, lrec.tri_id, out_tri),
+        u=jnp.where(leftover, lrec.u, out_u),
+        v=jnp.where(leftover, lrec.v, out_v))
+    return rec, handled | leftover
+
+
 def _split_alpha_closest(opq_fn, alpha_kcand_fn, alpha_punch_fn, accept,
                          o, d, t_min, t_max, active, max_rounds: int = 8):
     """Split-table alpha closest hit (the production alpha design):
@@ -325,7 +364,15 @@ def _split_alpha_closest(opq_fn, alpha_kcand_fn, alpha_punch_fn, accept,
     rec = opq_fn(o, d, t_min, t_max, active)
     _, cands = alpha_kcand_fn(o, d, t_min, rec.t, active)
     win, need_punch = _resolve_candidates(rec, cands, accept, active)
-    prec = alpha_punch_fn(o, d, t_min, rec.t, need_punch, max_rounds)
+    # full-buffer lanes already alpha-tested their K nearest candidates:
+    # the punch RESUMES past the K-th one (in-leaf-overflow lanes restart —
+    # their candidate ordering is suspect)
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), rec.t.shape)
+    resume = jnp.where(cands["overflow"], t_min_b,
+                       jnp.maximum(t_min_b,
+                                   cands["t"][:, -1] * (1.0 + 4e-6) + 1e-6))
+    prec, _ = _compact_punch(alpha_punch_fn, o, d, resume, rec.t,
+                             need_punch, max_rounds)
     punch_hit = need_punch & (prec.tri_id >= 0)
     from ..accel.traverse import HitRecord
     return HitRecord(
@@ -348,7 +395,14 @@ def _split_alpha_visibility(opq_any_fn, alpha_kcand_fn, alpha_punch_fn,
     rec0, cands = alpha_kcand_fn(o, d, t_min, t_max, need_alpha)
     win, need_punch = _resolve_candidates(rec0, cands, accept, need_alpha)
     accepted = need_alpha & (win.t < rec0.t)
-    prec = alpha_punch_fn(o, d, t_min, t_max, need_punch, max_rounds)
+    need_punch = need_punch & ~accepted  # an accepted candidate blocks
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), rec0.t.shape)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), rec0.t.shape)
+    resume = jnp.where(cands["overflow"], t_min_b,
+                       jnp.maximum(t_min_b,
+                                   cands["t"][:, -1] * (1.0 + 4e-6) + 1e-6))
+    prec, _ = _compact_punch(alpha_punch_fn, o, d, resume, t_max_b,
+                             need_punch, max_rounds)
     blocked = (blocked_opq | (need_alpha & accepted)
                | (need_punch & (prec.tri_id >= 0)))
     return jnp.where(blocked, 0.0, 1.0)

@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from _timing import timed as _timed
+
 
 def main():
     import jax
@@ -52,21 +54,20 @@ def main():
 
     stages = {}
 
-    def timed(name, fn, reps=4):
-        out = fn()
-        jax.tree_util.tree_map(
-            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-            else x, out)
-        # enqueue reps then sync via tiny readback
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn()
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(np.asarray(leaf.ravel()[0]))
-        dt = (time.time() - t0) / reps
+    def timed(name, fn, reps=8):
+        dt = _timed(fn, reps=reps)
         stages[name] = dt
         print(f"{name:28s} {dt*1e3:8.1f} ms", flush=True)
-        return out
+        return fn()
+
+    # control with a known answer (~35 ms round-3): opaque stand-in primary
+    osess = RenderSession(settings=AppSettings(current_scene=Scenes.Sponza,
+                                               benchmark_mode=True),
+                          width=960, height=540)
+    obvh = osess.bvh
+    pk_ctrl = jax.jit(lambda o_, d_, tn, tx_, a: packet_closest_hit(
+        obvh, o_, d_, tn, tx_, a))
+    timed("CONTROL opaque primary", lambda: pk_ctrl(o, d, tmin, length, act))
 
     pk_full = jax.jit(lambda o_, d_, tn, tx_, a: packet_closest_hit(
         bvh, o_, d_, tn, tx_, a))
