@@ -920,8 +920,15 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         # measurement was 148 packet vs 167-183 per-ray). Shadow/terminal
         # rays at depth >= 2 are per-ray for the same reason.
         pk_now = use_packet and (depth == 1 or ray_bvh is None)
+        # On alpha scenes the session's raster binds ONLY opaque triangles
+        # (split-table design): it may serve as the plain primary engine
+        # only when the scene has no alpha at all — a FORCE_OPAQUE
+        # configuration (alpha testing off / depth beyond max_any) must
+        # still see alpha geometry as opaque, which the masked raster
+        # cannot provide.
         raster_now = (raster is not None and depth == 1 and use_packet
-                      and not alpha_now and not use_history)
+                      and not alpha_now and not use_history
+                      and not scene.materials.any_opacity)
         if raster_now:
             from .swraster import raster_closest_hit
             rec = raster_closest_hit(raster, state["ray_o"], state["ray_d"],

@@ -225,6 +225,32 @@ def test_render_image_raster_opq_alpha(alpha_fixture, monkeypatch):
     assert npx <= a.shape[0] * a.shape[1] * 0.005, npx
 
 
+def test_force_opaque_mode_sees_cards(monkeypatch):
+    """max_any_hit_path_length=0 renders alpha geometry as OPAQUE
+    (FORCE_OPAQUE); the alpha-masked raster must NOT serve that primary
+    (regression: cards vanished and B-mode timing shifted)."""
+    from dxrpathtracer_tpu.app.session import RenderSession
+    from dxrpathtracer_tpu.app.settings import Scenes
+    from dxrpathtracer_tpu.scene.registry import tiny_alpha_scene
+
+    scene, preset = tiny_alpha_scene()
+    sets = AppSettings(current_scene=Scenes.Sponza, sqrt_num_samples=1,
+                       max_any_hit_path_length=0)
+    imgs = []
+    for force_raster in (True, False):
+        if force_raster:
+            monkeypatch.setenv("DXRPT_RASTER_MIN_PIXELS", "1")
+        else:
+            monkeypatch.delenv("DXRPT_RASTER_MIN_PIXELS", raising=False)
+        sess = RenderSession(settings=sets, width=128, height=64,
+                             scene=scene, preset=preset)
+        sess.render_to_completion()
+        imgs.append(np.asarray(sess.accum))
+    a, b = imgs
+    npx = (np.abs(a - b).max(-1) > 1e-4).sum()
+    assert npx <= a.shape[0] * a.shape[1] * 0.005, npx
+
+
 def test_render_image_kcand_vs_punch(alpha_fixture, monkeypatch):
     """Full trace_paths image with the K-candidate path vs DXRPT_NO_KCAND:
     the alpha resolution feeding shading/NEE must agree statistically

@@ -107,6 +107,47 @@ def main():
         bvh, o_, d_, tn, tx_, a, exclude_alpha=True))
     timed("any-hit opq-only (full)", lambda: any_opq(o, d, tmin, length, act))
 
+    # ---- d1 SUN visibility stages on REAL shadow rays (origins at the
+    # resolved primary hit points, one shared sun direction) ----
+    from dxrpathtracer_tpu.core.constants import FP32Max
+    from dxrpathtracer_tpu.render.integrator import (_split_alpha_closest,
+                                                     _split_alpha_visibility)
+
+    def alpha_punch(o_, d_, tn, tx_, a, mr):
+        return _punch_through_closest(
+            partial(packet_closest_hit, bvh_alpha), accept, o_, d_, tn,
+            tx_, a, max_rounds=mr)
+
+    split_rec = jax.jit(lambda: _split_alpha_closest(
+        lambda *args: pk_opq(*args),
+        partial(packet_closest_hit_alpha, bvh_alpha, k_cands=kc),
+        alpha_punch, accept, o, d, tmin, length, act))()
+    hitm = np.asarray(split_rec.tri_id) >= 0
+    print(f"# primary hit frac {hitm.mean():.3f}", flush=True)
+    hp = o + d * np.asarray(split_rec.t)[:, None]
+    sun_d = jnp.broadcast_to(
+        jnp.asarray(np.asarray(fr.sun_direction_ws), jnp.float32), (n, 3))
+    sun_o = jnp.asarray(hp)
+    sun_act = jnp.asarray(hitm)
+    stmin = jnp.full((n,), 1e-3, jnp.float32)
+    stmax = jnp.full((n,), FP32Max, jnp.float32)
+
+    timed("SUN any-hit opq-only", lambda: any_opq(
+        sun_o, sun_d, stmin, stmax, sun_act))
+    sun_kcand = jax.jit(lambda: packet_closest_hit_alpha(
+        bvh_alpha, sun_o, sun_d, stmin, stmax, sun_act, k_cands=kc))
+    _, scands = timed("SUN tiny kcand walk", sun_kcand)
+    sovf = np.asarray(scands["overflow"] | (scands["tri"][:, -1] >= 0))
+    print(f"# sun punch fraction: {sovf.mean()*100:.2f}%", flush=True)
+    sun_vis = jax.jit(lambda: _split_alpha_visibility(
+        lambda *args: packet_any_hit_rec(bvh, *args, exclude_alpha=True),
+        partial(packet_closest_hit_alpha, bvh_alpha, k_cands=kc),
+        alpha_punch, accept, sun_o, sun_d, stmin, stmax, sun_act))
+    timed("SUN split visibility ALL", sun_vis)
+    sun_punch_ref = jax.jit(lambda: _punch_through_closest(
+        pk_full, accept, sun_o, sun_d, stmin, stmax, sun_act))
+    timed("SUN punch-full (reference)", sun_punch_ref)
+
     split_total = (stages["closest opq-only (full)"]
                    + stages[f"tiny kcand walk (K={kc})"]
                    + stages["taps (K slots)"]
