@@ -287,7 +287,15 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
                     cand_u = jnp.where(take, su, cand_u)
                     cand_v = jnp.where(take, sv, cand_v)
                     cand_valid = disp_valid | (cand_valid & ~take)
-                ovf = ovf | cand_valid  # a valid candidate fell off
+                # NOTE: a candidate displaced off the end is always the
+                # (K+1)-th nearest so far — the resolver RESUMES past the
+                # K-th kept candidate for such lanes (full & unresolved),
+                # no flag needed. Only >LEAF_EXTRACT in-reach candidates
+                # inside ONE leaf make the kept ordering suspect (the
+                # extras could be nearer than buffered ones): that is the
+                # one non-resumable class the overflow bit reports.
+                # (Impossible by construction when the table's leaf_size
+                # <= LEAF_EXTRACT, e.g. the production leaf-2 alpha table.)
             ovf = ovf | jnp.any(ok_rem, axis=1)  # >LEAF_EXTRACT in leaf
             for sslot in range(collect_alpha):
                 for nm in ("ct", "ctri", "cu", "cv"):

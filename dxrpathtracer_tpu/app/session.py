@@ -101,8 +101,15 @@ class RenderSession:
                 if amask.any():
                     aidx = np.where(amask)[0].astype(np.int32)
                     atr = tri[aidx]
+                    # leaf_size=2: a leaf can never hold more in-reach
+                    # candidates than the walk's 2-per-leaf extraction, so
+                    # in-leaf overflow is structurally impossible and every
+                    # fallback lane can RESUME past its K-th candidate
+                    # (exact) instead of punch-restarting. The table stays
+                    # tiny (~500 rows for 768 card tris).
                     self.bvh_alpha = build_bvh(
                         pos[atr[:, 0]], pos[atr[:, 1]], pos[atr[:, 2]],
+                        leaf_size=2,
                         tri_alpha=has_op[tri_mat],  # global mask, post-remap
                         tri_ids=aidx)
             # Second table for the PER-RAY traversals only: wide bf16-internal

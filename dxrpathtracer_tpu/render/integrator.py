@@ -306,43 +306,135 @@ def _resolve_candidates(rec, cands, accept, active):
     return HitRecord(t=win_t, tri_id=win_tri, u=win_u, v=win_v), need_punch
 
 
-def _compact_punch(punch_fn, o, d, t_min, t_max, need, max_rounds: int):
-    """Run the punch-through fallback on a COMPACTED fixed-size dispatch.
+def _compact_lanes(need, n, cap):
+    """(idx, valid, handled): gather up to `cap` needy lanes into a static
+    compacted dispatch. cap must avoid the lane-count quarantine band —
+    use 16384 or 131072. `handled` marks lanes that made it in (the rest
+    go to a full-width sweeper whose while-condition is usually false)."""
+    cnt = jnp.sum(need.astype(jnp.int32))
+    idx = jnp.nonzero(need, size=cap, fill_value=0)[0]
+    valid = jnp.arange(cap, dtype=jnp.int32) < cnt
+    idx_v = jnp.where(valid, idx, n)
+    handled = jnp.zeros((n,), jnp.bool_).at[idx_v].set(True, mode="drop")
+    return idx, valid, idx_v, handled
 
-    The fallback involves a few percent of lanes, but a full-width punch
-    round still pays the packet walk's per-iteration floor over every
-    packet — measured 269 ms for 4.5% of lanes on the 125-row alpha table
-    (tools/probe_split_stages.py). Gathering the needy lanes into a
-    quarantine-safe static shape (16384 or 131072 — the open miscompile
-    band between them must not be dispatched) cuts each round ~4x; a
-    full-width sweeper handles the (rare) overflow beyond the cap and
-    compiles to a while_loop whose condition is immediately false
-    otherwise. Returns (HitRecord over all n lanes, handled mask)."""
+
+def _compact_punch(punch_fn, o, d, t_min, t_max, need, max_rounds: int):
+    """Punch-through on a COMPACTED dispatch + full-width sweeper for the
+    overflow beyond the cap (its while-condition is immediately false
+    otherwise). Returns a full-width HitRecord (misses where ~need)."""
     from ..accel.traverse import HitRecord
     n = o.shape[0]
     cap = 16384 if n <= 16384 * 4 else 131072
     cap = min(cap, n)
-    cnt = jnp.sum(need.astype(jnp.int32))
-    idx = jnp.nonzero(need, size=cap, fill_value=0)[0]
-    valid = jnp.arange(cap, dtype=jnp.int32) < cnt
+    idx, valid, idx_v, handled = _compact_lanes(need, n, cap)
     prec = punch_fn(o[idx], d[idx], t_min[idx], t_max[idx], valid,
                     max_rounds)
-    # scatter back (duplicate fill indices masked out via mode="drop")
-    idx_v = jnp.where(valid, idx, n)
     out_t = t_max.at[idx_v].set(prec.t, mode="drop")
     out_tri = jnp.full((n,), -1, jnp.int32).at[idx_v].set(prec.tri_id,
                                                           mode="drop")
     out_u = jnp.zeros((n,), jnp.float32).at[idx_v].set(prec.u, mode="drop")
     out_v = jnp.zeros((n,), jnp.float32).at[idx_v].set(prec.v, mode="drop")
-    handled = jnp.zeros((n,), jnp.bool_).at[idx_v].set(True, mode="drop")
     leftover = need & ~handled
     lrec = punch_fn(o, d, t_min, t_max, leftover, max_rounds)
-    rec = HitRecord(
+    return HitRecord(
         t=jnp.where(leftover, lrec.t, out_t),
         tri_id=jnp.where(leftover, lrec.tri_id, out_tri),
         u=jnp.where(leftover, lrec.u, out_u),
         v=jnp.where(leftover, lrec.v, out_v))
-    return rec, handled | leftover
+
+
+_RESUME_CAPS = (131072, 16384)
+
+
+def _nudge(t):
+    return t * (1.0 + 4e-6) + 1e-6
+
+
+def _alpha_resolve_all(alpha_kcand_fn, alpha_punch_fn, accept, o, d,
+                       t_min, bound, active, rec_default,
+                       max_rounds: int = 8):
+    """Full alpha-candidate resolution against the tiny alpha table.
+
+    One full-width K-candidate walk resolves most lanes; lanes whose K
+    nearest candidates ALL rejected RESUME with compacted walks (8 more
+    candidates each — exact: a displaced candidate is always beyond the
+    kept K); in-leaf-overflow lanes (possible only when the table's
+    leaf_size exceeds LEAF_EXTRACT) and post-resume stragglers finish on
+    the compacted punch loop. Returns the full-width winner HitRecord
+    (rec_default where no accepted candidate).
+    """
+    n = o.shape[0]
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    bound_b = jnp.broadcast_to(jnp.asarray(bound, jnp.float32), (n,))
+
+    rec0, cands = alpha_kcand_fn(o, d, t_min_b, bound_b, active)
+    win, _ = _resolve_candidates(rec_default, cands, accept, active)
+    resolved = win.t < rec_default.t
+    full = cands["tri"][:, -1] >= 0
+    ovf = active & cands["overflow"]
+    unres = active & full & ~resolved & ~ovf
+    ct_last = cands["t"][:, -1]
+
+    for cap in _RESUME_CAPS:
+        cap = min(cap, n)
+        idx, valid, idx_v, handled = _compact_lanes(unres, n, cap)
+        resume = jnp.maximum(t_min_b, _nudge(ct_last))
+        rec_r, cands_r = alpha_kcand_fn(o[idx], d[idx], resume[idx],
+                                        bound_b[idx], valid)
+        from ..accel.traverse import HitRecord
+        sub_default = HitRecord(t=bound_b[idx],
+                                tri_id=jnp.full((cap,), -1, jnp.int32),
+                                u=jnp.zeros((cap,), jnp.float32),
+                                v=jnp.zeros((cap,), jnp.float32))
+        win_r, _ = _resolve_candidates(sub_default, cands_r, accept, valid)
+        res_r = valid & (win_r.t < sub_default.t)
+        take = jnp.zeros((n,), jnp.bool_).at[idx_v].set(res_r, mode="drop")
+        win = type(win)(
+            t=win.t.at[idx_v].set(jnp.where(res_r, win_r.t, win.t[idx_v]),
+                                  mode="drop"),
+            tri_id=win.tri_id.at[idx_v].set(
+                jnp.where(res_r, win_r.tri_id, win.tri_id[idx_v]),
+                mode="drop"),
+            u=win.u.at[idx_v].set(jnp.where(res_r, win_r.u, win.u[idx_v]),
+                                  mode="drop"),
+            v=win.v.at[idx_v].set(jnp.where(res_r, win_r.v, win.v[idx_v]),
+                                  mode="drop"))
+        resolved = resolved | take
+        full_r = cands_r["tri"][:, -1] >= 0
+        ovf_r = valid & cands_r["overflow"]
+        ovf = ovf | jnp.zeros((n,), jnp.bool_).at[idx_v].set(ovf_r,
+                                                             mode="drop")
+        still = valid & full_r & ~res_r & ~ovf_r
+        new_unres = jnp.zeros((n,), jnp.bool_).at[idx_v].set(still,
+                                                             mode="drop")
+        ct_last = ct_last.at[idx_v].set(
+            jnp.where(still, cands_r["t"][:, -1], ct_last[idx_v]),
+            mode="drop")
+        # lanes that missed the cap stay unresolved and retry next round
+        unres = new_unres | (unres & ~handled)
+
+    # stragglers (in-leaf overflow -> restart; resume-exhausted -> resume)
+    need_punch = ovf | unres
+    resume_p = jnp.where(ovf, t_min_b, jnp.maximum(t_min_b, _nudge(ct_last)))
+
+    def punch8(o_, d_, tn_, tx_, a_, mr_=max_rounds):
+        return alpha_punch_fn(o_, d_, tn_, tx_, a_, mr_)
+
+    prec = _compact_punch(punch8, o, d, resume_p, bound_b, need_punch,
+                          max_rounds)
+    punch_hit = need_punch & (prec.tri_id >= 0)
+    from ..accel.traverse import HitRecord
+    return HitRecord(
+        t=jnp.where(punch_hit, prec.t,
+                    jnp.where(need_punch, rec_default.t, win.t)),
+        tri_id=jnp.where(punch_hit, prec.tri_id,
+                         jnp.where(need_punch, rec_default.tri_id,
+                                   win.tri_id)),
+        u=jnp.where(punch_hit, prec.u,
+                    jnp.where(need_punch, rec_default.u, win.u)),
+        v=jnp.where(punch_hit, prec.v,
+                    jnp.where(need_punch, rec_default.v, win.v)))
 
 
 def _split_alpha_closest(opq_fn, alpha_kcand_fn, alpha_punch_fn, accept,
@@ -350,61 +442,41 @@ def _split_alpha_closest(opq_fn, alpha_kcand_fn, alpha_punch_fn, accept,
     """Split-table alpha closest hit (the production alpha design):
 
       1. opaque-only walk on the full scene table (flagged alpha triangles
-         ignored in-loop) -> exact nearest opaque hit;
-      2. K-candidate collection walk on the TINY alpha-only table, bounded
-         per-lane by the opaque t — the candidate-buffer bookkeeping that
-         was measured ruinous inside the 150-iteration full-scene walk
-         (887 -> 1700 ms on SponzaAlpha) costs nothing on a ~100-row walk;
+         ignored in-loop; the alpha-masked software raster serves this
+         step for primaries) -> exact nearest opaque hit;
+      2. K-candidate collection on the TINY alpha-only table, bounded
+         per-lane by the opaque t;
       3. opacity taps on the few candidates OUTSIDE any loop;
-      4. punch-through fallback rounds AGAINST THE TINY TABLE only, for
-         overflow / full-buffer-all-rejected lanes.
+      4. resumed compacted walks, then a compacted punch, for the rare
+         lanes whose K nearest candidates all rejected.
 
-    Exact punch-through semantics at a fraction of its cost: re-traversal
-    rounds walk ~100 rows instead of the whole scene."""
+    Exact punch-through semantics at a fraction of its cost (see
+    _alpha_resolve_all and PERF_NOTES round-4)."""
     rec = opq_fn(o, d, t_min, t_max, active)
-    _, cands = alpha_kcand_fn(o, d, t_min, rec.t, active)
-    win, need_punch = _resolve_candidates(rec, cands, accept, active)
-    # full-buffer lanes already alpha-tested their K nearest candidates:
-    # the punch RESUMES past the K-th one (in-leaf-overflow lanes restart —
-    # their candidate ordering is suspect)
-    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), rec.t.shape)
-    resume = jnp.where(cands["overflow"], t_min_b,
-                       jnp.maximum(t_min_b,
-                                   cands["t"][:, -1] * (1.0 + 4e-6) + 1e-6))
-    prec, _ = _compact_punch(alpha_punch_fn, o, d, resume, rec.t,
-                             need_punch, max_rounds)
-    punch_hit = need_punch & (prec.tri_id >= 0)
-    from ..accel.traverse import HitRecord
-    return HitRecord(
-        t=jnp.where(punch_hit, prec.t, jnp.where(need_punch, rec.t, win.t)),
-        tri_id=jnp.where(punch_hit, prec.tri_id,
-                         jnp.where(need_punch, rec.tri_id, win.tri_id)),
-        u=jnp.where(punch_hit, prec.u, jnp.where(need_punch, rec.u, win.u)),
-        v=jnp.where(punch_hit, prec.v, jnp.where(need_punch, rec.v, win.v)))
+    return _alpha_resolve_all(alpha_kcand_fn, alpha_punch_fn, accept,
+                              o, d, t_min, rec.t, active, rec,
+                              max_rounds=max_rounds)
 
 
 def _split_alpha_visibility(opq_any_fn, alpha_kcand_fn, alpha_punch_fn,
                             accept, o, d, t_min, t_max, active,
                             max_rounds: int = 8):
     """Split-table alpha shadow visibility: opaque-only any-hit (early
-    exit) + candidate walk on the tiny alpha table for the unblocked
-    lanes + taps; punch fallback (tiny table) for overflow lanes."""
+    exit) + full alpha-candidate resolution for the unblocked lanes."""
+    from ..accel.traverse import HitRecord
+    n = o.shape[0]
     vis_opq, _ = opq_any_fn(o, d, t_min, t_max, active)
     blocked_opq = active & (vis_opq == 0.0)
     need_alpha = active & ~blocked_opq
-    rec0, cands = alpha_kcand_fn(o, d, t_min, t_max, need_alpha)
-    win, need_punch = _resolve_candidates(rec0, cands, accept, need_alpha)
-    accepted = need_alpha & (win.t < rec0.t)
-    need_punch = need_punch & ~accepted  # an accepted candidate blocks
-    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), rec0.t.shape)
-    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), rec0.t.shape)
-    resume = jnp.where(cands["overflow"], t_min_b,
-                       jnp.maximum(t_min_b,
-                                   cands["t"][:, -1] * (1.0 + 4e-6) + 1e-6))
-    prec, _ = _compact_punch(alpha_punch_fn, o, d, resume, t_max_b,
-                             need_punch, max_rounds)
-    blocked = (blocked_opq | (need_alpha & accepted)
-               | (need_punch & (prec.tri_id >= 0)))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    rec_default = HitRecord(t=t_max_b,
+                            tri_id=jnp.full((n,), -1, jnp.int32),
+                            u=jnp.zeros((n,), jnp.float32),
+                            v=jnp.zeros((n,), jnp.float32))
+    win = _alpha_resolve_all(alpha_kcand_fn, alpha_punch_fn, accept,
+                             o, d, t_min, t_max_b, need_alpha, rec_default,
+                             max_rounds=max_rounds)
+    blocked = blocked_opq | (need_alpha & (win.tri_id >= 0))
     return jnp.where(blocked, 0.0, 1.0)
 
 

@@ -98,8 +98,8 @@ def test_kcand_matches_punch(alpha_fixture):
 
 
 def test_kcand_overflow_fallback_exact(alpha_fixture):
-    """k_cands=1 forces the overflow path on multi-card rays; the punch
-    fallback must make the result exact anyway."""
+    """k_cands=1 forces the full-buffer (resumable) fallback on multi-card
+    rays; the punch fallback must make the result exact anyway."""
     sc, bvh, _, accept = alpha_fixture
     n = 128 * 32
     o, d = _card_rays(n, seed=2)
@@ -112,7 +112,8 @@ def test_kcand_overflow_fallback_exact(alpha_fixture):
 
     _, cands = packet_closest_hit_alpha(bvh, o, d, 0.001, 100.0, act,
                                         k_cands=1)
-    assert int(np.asarray(cands["overflow"]).sum()) > 0  # path exercised
+    # the fallback class must be exercised: buffer full (drops resume)
+    assert int(np.asarray(cands["tri"][:, -1] >= 0).sum()) > 0
     ref = _punch_through_closest(pk, accept, o, d, 0.001, 100.0, act)
     got = _kcand_closest(partial(packet_closest_hit_alpha, bvh, k_cands=1),
                          punch_fn, accept, o, d,
@@ -122,6 +123,81 @@ def test_kcand_overflow_fallback_exact(alpha_fixture):
     rt, gt = np.asarray(ref.t), np.asarray(got.t)
     mism = (ri != gi) | (np.abs(rt - gt) > 1e-5)
     assert mism.sum() <= max(2, n // 1000), mism.sum()
+
+
+def test_inleaf_overflow_flagged_and_exact():
+    """>LEAF_EXTRACT in-reach candidates inside ONE leaf must set the
+    overflow bit (the non-resumable class), and the split resolver must
+    still be exact via the restart punch. Scene: 6 coplanar-stacked cards
+    a ray pierces in one leaf."""
+    import dataclasses
+    from dxrpathtracer_tpu.accel.lbvh import build_bvh
+    from dxrpathtracer_tpu.render.integrator import (_make_alpha_test,
+                                                     _split_alpha_closest)
+    from dxrpathtracer_tpu.scene.build import build_scene
+    from dxrpathtracer_tpu.scene.procedural import make_plane
+    from dxrpathtracer_tpu.scene.textures import (AtlasBuilder,
+                                                  default_material_table)
+
+    meshes = [make_plane((20.0, 20.0), (0.0, -2.0, 0.0), material_idx=0)]
+    for k in range(6):  # tight stack -> one leaf holds many cards
+        meshes.append(make_plane((2.0, 2.0), (0.0, 0.1 * k, 0.0),
+                                 material_idx=1))
+    builder = AtlasBuilder()
+    materials = default_material_table(2, builder)
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    mask = (((yy // 8 + xx // 8) % 2).astype(np.float32))[..., None]
+    op = np.asarray(materials.opacity).copy()
+    op[1] = builder.add("op", mask)
+    ho = np.asarray(materials.has_opacity).copy()
+    ho[1] = True
+    materials = dataclasses.replace(materials, opacity=op, has_opacity=ho,
+                                    any_opacity=True)
+    scene = build_scene(meshes, materials=materials, atlas_builder=builder)
+    sc = jax.device_put(scene)
+    pos = np.asarray(scene.positions)
+    tri = np.asarray(scene.tri_idx)
+    bvh = build_bvh_for_scene(scene, positions=pos, tri_idx=tri,
+                              flag_alpha=True)
+    tri_mat = np.asarray(scene.tri_material)
+    has_op2 = np.asarray(scene.materials.has_opacity, bool)
+    aidx = np.where(has_op2[tri_mat])[0].astype(np.int32)
+    atr = tri[aidx]
+    # leaf_size=12: all 12 card tris can share a leaf -> in-leaf overflow
+    bvh_alpha = build_bvh(pos[atr[:, 0]], pos[atr[:, 1]], pos[atr[:, 2]],
+                          tri_alpha=has_op2[tri_mat], tri_ids=aidx)
+    accept = _make_alpha_test(sc, AppSettings())
+
+    n = 128 * 16
+    rng = np.random.default_rng(0)
+    o = np.stack([rng.uniform(-1.8, 1.8, n), np.full(n, 5.0),
+                  rng.uniform(-1.8, 1.8, n)], -1).astype(np.float32)
+    d = np.tile(np.array([[0, -1, 0]], np.float32), (n, 1))
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    act = jnp.ones((n,), bool)
+
+    _, cands = packet_closest_hit_alpha(bvh_alpha, o, d, 0.001, 100.0, act)
+    assert int(np.asarray(cands["overflow"]).sum()) > 0  # class exercised
+
+    pk = partial(packet_closest_hit, bvh)
+
+    def alpha_punch_fn(o_, d_, tn_, tx_, a_, mr_):
+        return _punch_through_closest(
+            partial(packet_closest_hit, bvh_alpha), accept, o_, d_, tn_,
+            tx_, a_, max_rounds=mr_)
+
+    ref = _punch_through_closest(pk, accept, o, d, 0.001, 100.0, act,
+                                 max_rounds=16)
+    got = _split_alpha_closest(
+        partial(packet_closest_hit, bvh, exclude_alpha=True),
+        partial(packet_closest_hit_alpha, bvh_alpha),
+        alpha_punch_fn, accept, o, d,
+        jnp.full((n,), 0.001, jnp.float32),
+        jnp.full((n,), 100.0, jnp.float32), act, max_rounds=16)
+    ri, gi = np.asarray(ref.tri_id), np.asarray(got.tri_id)
+    rt, gt = np.asarray(ref.t), np.asarray(got.t)
+    mism = (ri != gi) | (np.abs(rt - gt) > 1e-5)
+    assert mism.sum() <= max(2, n // 500), mism.sum()
 
 
 def test_candidates_sorted_and_stripped(alpha_fixture):
