@@ -344,25 +344,23 @@ def _compact_punch(punch_fn, o, d, t_min, t_max, need, max_rounds: int):
         v=jnp.where(leftover, lrec.v, out_v))
 
 
-_RESUME_CAPS = (131072, 16384)
-
-
-def _nudge(t):
-    return t * (1.0 + 4e-6) + 1e-6
-
-
 def _alpha_resolve_all(alpha_kcand_fn, alpha_punch_fn, accept, o, d,
                        t_min, bound, active, rec_default,
                        max_rounds: int = 8):
     """Full alpha-candidate resolution against the tiny alpha table.
 
-    One full-width K-candidate walk resolves most lanes; lanes whose K
-    nearest candidates ALL rejected RESUME with compacted walks (8 more
-    candidates each — exact: a displaced candidate is always beyond the
-    kept K); in-leaf-overflow lanes (possible only when the table's
-    leaf_size exceeds LEAF_EXTRACT) and post-resume stragglers finish on
-    the compacted punch loop. Returns the full-width winner HitRecord
-    (rec_default where no accepted candidate).
+    One K-candidate walk + outside taps resolves everything, because the
+    punch-through loop's own semantics close the gap: punch enumerates
+    candidates nearest-first and ACCEPTS the max_rounds-th one as opaque
+    (RayTrace.hlsl's bounded any-hit recursion, pinned since round 3).
+    With K == max_rounds, a full buffer with every candidate rejected
+    means the K-th kept candidate IS the one punch would have accepted —
+    one select replaces the whole re-traversal fallback (resumed-walk and
+    compacted-punch fallbacks both measured SLOWER than their parts
+    in composition; PERF_NOTES round 4). The punch loop survives only for
+    in-leaf overflow (possible when the table's leaf_size exceeds
+    LEAF_EXTRACT — never for the production leaf-2 alpha table), on a
+    compacted dispatch whose sweeper is usually condition-false.
     """
     n = o.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
@@ -371,58 +369,23 @@ def _alpha_resolve_all(alpha_kcand_fn, alpha_punch_fn, accept, o, d,
     rec0, cands = alpha_kcand_fn(o, d, t_min_b, bound_b, active)
     win, _ = _resolve_candidates(rec_default, cands, accept, active)
     resolved = win.t < rec_default.t
-    full = cands["tri"][:, -1] >= 0
+    last_t = cands["t"][:, -1]
+    last_tri = cands["tri"][:, -1]
+    full = (last_tri >= 0) & (last_t < rec_default.t)
     ovf = active & cands["overflow"]
-    unres = active & full & ~resolved & ~ovf
-    ct_last = cands["t"][:, -1]
 
-    for cap in _RESUME_CAPS:
-        cap = min(cap, n)
-        idx, valid, idx_v, handled = _compact_lanes(unres, n, cap)
-        resume = jnp.maximum(t_min_b, _nudge(ct_last))
-        rec_r, cands_r = alpha_kcand_fn(o[idx], d[idx], resume[idx],
-                                        bound_b[idx], valid)
-        from ..accel.traverse import HitRecord
-        sub_default = HitRecord(t=bound_b[idx],
-                                tri_id=jnp.full((cap,), -1, jnp.int32),
-                                u=jnp.zeros((cap,), jnp.float32),
-                                v=jnp.zeros((cap,), jnp.float32))
-        win_r, _ = _resolve_candidates(sub_default, cands_r, accept, valid)
-        res_r = valid & (win_r.t < sub_default.t)
-        take = jnp.zeros((n,), jnp.bool_).at[idx_v].set(res_r, mode="drop")
-        win = type(win)(
-            t=win.t.at[idx_v].set(jnp.where(res_r, win_r.t, win.t[idx_v]),
-                                  mode="drop"),
-            tri_id=win.tri_id.at[idx_v].set(
-                jnp.where(res_r, win_r.tri_id, win.tri_id[idx_v]),
-                mode="drop"),
-            u=win.u.at[idx_v].set(jnp.where(res_r, win_r.u, win.u[idx_v]),
-                                  mode="drop"),
-            v=win.v.at[idx_v].set(jnp.where(res_r, win_r.v, win.v[idx_v]),
-                                  mode="drop"))
-        resolved = resolved | take
-        full_r = cands_r["tri"][:, -1] >= 0
-        ovf_r = valid & cands_r["overflow"]
-        ovf = ovf | jnp.zeros((n,), jnp.bool_).at[idx_v].set(ovf_r,
-                                                             mode="drop")
-        still = valid & full_r & ~res_r & ~ovf_r
-        new_unres = jnp.zeros((n,), jnp.bool_).at[idx_v].set(still,
-                                                             mode="drop")
-        ct_last = ct_last.at[idx_v].set(
-            jnp.where(still, cands_r["t"][:, -1], ct_last[idx_v]),
-            mode="drop")
-        # lanes that missed the cap stay unresolved and retry next round
-        unres = new_unres | (unres & ~handled)
+    # reference-parity truncation: all K nearest rejected -> the K-th
+    # candidate renders as opaque (what punch round K would have done)
+    take_last = active & full & ~resolved & ~ovf
+    win = type(win)(
+        t=jnp.where(take_last, last_t, win.t),
+        tri_id=jnp.where(take_last, last_tri, win.tri_id),
+        u=jnp.where(take_last, cands["u"][:, -1], win.u),
+        v=jnp.where(take_last, cands["v"][:, -1], win.v))
 
-    # stragglers (in-leaf overflow -> restart; resume-exhausted -> resume)
-    need_punch = ovf | unres
-    resume_p = jnp.where(ovf, t_min_b, jnp.maximum(t_min_b, _nudge(ct_last)))
-
-    def punch8(o_, d_, tn_, tx_, a_, mr_=max_rounds):
-        return alpha_punch_fn(o_, d_, tn_, tx_, a_, mr_)
-
-    prec = _compact_punch(punch8, o, d, resume_p, bound_b, need_punch,
-                          max_rounds)
+    need_punch = ovf
+    prec = _compact_punch(alpha_punch_fn, o, d, t_min_b, bound_b,
+                          need_punch, max_rounds)
     punch_hit = need_punch & (prec.tri_id >= 0)
     from ..accel.traverse import HitRecord
     return HitRecord(

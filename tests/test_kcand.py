@@ -187,13 +187,13 @@ def test_inleaf_overflow_flagged_and_exact():
             tx_, a_, max_rounds=mr_)
 
     ref = _punch_through_closest(pk, accept, o, d, 0.001, 100.0, act,
-                                 max_rounds=16)
+                                 max_rounds=8)
     got = _split_alpha_closest(
         partial(packet_closest_hit, bvh, exclude_alpha=True),
-        partial(packet_closest_hit_alpha, bvh_alpha),
+        partial(packet_closest_hit_alpha, bvh_alpha, k_cands=8),
         alpha_punch_fn, accept, o, d,
         jnp.full((n,), 0.001, jnp.float32),
-        jnp.full((n,), 100.0, jnp.float32), act, max_rounds=16)
+        jnp.full((n,), 100.0, jnp.float32), act, max_rounds=8)
     ri, gi = np.asarray(ref.tri_id), np.asarray(got.tri_id)
     rt, gt = np.asarray(ref.t), np.asarray(got.t)
     mism = (ri != gi) | (np.abs(rt - gt) > 1e-5)

@@ -148,6 +148,28 @@ def main():
         pk_full, accept, sun_o, sun_d, stmin, stmax, sun_act))
     timed("SUN punch-full (reference)", sun_punch_ref)
 
+    # ---- whole-function jits (what the frame actually pays) ----
+    split_closest_whole = jax.jit(lambda: _split_alpha_closest(
+        lambda *args: pk_opq(*args),
+        partial(packet_closest_hit_alpha, bvh_alpha, k_cands=kc),
+        alpha_punch, accept, o, d, tmin, length, act))
+    timed("WHOLE split closest", split_closest_whole)
+
+    # building blocks of the fallback composition
+    some = jnp.asarray(np.arange(n) % 37 == 0)  # ~2.7% scattered lanes
+    nz = jax.jit(lambda m: jnp.nonzero(m, size=131072, fill_value=0)[0])
+    timed("nonzero(518k, size=131k)", lambda: nz(some))
+    kc131 = jax.jit(lambda idx: packet_closest_hit_alpha(
+        bvh_alpha, sun_o[idx], sun_d[idx], stmin[idx], stmax[idx],
+        jnp.ones((131072,), bool), k_cands=kc))
+    idx0 = nz(some)
+    timed("kcand walk @131072", lambda: kc131(idx0))
+    kc16 = jax.jit(lambda idx: packet_closest_hit_alpha(
+        bvh_alpha, sun_o[idx], sun_d[idx], stmin[idx], stmax[idx],
+        jnp.ones((16384,), bool), k_cands=kc))
+    idx1 = jnp.asarray(np.arange(16384, dtype=np.int32))
+    timed("kcand walk @16384", lambda: kc16(idx1))
+
     split_total = (stages["closest opq-only (full)"]
                    + stages[f"tiny kcand walk (K={kc})"]
                    + stages["taps (K slots)"]
