@@ -346,7 +346,7 @@ def _compact_punch(punch_fn, o, d, t_min, t_max, need, max_rounds: int):
 
 def _alpha_resolve_all(alpha_kcand_fn, alpha_punch_fn, accept, o, d,
                        t_min, bound, active, rec_default,
-                       max_rounds: int = 8):
+                       max_rounds: int = 8, no_overflow: bool = False):
     """Full alpha-candidate resolution against the tiny alpha table.
 
     One K-candidate walk + outside taps resolves everything, because the
@@ -383,6 +383,10 @@ def _alpha_resolve_all(alpha_kcand_fn, alpha_punch_fn, accept, o, d,
         u=jnp.where(take_last, cands["u"][:, -1], win.u),
         v=jnp.where(take_last, cands["v"][:, -1], win.v))
 
+    if no_overflow:
+        # statically impossible (table leaf_size <= LEAF_EXTRACT): no
+        # punch program in the trace at all
+        return win
     need_punch = ovf
     prec = _compact_punch(alpha_punch_fn, o, d, t_min_b, bound_b,
                           need_punch, max_rounds)
@@ -401,7 +405,8 @@ def _alpha_resolve_all(alpha_kcand_fn, alpha_punch_fn, accept, o, d,
 
 
 def _split_alpha_closest(opq_fn, alpha_kcand_fn, alpha_punch_fn, accept,
-                         o, d, t_min, t_max, active, max_rounds: int = 8):
+                         o, d, t_min, t_max, active, max_rounds: int = 8,
+                         no_overflow: bool = False):
     """Split-table alpha closest hit (the production alpha design):
 
       1. opaque-only walk on the full scene table (flagged alpha triangles
@@ -418,12 +423,13 @@ def _split_alpha_closest(opq_fn, alpha_kcand_fn, alpha_punch_fn, accept,
     rec = opq_fn(o, d, t_min, t_max, active)
     return _alpha_resolve_all(alpha_kcand_fn, alpha_punch_fn, accept,
                               o, d, t_min, rec.t, active, rec,
-                              max_rounds=max_rounds)
+                              max_rounds=max_rounds,
+                              no_overflow=no_overflow)
 
 
 def _split_alpha_visibility(opq_any_fn, alpha_kcand_fn, alpha_punch_fn,
                             accept, o, d, t_min, t_max, active,
-                            max_rounds: int = 8):
+                            max_rounds: int = 8, no_overflow: bool = False):
     """Split-table alpha shadow visibility: opaque-only any-hit (early
     exit) + full alpha-candidate resolution for the unblocked lanes."""
     from ..accel.traverse import HitRecord
@@ -438,7 +444,7 @@ def _split_alpha_visibility(opq_any_fn, alpha_kcand_fn, alpha_punch_fn,
                             v=jnp.zeros((n,), jnp.float32))
     win = _alpha_resolve_all(alpha_kcand_fn, alpha_punch_fn, accept,
                              o, d, t_min, t_max_b, need_alpha, rec_default,
-                             max_rounds=max_rounds)
+                             max_rounds=max_rounds, no_overflow=no_overflow)
     blocked = blocked_opq | (need_alpha & (win.tri_id >= 0))
     return jnp.where(blocked, 0.0, 1.0)
 
@@ -996,13 +1002,15 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 else:
                     opq_fn = partial(packet_closest_hit, bvh,
                                      exclude_alpha=True)
+                from ..accel.packet import LEAF_EXTRACT
                 rec = _split_alpha_closest(
                     opq_fn,
                     partial(packet_closest_hit_alpha, alpha_bvh,
                             k_cands=kc),
                     alpha_punch_fn, alpha_test,
                     state["ray_o"], state["ray_d"],
-                    state["t_min"], state["t_max"], state["active"])
+                    state["t_min"], state["t_max"], state["active"],
+                    no_overflow=alpha_bvh.leaf_size <= LEAF_EXTRACT)
             else:
                 rec = _punch_through_closest(
                     base, alpha_test, state["ray_o"], state["ray_d"],
@@ -1087,13 +1095,15 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                                 alpha_test, o_, d_, tn_, tx_, act_,
                                 max_rounds=mr_)
 
+                        from ..accel.packet import LEAF_EXTRACT
                         vis_list[i] = _split_alpha_visibility(
                             partial(packet_any_hit_rec, bvh,
                                     exclude_alpha=True),
                             partial(packet_closest_hit_alpha, alpha_bvh,
                                     k_cands=kc),
                             alpha_punch_fn, alpha_test,
-                            r[0], r[1], r[2], r[3], r[4])
+                            r[0], r[1], r[2], r[3], r[4],
+                            no_overflow=alpha_bvh.leaf_size <= LEAF_EXTRACT)
                         rest.remove(i)
                         continue
                     rec = _punch_through_closest(

@@ -142,7 +142,8 @@ def main():
     sun_vis = jax.jit(lambda: _split_alpha_visibility(
         lambda *args: packet_any_hit_rec(bvh, *args, exclude_alpha=True),
         partial(packet_closest_hit_alpha, bvh_alpha, k_cands=kc),
-        alpha_punch, accept, sun_o, sun_d, stmin, stmax, sun_act))
+        alpha_punch, accept, sun_o, sun_d, stmin, stmax, sun_act,
+        no_overflow=True))
     timed("SUN split visibility ALL", sun_vis)
     sun_punch_ref = jax.jit(lambda: _punch_through_closest(
         pk_full, accept, sun_o, sun_d, stmin, stmax, sun_act))
@@ -152,8 +153,23 @@ def main():
     split_closest_whole = jax.jit(lambda: _split_alpha_closest(
         lambda *args: pk_opq(*args),
         partial(packet_closest_hit_alpha, bvh_alpha, k_cands=kc),
-        alpha_punch, accept, o, d, tmin, length, act))
+        alpha_punch, accept, o, d, tmin, length, act, no_overflow=True))
     timed("WHOLE split closest", split_closest_whole)
+
+    # bisect the composition: opq then kcand (no taps/resolve)
+    def opq_then_kcand():
+        rec_ = pk_opq(o, d, tmin, length, act)
+        return packet_closest_hit_alpha(bvh_alpha, o, d, tmin, rec_.t, act,
+                                        k_cands=kc)
+    timed("opq -> kcand (no resolve)", jax.jit(opq_then_kcand))
+
+    def kcand_then_taps():
+        rec_, cands_ = packet_closest_hit_alpha(
+            bvh_alpha, o, d, tmin, length, act, k_cands=kc)
+        accs = [accept(cands_["tri"][:, s_], cands_["u"][:, s_],
+                       cands_["v"][:, s_]) for s_ in range(kc)]
+        return jnp.stack(accs)
+    timed("kcand -> taps", jax.jit(kcand_then_taps))
 
     # building blocks of the fallback composition
     some = jnp.asarray(np.arange(n) % 37 == 0)  # ~2.7% scattered lanes
