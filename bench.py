@@ -61,8 +61,15 @@ def run_one(width, height, frames, scene_name):
     sess.accum.block_until_ready()
     print(f"# compile+first-frame {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
-    best_dt = float("inf")
-    for _ in range(3):  # best-of-3 trials to dodge tunnel noise
+    # Dispersion protocol (round 5): the old best-of-3 x 3-frame figure sat
+    # inside the tunnel's documented +-25% session drift, so round-over-round
+    # moves under ~10% were unresolvable (VERDICT r4). Now `trials` trials of
+    # `frames` enqueued frames each; the reported number is the MEDIAN trial
+    # and the metric string carries the relative spread (max-min)/median so
+    # every consumer sees the instrument's resolution alongside the value.
+    trials = int(os.environ.get("BENCH_TRIALS", 5))
+    dts = []
+    for _ in range(trials):
         t0 = time.time()
         for _ in range(frames):
             frame = sess.frame_constants(sess.sample_idx)
@@ -74,7 +81,9 @@ def run_one(width, height, frames, scene_name):
         # block_until_ready does not reliably synchronize on the tunneled
         # device; a tiny readback does (PERF_NOTES.md).
         float(sess._accum_slabs[-1][0, 0, 0])
-        best_dt = min(best_dt, (time.time() - t0) / frames)
+        dts.append((time.time() - t0) / frames)
+    med_dt = float(np.median(dts))
+    spread = (max(dts) - min(dts)) / med_dt * 100.0
 
     # Chunked readback (large single transfers hang the tunneled device);
     # doubles as the deferred-device-fault detector.
@@ -83,13 +92,15 @@ def run_one(width, height, frames, scene_name):
     assert np.isfinite(arr).all(), "benchmark render produced non-finite values"
 
     rays_per_frame = width * height * (1 + (settings.max_path_length - 1) * 2)
-    mrays = rays_per_frame / best_dt / 1e6
-    ms = best_dt * 1e3
-    print(f"# {ms:.2f} ms/frame, {mrays:.1f} Mrays/s (estimate formula)",
+    mrays = rays_per_frame / med_dt / 1e6
+    ms = med_dt * 1e3
+    print(f"# {ms:.2f} ms/frame (median of {trials}x{frames}f, "
+          f"spread {spread:.1f}%), {mrays:.1f} Mrays/s (estimate formula)",
           file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": f"Mrays/s ({scene_name}-class {width}x{height}, path len "
-                  f"{settings.max_path_length}, {ms:.2f} ms/frame)",
+                  f"{settings.max_path_length}, {ms:.2f} ms/frame "
+                  f"±{spread:.1f}%)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 660.0, 4),
@@ -99,12 +110,12 @@ def run_one(width, height, frames, scene_name):
 def main():
     if os.environ.get("BENCH_CHILD"):
         run_one(int(os.environ["BENCH_WIDTH"]), int(os.environ["BENCH_HEIGHT"]),
-                int(os.environ.get("BENCH_FRAMES", 3)),
+                int(os.environ.get("BENCH_FRAMES", 10)),
                 os.environ.get("BENCH_SCENE", "Sponza"))
         return
 
     scene = os.environ.get("BENCH_SCENE", "Sponza")
-    frames = os.environ.get("BENCH_FRAMES", "3")
+    frames = os.environ.get("BENCH_FRAMES", "10")
     if os.environ.get("BENCH_WIDTH"):
         resolutions = [(int(os.environ["BENCH_WIDTH"]), int(os.environ["BENCH_HEIGHT"]))]
     else:

@@ -27,11 +27,23 @@ def make_render_mesh(devices=None, axis_name: str = "rows") -> Mesh:
 
 
 def make_sharded_step(mesh: Mesh, settings, width: int, height: int,
-                      axis_name: str = "rows"):
+                      axis_name: str = "rows", raster_dims=None):
     """Build a jitted multi-chip render step.
 
-    Returns step(scene, bvh, accum, sky_cube, frame) -> new accum, with accum
-    sharded by rows over `mesh` and everything else replicated.
+    Returns step(scene, bvh, accum, sky_cube, frame, bvh2=None, sun_grid=None,
+    ray_bvh=None, raster_stack=None, raster_tri_table=None, alpha_bvh=None)
+    -> new accum, with accum sharded by rows over `mesh` and everything else
+    replicated except `raster_stack`.
+
+    The optional engine arguments carry the PRODUCTION hot-path configuration
+    (VERDICT r4 #6 — the dryrun must validate what actually ships, not a
+    fallback): `ray_bvh` is the wide W32 per-ray table, `alpha_bvh` the tiny
+    split-alpha candidate table, and `raster_stack`/`raster_tri_table` the
+    software-raster primary bins (render/swraster.py). Raster bins are
+    PER-SHARD (each device rasterizes its own row block), so they arrive as
+    a dict of arrays with a leading device axis — build with
+    stack_raster_slabs() — sharded on that axis; `raster_dims` is the static
+    (ty, tx) packet-tile shape the bins were built for.
     """
     n_dev = mesh.devices.size
     assert height % n_dev == 0, f"height {height} must divide over {n_dev} devices"
@@ -43,20 +55,47 @@ def make_sharded_step(mesh: Mesh, settings, width: int, height: int,
     # constants (node pointers, sentinel t values) that JAX's varying-manual-
     # axes checker would otherwise require to be explicitly pvary'd per axis.
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(repl, repl, P(axis_name), repl, repl, repl, repl),
+             in_specs=(repl, repl, P(axis_name), repl, repl, repl, repl,
+                       repl, P(axis_name), repl, repl),
              out_specs=P(axis_name), check_vma=False)
-    def sharded(scene, bvh, accum_block, sky_cube, frame, bvh2, sun_grid):
+    def sharded(scene, bvh, accum_block, sky_cube, frame, bvh2, sun_grid,
+                ray_bvh, raster_stack, raster_tri_table, alpha_bvh):
         row0 = jax.lax.axis_index(axis_name) * rows_per
+        raster = None
+        if raster_stack is not None:
+            from ..render.swraster import RasterBins
+            ty, tx = raster_dims
+            raster = RasterBins(**{k: v[0] for k, v in raster_stack.items()},
+                                tri_table=raster_tri_table,
+                                ty=int(ty), tx=int(tx))
         return render_sample(scene, bvh, sky_cube, settings, frame,
                              width, rows_per, accum_block,
                              row_offset=row0, total_height=height, bvh2=bvh2,
-                             sun_bvh=sun_grid)
+                             sun_bvh=sun_grid, ray_bvh=ray_bvh,
+                             raster=raster, alpha_bvh=alpha_bvh)
 
     @jax.jit
-    def step(scene, bvh, accum, sky_cube, frame, bvh2=None, sun_grid=None):
-        return sharded(scene, bvh, accum, sky_cube, frame, bvh2, sun_grid)
+    def step(scene, bvh, accum, sky_cube, frame, bvh2=None, sun_grid=None,
+             ray_bvh=None, raster_stack=None, raster_tri_table=None,
+             alpha_bvh=None):
+        return sharded(scene, bvh, accum, sky_cube, frame, bvh2, sun_grid,
+                       ray_bvh, raster_stack, raster_tri_table, alpha_bvh)
 
     return step
+
+
+def stack_raster_slabs(bins_list):
+    """Stack per-shard RasterBins (one per device row block, all built with
+    the same pad_to buckets) into (raster_stack, tri_table, (ty, tx)) for
+    make_sharded_step: every array field gains a leading device axis sharded
+    P("rows"); the shared exact triangle table stays replicated."""
+    import dataclasses as _dc
+    first = bins_list[0]
+    fields = [f.name for f in _dc.fields(first)
+              if f.name not in ("tri_table", "ty", "tx")]
+    stack = {k: jnp.stack([getattr(b, k) for b in bins_list], axis=0)
+             for k in fields}
+    return stack, first.tri_table, (first.ty, first.tx)
 
 
 def shard_accum(mesh: Mesh, accum, axis_name: str = "rows"):
