@@ -121,6 +121,22 @@ class RenderSession:
             # are bit-exact either way. Costs one extra ~17 MB device table.
             self.bvh_ray = build_bvh_for_scene(self.scene, positions=pos,
                                                tri_idx=tri, width=32)
+            # Dense-proxy pre-pass (accel/proxy.py): K largest opaque
+            # triangles as a gather-free broadcast MT stage screening/
+            # seeding the per-ray depth>=2 walks. ~5 KB; rebuilt only on
+            # scene switch.
+            self.proxy = None
+            if self.settings.enable_dense_proxy:
+                from ..accel.proxy import build_dense_proxy
+                tri_alpha = None
+                if getattr(self.scene_host.materials, "any_opacity", False):
+                    tri_mat = np.asarray(self.scene_host.tri_material)
+                    has_op = np.asarray(
+                        self.scene_host.materials.has_opacity, bool)
+                    tri_alpha = has_op[tri_mat]
+                self.proxy = build_dense_proxy(
+                    pos, tri, tri_alpha=tri_alpha,
+                    k=int(os.environ.get("DXRPT_PROXY_K", "128")))
             # Temporal hit-reuse table (accel/history.py): last sample's
             # per-pixel hit/occluder triangles seed depth-1 traversals with
             # exact t bounds. Default OFF: measured NET-NEGATIVE on the v5e
@@ -196,11 +212,17 @@ class RenderSession:
                 positions=np.asarray(self.scene_host.positions),
                 tri_idx=np.asarray(self.scene_host.tri_idx))
 
-    # Raster primaries only pay off when the per-sample pair work undercuts
-    # the packet traversal; below this slab pixel count the packet engine
-    # stays (pair count ~tracks triangle count, not resolution, so tiny
-    # frames would do MORE raster work than ray work).
-    RASTER_MIN_PIXELS = 262144
+    # Software-raster primaries: DEFAULT OFF since round 5. The round-4
+    # per-slab A/B (2.7x on isolated primary visibility) did not survive
+    # end-to-end measurement once the driver bench could resolve it
+    # (dispersion protocol, 1080p Sponza-class, same session):
+    #   raster ON  + proxy ON  1085.4 ms | raster OFF + proxy ON  1033.2
+    #   raster ON  + proxy OFF 1218.9    | raster OFF + proxy OFF 1168.7
+    # and SponzaAlpha@540p punch-with-raster-round-1 905.0 vs 864.0 plain —
+    # a consistent ~50-135 ms NET LOSS at production shapes. The engine
+    # stays correct and pinned (tests force engagement via
+    # DXRPT_RASTER_MIN_PIXELS=1); re-A/B on future stacks via that knob.
+    RASTER_MIN_PIXELS = 1 << 62
 
     def _update_raster(self):
         s = self.settings
@@ -209,14 +231,17 @@ class RenderSession:
                                     self.RASTER_MIN_PIXELS))
         slab_px = self._slab_h * self.width
         pk = _packet_tile_dims(self._slab_h, self.width)
-        # Alpha scenes: the raster binds ONLY opaque triangles and serves
-        # as the opaque-only step of the split-table alpha design (the
-        # tiny alpha BVH supplies the candidates) — alpha geometry is
-        # masked out of the bboxes below.
-        alpha_ok = (not self.scene_host.materials.any_opacity
-                    or getattr(self, "bvh_alpha", None) is not None)
+        # Alpha scenes, two raster roles (round-5 A/B, TIMING.md):
+        #   default (punch-through alpha): UNMASKED bins — every triangle,
+        #   FORCE_OPAQUE semantics — serve the punch loop's depth-1 closest
+        #   rounds (raster_closest_hit honors per-lane t_min, so resumed
+        #   rounds are exact);
+        #   DXRPT_SPLIT_ALPHA=1 (the round-4 design, measured 22% slower
+        #   end-to-end): bins mask alpha triangles out and serve as the
+        #   split design's opaque-only step.
+        split_alpha = (bool(os.environ.get("DXRPT_SPLIT_ALPHA"))
+                       and getattr(self, "bvh_alpha", None) is not None)
         want = (s.enable_sw_raster and s.enable_packet_traversal
-                and alpha_ok
                 and slab_px >= min_px and slab_px % 128 == 0
                 and pk is not None)
         key = ((self.camera.state_tuple(), self.width, self.height)
@@ -242,16 +267,19 @@ class RenderSession:
             row0s = list(range(0, self.height, self._slab_h))
             bboxes = project_tri_bboxes(pos, tri, vp, near, self.width,
                                         self.height)
-            if self.scene_host.materials.any_opacity:
+            opaque_only = False
+            if self.scene_host.materials.any_opacity and split_alpha:
                 tri_mat = np.asarray(self.scene_host.tri_material)
                 has_op = np.asarray(self.scene_host.materials.has_opacity,
                                     bool)
                 ok_mask, *rest_bb = bboxes
                 bboxes = (ok_mask & ~has_op[tri_mat], *rest_bb)
+                opaque_only = True
             built = [build_raster_bins(pos, tri, vp, near, self.width,
                                        self.height, self._slab_h, r0, ty,
                                        tx, self._raster_tri_table,
-                                       bboxes=bboxes)[0]
+                                       bboxes=bboxes,
+                                       opaque_only=opaque_only)[0]
                      for r0 in row0s]
             # one executable for all slabs: pad every slab to the max
             # (pair-tail, deep-tile) buckets
@@ -264,7 +292,8 @@ class RenderSession:
                                        self.height, self._slab_h, r0, ty,
                                        tx, self._raster_tri_table,
                                        pad_to=(pair_pad, deep_pad),
-                                       bboxes=bboxes)[0]
+                                       bboxes=bboxes,
+                                       opaque_only=opaque_only)[0]
                 for b, r0 in zip(built, row0s)]
 
     def _update_sky(self):
@@ -329,12 +358,14 @@ class RenderSession:
 
         tri_table = getattr(self, "_tri_table", None)
 
+        proxy_c = getattr(self, "proxy", None)
+
         if not os.environ.get("DXRPT_STAGED"):
             @partial(jax.jit, static_argnames=("settings",),
                      donate_argnums=(4, 5))
             def step_slab(scene, bvh, bvh2, bvh_ray, accum_slab, hist,
                           sky_cube, frame, row0, sun_grid, tri_tab, raster,
-                          alpha_bvh, settings):
+                          alpha_bvh, proxy, settings):
                 history = (None if tri_tab is None
                            else {**hist, "tri_table": tri_tab})
                 out = render_sample(scene, bvh, sky_cube, settings, frame,
@@ -342,7 +373,8 @@ class RenderSession:
                                     row_offset=row0, total_height=height,
                                     bvh2=bvh2, sun_bvh=sun_grid,
                                     ray_bvh=bvh_ray, history=history,
-                                    raster=raster, alpha_bvh=alpha_bvh)
+                                    raster=raster, alpha_bvh=alpha_bvh,
+                                    proxy=proxy)
                 if history is None:
                     return out, hist
                 accum_out, hist_out = out
@@ -365,7 +397,7 @@ class RenderSession:
 
             def step_slab(scene, bvh, _bvh2, _bvh_ray, accum_slab, hist,
                           sky_cube, frame, row0, _sun_grid, _tri_tab,
-                          _raster, _alpha_bvh, settings):
+                          _raster, _alpha_bvh, _proxy, settings):
                 o, d, length, pix = raygen_slab(frame, row0, settings)
                 radiance = tracer.trace(scene, bvh, sky_cube, settings, frame,
                                         o, d, length, pix, width * height,
@@ -381,7 +413,7 @@ class RenderSession:
                        or [None] * len(slabs))
             outs = [step_slab(scene, bvh, bvh2, bvh_ray, slab, hist,
                               sky_cube, frame, r0, self.sun_grid, tri_table,
-                              raster, bvh_alpha, settings)
+                              raster, bvh_alpha, proxy_c, settings)
                     for slab, hist, r0, raster in zip(slabs,
                                                       self._hist_slabs,
                                                       row0_dev, rasters)]

@@ -94,6 +94,12 @@ class AppSettings:
     # Hit-exact vs the traversal up to equal-t tie order; engages only on
     # opaque scenes at packet-tiled dispatch sizes >= the session threshold.
     enable_sw_raster: bool = True
+    # TPU-only: gather-free dense pre-pass for per-ray depth>=2 traversals
+    # (accel/proxy.py) — every lane tests the K largest opaque triangles as
+    # one broadcast MT block; blocked shadow lanes skip the walk, bounce
+    # walks run with an exact proxy t bound. Identical results up to
+    # equal-t tie order (tests/test_proxy.py).
+    enable_dense_proxy: bool = True
     clamp_roughness: bool = False
     avoid_caustic_paths: bool = False
     # Benchmark mode (the reference's `static const bool Benchmark`,

@@ -47,7 +47,7 @@ BAKE_TILE = 131072
 
 def bake_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstants,
                 surface_pos, surface_nrm, accum, sample_index,
-                row_offset=0, total_texels=None, sun_bvh=None):
+                row_offset=0, total_texels=None, sun_bvh=None, proxy=None):
     """One progressive bake step over a row-slab of texels.
 
     surface_pos: (R, S, 4) [xyz | coverage]; surface_nrm: (R, S, 3);
@@ -95,7 +95,7 @@ def bake_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                            o, d, jnp.full(o.shape[:1], FP32Max, f32), pix,
                            n_total, first_set_idx=1, initial_is_diffuse=True,
                            t_min0=1e-4, active0=act, sample_idx=sample_index,
-                           sun_bvh=sun_bvh)
+                           sun_bvh=sun_bvh, proxy=proxy)
 
     if n_tiles > 1:
         tile = n // n_tiles
@@ -196,11 +196,11 @@ class Baker:
 
         @partial(jax.jit, static_argnames=("settings",), donate_argnums=(2,))
         def step(scene, bvh, accum, sky_cube, frame, pos, nrm, sample_index,
-                 row0, sun_grid, settings):
+                 row0, sun_grid, proxy, settings):
             return bake_sample(scene, bvh, sky_cube, settings, frame,
                                pos, nrm, accum, sample_index,
                                row_offset=row0, total_texels=total,
-                               sun_bvh=sun_grid)
+                               sun_bvh=sun_grid, proxy=proxy)
         return step
 
     def bake_step(self):
@@ -213,7 +213,8 @@ class Baker:
                 sess.scene, sess.bvh_ray, self._accum_slabs[i],
                 sess._sky_cube_dev, frame, self._pos_slabs[i],
                 self._nrm_slabs[i], jnp.uint32(self.sample_index),
-                self._row0_dev[i], sess.sun_grid, sess.settings)
+                self._row0_dev[i], sess.sun_grid,
+                getattr(sess, "proxy", None), sess.settings)
         self.sample_index += 1
 
     def checkpoint_state(self):

@@ -56,30 +56,32 @@ def make_sharded_step(mesh: Mesh, settings, width: int, height: int,
     # axes checker would otherwise require to be explicitly pvary'd per axis.
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(repl, repl, P(axis_name), repl, repl, repl, repl,
-                       repl, P(axis_name), repl, repl),
+                       repl, P(axis_name), repl, repl, repl),
              out_specs=P(axis_name), check_vma=False)
     def sharded(scene, bvh, accum_block, sky_cube, frame, bvh2, sun_grid,
-                ray_bvh, raster_stack, raster_tri_table, alpha_bvh):
+                ray_bvh, raster_stack, raster_tri_table, alpha_bvh, proxy):
         row0 = jax.lax.axis_index(axis_name) * rows_per
         raster = None
         if raster_stack is not None:
             from ..render.swraster import RasterBins
-            ty, tx = raster_dims
+            ty, tx, *rest = raster_dims
             raster = RasterBins(**{k: v[0] for k, v in raster_stack.items()},
                                 tri_table=raster_tri_table,
-                                ty=int(ty), tx=int(tx))
+                                ty=int(ty), tx=int(tx),
+                                opaque_only=bool(rest[0]) if rest else False)
         return render_sample(scene, bvh, sky_cube, settings, frame,
                              width, rows_per, accum_block,
                              row_offset=row0, total_height=height, bvh2=bvh2,
                              sun_bvh=sun_grid, ray_bvh=ray_bvh,
-                             raster=raster, alpha_bvh=alpha_bvh)
+                             raster=raster, alpha_bvh=alpha_bvh, proxy=proxy)
 
     @jax.jit
     def step(scene, bvh, accum, sky_cube, frame, bvh2=None, sun_grid=None,
              ray_bvh=None, raster_stack=None, raster_tri_table=None,
-             alpha_bvh=None):
+             alpha_bvh=None, proxy=None):
         return sharded(scene, bvh, accum, sky_cube, frame, bvh2, sun_grid,
-                       ray_bvh, raster_stack, raster_tri_table, alpha_bvh)
+                       ray_bvh, raster_stack, raster_tri_table, alpha_bvh,
+                       proxy)
 
     return step
 
@@ -92,10 +94,10 @@ def stack_raster_slabs(bins_list):
     import dataclasses as _dc
     first = bins_list[0]
     fields = [f.name for f in _dc.fields(first)
-              if f.name not in ("tri_table", "ty", "tx")]
+              if f.name not in ("tri_table", "ty", "tx", "opaque_only")]
     stack = {k: jnp.stack([getattr(b, k) for b in bins_list], axis=0)
              for k in fields}
-    return stack, first.tri_table, (first.ty, first.tx)
+    return stack, first.tri_table, (first.ty, first.tx, first.opaque_only)
 
 
 def shard_accum(mesh: Mesh, accum, axis_name: str = "rows"):

@@ -786,7 +786,7 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
     return state, tuple(shadow_reqs), mid
 
 
-def _flush_shadow(bvh, shadow_reqs, plan, alpha_test):
+def _flush_shadow(bvh, shadow_reqs, plan, alpha_test, proxy=None):
     """One any_hit per shadow request (the reference's separate TraceRay
     dispatches, RayTrace.hlsl:262,311,434).
 
@@ -800,7 +800,14 @@ def _flush_shadow(bvh, shadow_reqs, plan, alpha_test):
     accept_fn inside the lockstep loop (28x measured; see
     _punch_through_closest): closest-hit semantics are required for
     correctness (a first-found hit could be advanced past while a CLOSER
-    accepted occluder was never visited)."""
+    accepted occluder was never visited).
+
+    proxy (accel/proxy.DenseProxy, optional): opaque dispatches run the
+    gather-free dense pre-pass first — proxy-blocked lanes resolve to 0
+    without entering the walk, shrinking its lockstep width at entry.
+    Visibility is EXACTLY equal either way (a proxy hit is a real
+    occluder; alpha dispatches never see the proxy)."""
+    from ..accel.proxy import screened_any
     vis_out = []
     for r, (_kind, use_alpha) in zip(shadow_reqs, plan):
         if use_alpha:
@@ -808,6 +815,11 @@ def _flush_shadow(bvh, shadow_reqs, plan, alpha_test):
                                          alpha_test, r[0], r[1], r[2], r[3],
                                          r[4])
             vis_out.append(jnp.where(r[4] & (rec.tri_id >= 0), 0.0, 1.0))
+        elif proxy is not None:
+            vis_out.append(screened_any(
+                lambda o_, d_, tn_, tx_, a_: any_hit(bvh, o_, d_, tn_, tx_,
+                                                     a_),
+                proxy, r[0], r[1], r[2], r[3], r[4]))
         else:
             vis_out.append(any_hit(bvh, r[0], r[1], r[2], r[3], r[4]))
     return vis_out
@@ -879,7 +891,8 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 first_set_idx: int = 1, initial_is_diffuse: bool = False,
                 t_min0=0.0, active0=None, sample_idx=None,
                 packet_coherent: bool = False, bvh2=None, sun_bvh=None,
-                ray_bvh=None, history=None, raster=None, alpha_bvh=None):
+                ray_bvh=None, history=None, raster=None, alpha_bvh=None,
+                proxy=None):
     """Trace a wavefront of rays to completion; returns (N, 3) radiance.
 
     ray_o/ray_d/t_max describe the depth-1 rays (already jittered primaries for
@@ -936,6 +949,12 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     cmj_sample_idx = frame.curr_sample_idx if sample_idx is None else sample_idx
     alpha_test = _make_alpha_test(scene, s)
     has_alpha = alpha_test is not None
+    # Dense-proxy pre-pass (accel/proxy.py): gather-free broadcast MT of the
+    # K largest opaque triangles screens/seeds the per-ray walks. Disabled
+    # by the settings knob or DXRPT_NO_PROXY=1 (A/B).
+    if (proxy is None or not s.enable_dense_proxy
+            or os.environ.get("DXRPT_NO_PROXY")):
+        proxy = None
     use_packet = (packet_coherent and bool(s.enable_packet_traversal)
                   and n % 128 == 0)
     use_mxu = use_packet and bool(s.enable_mxu_traversal) and bvh2 is not None
@@ -961,26 +980,38 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         # measurement was 148 packet vs 167-183 per-ray). Shadow/terminal
         # rays at depth >= 2 are per-ray for the same reason.
         pk_now = use_packet and (depth == 1 or ray_bvh is None)
-        # On alpha scenes the session's raster binds ONLY opaque triangles
-        # (split-table design): it may serve as the plain primary engine
-        # only when the scene has no alpha at all — a FORCE_OPAQUE
-        # configuration (alpha testing off / depth beyond max_any) must
-        # still see alpha geometry as opaque, which the masked raster
-        # cannot provide.
+        # Unmasked bins (raster.opaque_only False) hold EVERY triangle and
+        # serve any FORCE_OPAQUE primary dispatch — including alpha scenes
+        # when alpha testing is off or this depth is past max_any_hit.
+        # Masked bins (the split-alpha design's opaque-only step) cannot:
+        # FORCE_OPAQUE must see alpha geometry as opaque.
         raster_now = (raster is not None and depth == 1 and use_packet
                       and not alpha_now and not use_history
-                      and not scene.materials.any_opacity)
+                      and not raster.opaque_only)
         if raster_now:
             from .swraster import raster_closest_hit
             rec = raster_closest_hit(raster, state["ray_o"], state["ray_d"],
                                      state["t_min"], state["t_max"],
                                      state["active"])
         elif alpha_now:
-            base = (pk_closest if pk_now
-                    else partial(closest_hit, rbvh))
+            # Depth-1 alpha closest: the punch-through loop's closest_fn is
+            # the UNMASKED software raster when bound (FORCE_OPAQUE
+            # semantics; raster_closest_hit honors the advanced per-lane
+            # t_min of resumed rounds, so every round is exact) — measured
+            # the end-to-end winner in round 5 (TIMING.md). The round-4
+            # split-table design stays behind DXRPT_SPLIT_ALPHA=1: it
+            # measured 1056 vs 864 ms on SponzaAlpha@540p (bench protocol)
+            # against plain punch-through.
+            if (raster is not None and depth == 1 and not use_history
+                    and not raster.opaque_only and pk_now):
+                from .swraster import raster_closest_hit
+                base = partial(raster_closest_hit, raster)
+            else:
+                base = (pk_closest if pk_now
+                        else partial(closest_hit, rbvh))
             if (pk_now and not use_mxu and alpha_bvh is not None
                     and bvh.has_alpha_flags
-                    and not os.environ.get("DXRPT_NO_KCAND")):
+                    and os.environ.get("DXRPT_SPLIT_ALPHA")):
                 from ..accel.packet import (packet_closest_hit,
                                             packet_closest_hit_alpha)
                 kc = int(os.environ.get("DXRPT_KCAND", "8"))
@@ -991,9 +1022,8 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                         o_, d_, tn_, tx_, act_, max_rounds=mr_)
 
                 if (raster is not None and depth == 1
-                        and not use_history):
-                    # session binds only OPAQUE triangles into the raster
-                    # on alpha scenes: it IS the opaque-only step
+                        and raster.opaque_only and not use_history):
+                    # masked bins: the raster IS the opaque-only step
                     from .swraster import raster_closest_hit
 
                     def opq_fn(o_, d_, tn_, tx_, act_):
@@ -1029,6 +1059,16 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         elif pk_now:
             rec = pk_closest(
                 state["ray_o"], state["ray_d"], state["t_min"],
+                state["t_max"], state["active"])
+        elif proxy is not None:
+            # per-ray closest (bounce / bake-hemisphere rays): the proxy's
+            # min-t is an exact upper bound — ordered descent prunes every
+            # subtree beyond it (accel/proxy.seeded_closest).
+            from ..accel.proxy import seeded_closest
+            rec = seeded_closest(
+                lambda o_, d_, tn_, tx_, a_: closest_hit(rbvh, o_, d_, tn_,
+                                                         tx_, a_),
+                proxy, state["ray_o"], state["ray_d"], state["t_min"],
                 state["t_max"], state["active"])
         else:
             rec = closest_hit(
@@ -1083,7 +1123,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 if use_alpha:
                     if (not use_mxu and alpha_bvh is not None
                             and bvh.has_alpha_flags
-                            and not os.environ.get("DXRPT_NO_KCAND")):
+                            and os.environ.get("DXRPT_SPLIT_ALPHA")):
                         from ..accel.packet import (packet_any_hit_rec,
                                                     packet_closest_hit,
                                                     packet_closest_hit_alpha)
@@ -1121,12 +1161,29 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                         partial(packet_any_hit_rec, bvh),
                         history["tri_table"], history["sun_tri"],
                         r[0], r[1], r[2], r[3], r[4])
+                elif proxy is not None and os.environ.get(
+                        "DXRPT_PROXY_PACKET"):
+                    # Dense-proxy screen ahead of the packet walk — OPT-IN
+                    # (default off): the hoped-for mechanism was coherent
+                    # shadow regions emptying whole TILES for the packet
+                    # engine's phase compaction, but the driver-protocol
+                    # A/B at 1080p measured it NEUTRAL-to-negative
+                    # (1036.3 ms screened vs 1032.8 plain, ±0.3% spread) —
+                    # the d1 packet sun walk is already cheap enough that
+                    # the dense pass doesn't amortize. Visibility is
+                    # exactly equal either way.
+                    from ..accel.proxy import screened_any
+                    vis_list[i] = screened_any(
+                        lambda o_, d_, tn_, tx_, a_: pk_any(o_, d_, tn_,
+                                                            tx_, a_),
+                        proxy, r[0], r[1], r[2], r[3], r[4])
                 else:
                     vis_list[i] = pk_any(r[0], r[1], r[2], r[3], r[4])
                 rest.remove(i)
         if rest:
             sub = _flush_shadow(rbvh, [reqs[i] for i in rest],
-                                [plan[i] for i in rest], alpha_test)
+                                [plan[i] for i in rest], alpha_test,
+                                proxy=proxy)
             for j, i in enumerate(rest):
                 vis_list[i] = sub[j]
         state = _apply_vertex(s, sky_cube, depth, flags, state, mid, vis_list)
@@ -1353,7 +1410,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
                   width: int, height: int, accum, row_offset=0,
                   total_height=None, bvh2=None, sun_bvh=None, ray_bvh=None,
                   accum_sample_idx=None, history=None, raster=None,
-                  alpha_bvh=None):
+                  alpha_bvh=None, proxy=None):
     """One progressive sample: raygen + trace + running-mean accumulation
     (RaygenShader, RayTrace.hlsl:92-149). Returns the new accumulation image
     (height, width, 3) f32.
@@ -1397,7 +1454,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
             t_o, t_d, t_len, t_pix = args
             return trace_paths(scene, bvh, sky_cube, s, frame,
                                t_o, t_d, t_len, t_pix, n, first_set_idx=1,
-                               sun_bvh=sun_bvh, ray_bvh=ray_bvh)
+                               sun_bvh=sun_bvh, ray_bvh=ray_bvh, proxy=proxy)
 
         radiance = jax.lax.map(trace_tile, (
             ray_start.reshape(n_tiles, tile, 3),
@@ -1417,7 +1474,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
             _tile_order(pixel_idx, height, width, ty, tx),
             n, first_set_idx=1, packet_coherent=True, bvh2=bvh2,
             sun_bvh=sun_bvh, ray_bvh=ray_bvh, history=history,
-            alpha_bvh=alpha_bvh,
+            alpha_bvh=alpha_bvh, proxy=proxy,
             raster=raster if (raster is not None
                               and (raster.ty, raster.tx) == (ty, tx))
             else None)
@@ -1430,7 +1487,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
         radiance = trace_paths(scene, bvh, sky_cube, s, frame,
                                ray_start, ray_dir, ray_len, pixel_idx, n,
                                first_set_idx=1, sun_bvh=sun_bvh,
-                               ray_bvh=ray_bvh)
+                               ray_bvh=ray_bvh, proxy=proxy)
     radiance = radiance.reshape(height, width, 3)
 
     acc_idx = (frame.curr_sample_idx if accum_sample_idx is None

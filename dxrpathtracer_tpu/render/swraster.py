@@ -92,9 +92,14 @@ class RasterBins:
     tri_table: jax.Array   # (T, 9) f32 v0/e1/e2 rows (accel/history layout)
     ty: int = 8            # packet tile dims (static)
     tx: int = 16
+    # True when alpha-material triangles were masked OUT of the bins (the
+    # split-table alpha design's opaque-only step). False bins hold EVERY
+    # triangle and may serve FORCE_OPAQUE dispatches — including the
+    # punch-through loop's resumed rounds (per-lane t_min is honored).
+    opaque_only: bool = False
 
 
-_register(RasterBins, meta=("ty", "tx"))
+_register(RasterBins, meta=("ty", "tx", "opaque_only"))
 
 K_DENSE = 64   # dense levels per tile (>= p90 of per-tile counts at 1080p)
 K_DEEP = 256   # extra levels for deep tiles
@@ -209,11 +214,12 @@ def bin_pairs_host(bboxes, width, slab_h, row0, ty, tx):
 
 def build_raster_bins(positions, tri_idx, view_proj, near, width,
                       total_height, slab_h, row0, ty, tx, tri_table,
-                      pad_to=None, bboxes=None):
+                      pad_to=None, bboxes=None, opaque_only=False):
     """Host binning -> device RasterBins for one slab. pad_to (optional)
     forces the padded pair count (use max over slabs so one executable
     serves all); bboxes (optional) reuses a project_tri_bboxes result
-    across slabs."""
+    across slabs; opaque_only marks bins whose bboxes were pre-masked to
+    opaque materials (see RasterBins.opaque_only)."""
     if bboxes is None:
         bboxes = project_tri_bboxes(positions, tri_idx, view_proj, near,
                                     width, total_height)
@@ -288,7 +294,8 @@ def build_raster_bins(positions, tri_idx, view_proj, near, width,
         pair_tile=jnp.asarray(tile_s.astype(np.int32)),
         pair_first=jnp.asarray(first.astype(np.float32)[:, None]),
         seg_last=jnp.asarray(seg_last.astype(np.int32)),
-        tri_table=tri_table, ty=int(ty), tx=int(tx)), P
+        tri_table=tri_table, ty=int(ty), tx=int(tx),
+        opaque_only=bool(opaque_only)), P
 
 
 def pad_quantum(p):

@@ -328,8 +328,10 @@ def test_force_opaque_mode_sees_cards(monkeypatch):
 
 
 def test_render_image_kcand_vs_punch(alpha_fixture, monkeypatch):
-    """Full trace_paths image with the K-candidate path vs DXRPT_NO_KCAND:
-    the alpha resolution feeding shading/NEE must agree statistically
+    """Full trace_paths image: the split-table K-candidate path
+    (DXRPT_SPLIT_ALPHA=1 — the round-4 design, opt-in since the round-5
+    end-to-end A/B measured it 22% slower) vs the default punch-through.
+    The alpha resolution feeding shading/NEE must agree statistically
     (identical up to near-tie path divergence)."""
     from dxrpathtracer_tpu.app.session import RenderSession
     from dxrpathtracer_tpu.app.settings import Scenes
@@ -337,11 +339,11 @@ def test_render_image_kcand_vs_punch(alpha_fixture, monkeypatch):
     scene, preset = tiny_alpha_scene()
     sets = AppSettings(current_scene=Scenes.Sponza, sqrt_num_samples=1)
     imgs = []
-    for no_kcand in ("", "1"):
-        if no_kcand:
-            monkeypatch.setenv("DXRPT_NO_KCAND", no_kcand)
+    for split in ("1", ""):
+        if split:
+            monkeypatch.setenv("DXRPT_SPLIT_ALPHA", split)
         else:
-            monkeypatch.delenv("DXRPT_NO_KCAND", raising=False)
+            monkeypatch.delenv("DXRPT_SPLIT_ALPHA", raising=False)
         sess = RenderSession(settings=sets, width=96, height=64,
                              scene=scene, preset=preset)
         sess.render_to_completion()
