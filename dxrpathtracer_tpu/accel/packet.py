@@ -45,6 +45,7 @@ import jax.numpy as jnp
 
 from .lbvh import FlatBVH, LEAF_SIZE, WIDTH
 from .traverse import (HitRecord, _argmin8_block, _bitcast_i32,
+                       _gather_record, _table_quarters, split_gather_enabled,
                        _child_banks, _compact_perm, _full_mask,
                        _safe_inv, MIN_COMPACT_SIZE, MAX_COMPACT_PHASES, _BIG,
                        pad_traversal_args, quarantine_pad_count)
@@ -66,6 +67,8 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
     traversal thus replaces the punch-through loop's re-traversals; the
     caller alpha-tests the few candidates OUTSIDE the loop and falls back
     to punch-through only for overflow lanes (render/integrator.py)."""
+    quarters = (_table_quarters(bvh.table)
+                if split_gather_enabled() else None)
     n = ray_o.shape[0]
     if n % PACKET != 0:
         raise ValueError(f"packet traversal needs N % {PACKET} == 0, got {n}")
@@ -122,7 +125,9 @@ def _packet_traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active,
         is_leaf = alive & (cur < 0)
         is_int = alive & (cur >= 0)
         row = jnp.where(is_leaf, ~cur, jnp.where(is_int, cur, 0))
-        rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (p, 128)
+        # 4-way split gather (latency overlap) — see accel/traverse.py
+        # split_gather_enabled(); validated by tools/sweep_split_gather.py
+        rec = _gather_record(bvh.table, quarters, row)  # (p, 128)
 
         # live rays: active AND (closest: always search; any-hit: not found)
         ray_live = s["act"]

@@ -285,11 +285,49 @@ def _unpack_lane(packed):
     return lane
 
 
+# Default for the 4-way split row fetch. Flipped by measurement protocol
+# only: tools/sweep_split_gather.py (bit-equality vs the single-gather
+# incumbent over every historical bad shape x real tables, ON DEVICE) +
+# tools/crosscheck_tpu.py must both be green on the current stack, and the
+# driver bench must show a win. History: round 2 shipped it and the axon
+# stack MISCOMPILED silently; round-5's canary measured the bug gone
+# (artifacts/canary.json, split 5.2x on the isolated dependent walk).
+_SPLIT_GATHER_DEFAULT = False
+
+
+def split_gather_enabled() -> bool:
+    """Round-2's 4-sub-gather latency-overlap row fetch (see
+    _SPLIT_GATHER_DEFAULT). DXRPT_SPLIT_GATHER=1/0 overrides;
+    DXRPT_NO_SPLIT_GATHER=1 forces off (legacy A/B knob)."""
+    if os.environ.get("DXRPT_NO_SPLIT_GATHER"):
+        return False
+    env = os.environ.get("DXRPT_SPLIT_GATHER")
+    if env is not None:
+        return env != "0"
+    return _SPLIT_GATHER_DEFAULT
+
+
+def _table_quarters(table):
+    """Four 32-column views of the record table, hoisted OUT of the loop so
+    each iteration issues 4 independent sub-gathers (the DMA latency
+    overlap XLA won't create from one 128-wide gather)."""
+    return [table[:, 32 * k:32 * (k + 1)] for k in range(4)]
+
+
+def _gather_record(table, quarters, row):
+    if quarters is None:
+        return jnp.take(table, row, axis=0, mode="clip")
+    return jnp.concatenate(
+        [jnp.take(q, row, axis=0, mode="clip") for q in quarters], axis=1)
+
+
 def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
               first_hit: bool, stats: bool = False):
     n = ray_o.shape[0]
     inv_d = _safe_inv(ray_d)
     done_code = jnp.int32(bvh.num_rows)  # cur == done_code => lane finished
+    quarters = (_table_quarters(bvh.table)
+                if split_gather_enabled() else None)
 
     # Pallas loop body (accel/pallas_body.py): reads each gathered 512 B
     # record tile into VMEM once and runs the body component-major (rays on
@@ -371,13 +409,15 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
             # update is bit-identical.
             rec = rec_override
         else:
-            # The only gather. NOTE: splitting it into 4 independent
-            # sub-gathers + concat (latency hiding, ~1.3x on the isolated
-            # gather — tools/microbench_gather.py) MISCOMPILES inside
-            # while_loop on the axon TPU stack: lanes >= 128 silently return
-            # misses for N <= ~576 (eager execution of the same body is
-            # correct). Keep the single gather until the platform stack
-            # updates.
+            # The only gather. Split into 4 independent 32-wide sub-gathers
+            # + concat (DMA latency overlap) when split_gather_enabled():
+            # round 2 measured this ~1.3x on the isolated gather but it
+            # MISCOMPILED inside while_loop on the then-current axon stack
+            # (lanes >= 128 silently returned misses for N <= ~576);
+            # round-5's canary harness measured the bug GONE and the split
+            # 5.2x on the isolated dependent walk (artifacts/canary.json).
+            # The single-gather fallback stays one env knob away
+            # (DXRPT_NO_SPLIT_GATHER=1).
             # Dead (finished-but-not-yet-compacted) lanes still participate
             # in the gather; row 0 for all of them is the platform's WORST
             # gather pattern (microbench_onehot_top.py: all-same-row 13.2 ms
@@ -389,7 +429,7 @@ def _traverse(bvh: FlatBVH, ray_o, ray_d, t_min, t_max, active, accept_fn,
             else:
                 dead_row = 0
             row = jnp.where(is_leaf, ~cur, jnp.where(is_int, cur, dead_row))
-            rec = jnp.take(bvh.table, row, axis=0, mode="clip")  # (m, RECORD)
+            rec = _gather_record(bvh.table, quarters, row)  # (m, RECORD)
 
         # ---- internal: slab-test all W children, bank by bank ----
         # (one (m, 8) f32 bank classically; two (m, W/2) de-interleaved bf16

@@ -1060,10 +1060,15 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
             rec = pk_closest(
                 state["ray_o"], state["ray_d"], state["t_min"],
                 state["t_max"], state["active"])
-        elif proxy is not None:
-            # per-ray closest (bounce / bake-hemisphere rays): the proxy's
-            # min-t is an exact upper bound — ordered descent prunes every
-            # subtree beyond it (accel/proxy.seeded_closest).
+        elif (proxy is not None
+              and os.environ.get("DXRPT_PROXY_SEED", "0") != "0"):
+            # per-ray closest proxy SEEDING — OPT-IN (default off): exact
+            # and bit-equal (tests/test_proxy.py), but measured a LOSS both
+            # in isolation (tools/ab_proxy.py: bounce 337.7 -> 358.7
+            # ms/frame — tightening t_max barely shrinks the ordered walk,
+            # the same shape as the round-3 history-seeding negative) and
+            # end-to-end (1032.8 -> 1019.3 ms with DXRPT_PROXY_SEED=0).
+            # The any-hit SCREENING below carries the proxy's whole win.
             from ..accel.proxy import seeded_closest
             rec = seeded_closest(
                 lambda o_, d_, tn_, tx_, a_: closest_hit(rbvh, o_, d_, tn_,

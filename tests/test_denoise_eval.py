@@ -140,3 +140,44 @@ def test_learned_identity_at_init_and_tiling():
     tiled = np.asarray(learned_denoise(img, alb, nrm, valid=jnp.asarray(valid),
                                        params=p, tile=160, overlap=56))
     assert np.abs(full - tiled).max() < 1e-5
+
+
+_SUNTEMPLE_NPZ = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "data",
+    "denoise_eval_suntemple_192.npz")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_SUNTEMPLE_NPZ),
+                    reason="SunTemple eval pairs not generated "
+                           "(tools/make_denoise_eval.py)")
+def test_held_out_suntemple_family():
+    """Third scene family for the denoiser eval (VERDICT r4 #8): committed
+    device-baked SunTemple pairs at 192 (1/2/4 spp vs 96-spp reference,
+    tools/make_denoise_eval.py). The guided bilateral must improve on the
+    raw bake at every spp; the learned net (trained on BoxTest+Stronghold
+    only — SunTemple is fully held out) must beat the guided filter, the
+    same bar the in-family eval sets."""
+    from dxrpathtracer_tpu.render.learned_denoise import learned_denoise
+    with np.load(_SUNTEMPLE_NPZ) as z:
+        n = int(z["count"])
+        spps = [int(s) for s in z["spps"]]
+        rows = []
+        for i in range(n):
+            noisy = z[f"noisy{i}"].astype(np.float32)
+            ref = z[f"ref{i}"].astype(np.float32)
+            albedo = z[f"albedo{i}"].astype(np.float32)
+            normal = z[f"normal{i}"].astype(np.float32)
+            valid = z[f"valid{i}"].astype(bool)
+            base = _rmse(noisy, ref, valid)
+            gui = _rmse(np.asarray(guided_bilateral_denoise(
+                jnp.asarray(noisy), jnp.asarray(albedo), jnp.asarray(normal),
+                valid=jnp.asarray(valid))), ref, valid)
+            lrn = _rmse(np.asarray(learned_denoise(
+                noisy, albedo, normal, valid=jnp.asarray(valid))), ref, valid)
+            rows.append((spps[i], base, gui, lrn))
+    print("\nSunTemple held-out log-RMSE (spp / noisy / guided / learned):")
+    for spp, base, gui, lrn in rows:
+        print(f"  {spp} spp: {base:.4f} / {gui:.4f} / {lrn:.4f}")
+    for spp, base, gui, lrn in rows:
+        assert gui < base, (spp, gui, base)
+        assert lrn < gui, (spp, lrn, gui)
