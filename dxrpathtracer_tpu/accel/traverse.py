@@ -292,6 +292,15 @@ def _unpack_lane(packed):
 # driver bench must show a win. History: round 2 shipped it and the axon
 # stack MISCOMPILED silently; round-5's canary measured the bug gone
 # (artifacts/canary.json, split 5.2x on the isolated dependent walk).
+# Round-5 outcome: CORRECT but SLOWER end-to-end. The sweep gate is green
+# (artifacts/split_gather_sweep.json — 0 mismatches over 62 points:
+# Sponza+Stronghold x W8/W32/packet x every historical bad lane count, on
+# the v5e), so the miscompile era is over; but the driver bench measured
+# the split fetch 1178.9 ms vs 1019.3 single at 1080p (±0.1% spreads) —
+# the canary's 5.2x on a trivial-body walk does not survive the real
+# traversal body (the 4 sub-gathers + concat add ops the scheduler cannot
+# overlap once the body consumes all 128 columns). Stays opt-in
+# (DXRPT_SPLIT_GATHER=1) as a validated-correct alternate fetch.
 _SPLIT_GATHER_DEFAULT = False
 
 
