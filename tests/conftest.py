@@ -83,6 +83,9 @@ _QUICK = {
     ("test_exr.py", "test_cross_validate_we_read_cv2"),
     ("test_oracle.py", "test_oracle_boxtest"),
     ("test_oracle.py", "test_oracle_white_furnace"),
+    # the alpha-tested large-scene oracle pin (VERDICT r4 #3: the punch-
+    # through path validated against an independent integrator every run)
+    ("test_oracle.py", "test_oracle_large_scenes[SunTemple]"),
     ("test_integrator.py", "test_white_furnace_miss_is_one"),
     ("test_alphasplit.py", "test_classifier_matches_bruteforce"),
     ("test_alphasplit.py", "test_extreme_masks"),
@@ -103,7 +106,8 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         fname = os.path.basename(str(item.fspath))
         base = item.name.split("[")[0]
-        if (fname, base) in _QUICK or (fname, None) in _QUICK:
+        if ((fname, base) in _QUICK or (fname, None) in _QUICK
+                or (fname, item.name) in _QUICK):
             item.add_marker(pytest.mark.quick)
         if (fname, base) in _SLOW or (fname, None) in _SLOW:
             item.add_marker(pytest.mark.slow)
