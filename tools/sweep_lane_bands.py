@@ -161,9 +161,19 @@ def _point_ok(p):
 def derive_band(points, backend):
     """Union quarantine band: covers every measured-bad lane count AND the
     round-3 known-bad list, bounded by the nearest measured-good points."""
-    bad_ns = sorted({p["n"] for p in points
-                     if p.get("kind") != "ref" and not _point_ok(p)}
-                    | set(KNOWN_BAD))
+    measured = {}
+    for p in points:
+        if p.get("kind") == "ref":
+            continue
+        measured[p["n"]] = measured.get(p["n"], True) and _point_ok(p)
+    # KNOWN_BAD entries are historical stack bugs: a FRESH measurement at
+    # that lane count (every table/population ok in this sweep) overrides
+    # them — round-5's canary found the bug class gone, so a full clean
+    # sweep may legitimately shrink the band to nothing. Unmeasured
+    # historical points stay bad (a partial sweep never shrinks below
+    # evidence it didn't gather).
+    hist_bad = {k for k in KNOWN_BAD if not measured.get(k, False)}
+    bad_ns = sorted({n for n, ok in measured.items() if not ok} | hist_bad)
     good_ns = sorted({p["n"] for p in points
                       if p.get("kind") != "ref" and _point_ok(p)})
     # a lane count measured bad ANYWHERE is never a band edge
@@ -336,6 +346,17 @@ def main():
             print(f"wrote {qpath} (loaded by accel/traverse.py)")
     else:
         print("no bad points found on this backend/grid")
+        qpath = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "dxrpathtracer_tpu", "data", "lane_quarantine.json")
+        if backend != "cpu":
+            # empty band: quarantine padding disabled entirely
+            with open(qpath, "w") as f:
+                json.dump({"band_lo": 0, "band_hi": 0,
+                           "bad_points": [], "backend": backend,
+                           "source": "tools/sweep_lane_bands.py (clean)"},
+                          f, indent=1)
+            print(f"wrote EMPTY band to {qpath} — padding disabled")
 
 
 if __name__ == "__main__":
