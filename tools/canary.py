@@ -18,9 +18,11 @@ subprocess probe and records whether the block still reproduces:
   lane_band        the 36864-lane traversal dispatch was silently degenerate
                    on Sponza-class tables (accel/traverse.py quarantine)
 
-Each probe prints PASS (block is GONE — flip the default / shrink the
-quarantine and re-measure with the matching tools/ab_* tool) or BLOCKED
-(status quo). Wrong-result probes compare against an in-probe reference.
+Each probe prints PASS (block is gone AT THE PROBE'S SHAPES — run the
+matching full gate sweep before flipping any default: round 5 proved a
+lane_band PASS can coexist with same-night sweep failures at other
+population points, and a split_gather PASS-AND-FASTER with an e2e bench
+regression) or BLOCKED (status quo). Wrong-result probes compare against an in-probe reference.
 
 Run on the TPU: `python tools/canary.py [--probes a,b]`. Results append to
 artifacts/canary.json with the jax/libtpu versions, so the history shows

@@ -142,7 +142,10 @@ def brute_check(v0, v1, v2, o, d, t_max, ref_t, ref_tri, k=256):
 # closest over the theInn W8+W32 tables, degenerate for these lane counts.
 # The derived band always covers them — a partial sweep must never SHRINK
 # the quarantine below evidence from earlier sessions.
-KNOWN_BAD = [24576, 36864, 49152, 57600, 65536, 73728, 98304]
+# 8192 joined 2026-08-21: first seen bad on the Stronghold W8 render
+# slice (197/8192 lanes) the same night the canary probe measured the
+# band "clean" — the failure is compile-session-dependent.
+KNOWN_BAD = [8192, 24576, 36864, 49152, 57600, 65536, 73728, 98304]
 
 
 def _point_ok(p):
@@ -161,19 +164,15 @@ def _point_ok(p):
 def derive_band(points, backend):
     """Union quarantine band: covers every measured-bad lane count AND the
     round-3 known-bad list, bounded by the nearest measured-good points."""
-    measured = {}
-    for p in points:
-        if p.get("kind") == "ref":
-            continue
-        measured[p["n"]] = measured.get(p["n"], True) and _point_ok(p)
-    # KNOWN_BAD entries are historical stack bugs: a FRESH measurement at
-    # that lane count (every table/population ok in this sweep) overrides
-    # them — round-5's canary found the bug class gone, so a full clean
-    # sweep may legitimately shrink the band to nothing. Unmeasured
-    # historical points stay bad (a partial sweep never shrinks below
-    # evidence it didn't gather).
-    hist_bad = {k for k in KNOWN_BAD if not measured.get(k, False)}
-    bad_ns = sorted({n for n, ok in measured.items() if not ok} | hist_bad)
+    # HISTORY IS NEVER OVERRIDDEN by a clean re-measurement: the round-5
+    # sweep proved this bug class FLAKY ACROSS COMPILES — the canary probe
+    # measured 36864 clean the same night this sweep measured it BAD on
+    # the same table, and 49152 (round-3 degenerate) measured clean while
+    # 8192 (never bad before) went bad. A shape that was EVER degenerate
+    # stays quarantined; only bad points accumulate.
+    bad_ns = sorted({p["n"] for p in points
+                     if p.get("kind") != "ref" and not _point_ok(p)}
+                    | set(KNOWN_BAD))
     good_ns = sorted({p["n"] for p in points
                       if p.get("kind") != "ref" and _point_ok(p)})
     # a lane count measured bad ANYWHERE is never a band edge
