@@ -676,10 +676,22 @@ except (OSError, KeyError, ValueError):
     pass
 
 
+_IS_TPU = None
+
+
 def quarantine_pad_count(n: int) -> int:
     """Extra inactive lanes that move a dispatch out of the quarantined
-    lane-count band (0 when n is outside the band or padding is disabled)."""
+    lane-count band (0 when n is outside the band or padding is disabled).
+    TPU-only: the band is a device-compiler wrong-result class; the CPU
+    backend is the correctness reference and must not pay the pad (the
+    round-5 widened band would otherwise pad every small CI render 19x)."""
     if os.environ.get("DXRPT_NO_LANE_PAD"):
+        return 0
+    global _IS_TPU
+    if _IS_TPU is None:
+        import jax
+        _IS_TPU = jax.default_backend() not in ("cpu",)
+    if not _IS_TPU:
         return 0
     if _PAD_BAND_LO < n < _PAD_BAND_HI:
         return _PAD_BAND_HI - n

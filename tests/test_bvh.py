@@ -216,6 +216,10 @@ def test_quarantine_pad_equivalence(monkeypatch):
     from dxrpathtracer_tpu.accel import traverse as trav
     monkeypatch.setattr(trav, "_PAD_BAND_LO", 512)
     monkeypatch.setattr(trav, "_PAD_BAND_HI", 2048)
+    # padding is TPU-only since round 5 (the CPU backend is the
+    # correctness reference); force it on so the CPU CI still pins the
+    # pad's semantics-neutrality
+    monkeypatch.setattr(trav, "_IS_TPU", True)
 
     rng = np.random.default_rng(11)
     v0, v1, v2 = _soup(rng, 400)

@@ -332,7 +332,8 @@ def main():
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"\nwrote {out_path}")
-    print(f"bad lane counts: {bad_ns or 'NONE'}")
+    print(f"bad lane counts: "
+          f"{derived['bad_points'] if derived else 'NONE'}")
     if derived:
         print(f"derived quarantine band: ({derived['band_lo']}, "
               f"{derived['band_hi']})")
