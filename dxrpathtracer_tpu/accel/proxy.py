@@ -203,10 +203,168 @@ def seeded_closest(closest_fn, proxy: DenseProxy, ray_o, ray_d, t_min,
 
 
 def screened_any(any_fn, proxy: DenseProxy, ray_o, ray_d, t_min, t_max,
-                 active):
+                 active, cut=None):
     """Proxy-screened any-hit visibility: proxy-blocked lanes resolve to 0
     with no traversal; the walk runs only for the rest (its compaction
-    phases shrink the lockstep width at entry)."""
+    phases shrink the lockstep width at entry).
+
+    cut (AABBCut, optional): the complementary DEFINITELY-CLEAR screen —
+    lanes whose segment misses every covering box provably hit nothing and
+    resolve to 1 with no traversal either. Together the two broadcast
+    stages leave the exact walk only the ambiguous middle."""
     blocked = proxy_blocked(proxy, ray_o, ray_d, t_min, t_max, active)
-    vis = any_fn(ray_o, ray_d, t_min, t_max, active & ~blocked)
+    act = active & ~blocked
+    if cut is not None:
+        act = act & ~cut_clear(cut, ray_o, ray_d, t_min, t_max, act)
+    vis = any_fn(ray_o, ray_d, t_min, t_max, act)
     return jnp.where(blocked, 0.0, vis)
+
+
+# ---------------------------------------------------------------------------
+# AABB-cut "definitely clear" screen — the other half of the pre-pass.
+#
+# The dense proxy resolves DEFINITELY-BLOCKED lanes (a proxy hit is a real
+# occluder). This stage resolves DEFINITELY-CLEAR lanes: partition the
+# triangle set into C morton-contiguous chunks (= LBVH subtrees) and keep
+# each chunk's covering AABB as a (1, C) broadcast constant. A segment that
+# misses ALL C boxes provably intersects no triangle — the lane never enters
+# the walk (any-hit: vis = 1; closest: the miss record inactive lanes
+# already produce). Open-sky scenes (the SunTemple-class courtyard — the
+# worst scene in TIMING.md's matrix) are exactly where the proxy's blocked
+# fraction collapses and this clear fraction takes over.
+#
+# Like the proxy, the stage costs ZERO gathered rows: one fused (N, C) slab
+# test (~3 KB of broadcast constants at C=128). Conservative on both sides:
+# boxes are expanded outward at build (f64 -> directed f32 + extent epsilon)
+# and the hit predicate keeps fp-marginal lanes AMBIGUOUS (the exact walk
+# decides them), so a True verdict is safe by construction.
+#
+# Reference mapping: no DXR counterpart (hardware MIMD traversal exits a
+# missing ray in a handful of node tests, RayTrace.hlsl:407-438 TraceRay);
+# this is lockstep-width rescue in the same family as the proxy above.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AABBCut:
+    """C covering AABBs as broadcast-ready SoA columns, (1, C) f32 each."""
+
+    lox: jax.Array; loy: jax.Array; loz: jax.Array  # noqa: E702
+    hix: jax.Array; hiy: jax.Array; hiz: jax.Array  # noqa: E702
+
+    @property
+    def c(self):
+        return self.lox.shape[1]
+
+
+_register(AABBCut)
+
+
+def build_aabb_cut(positions, tri_idx, c: int = 128):
+    """Morton-sort triangle centroids, split the order into `c` contiguous
+    chunks, box each chunk (host numpy, once per scene). Every triangle is
+    in exactly one chunk, so missing all boxes is a definitive scene miss.
+    Boxes are expanded outward by 1e-5 x scene diagonal (+ f64->f32 directed
+    rounding slack) so build-side fp can never shrink coverage."""
+    from .lbvh import morton_codes_30
+
+    pos = np.asarray(positions, np.float64)
+    tri = np.asarray(tri_idx)
+    t = tri.shape[0]
+    if t < 8:
+        return None
+    c = int(min(c, max(1, t // 4)))
+    v = pos[tri]                      # (T, 3, 3)
+    cent = v.mean(axis=1)
+    order = np.argsort(morton_codes_30(cent.astype(np.float32)),
+                       kind="stable")
+    bounds_lo = np.empty((c, 3), np.float64)
+    bounds_hi = np.empty((c, 3), np.float64)
+    edges = np.linspace(0, t, c + 1).astype(np.int64)
+    for i in range(c):
+        chunk = v[order[edges[i]:edges[i + 1]]]
+        bounds_lo[i] = chunk.min(axis=(0, 1))
+        bounds_hi[i] = chunk.max(axis=(0, 1))
+    diag = np.linalg.norm(pos[tri.reshape(-1)].max(0)
+                          - pos[tri.reshape(-1)].min(0))
+    eps = 1e-5 * max(diag, 1e-6)
+    lo = (bounds_lo - eps).astype(np.float32)
+    hi = (bounds_hi + eps).astype(np.float32)
+    # directed rounding: f64->f32 cast may round toward the interior
+    lo = np.where(lo > bounds_lo, np.nextafter(lo, -np.inf), lo)
+    hi = np.where(hi < bounds_hi, np.nextafter(hi, np.inf), hi)
+    return AABBCut(
+        lox=jnp.asarray(lo[None, :, 0]), loy=jnp.asarray(lo[None, :, 1]),
+        loz=jnp.asarray(lo[None, :, 2]), hix=jnp.asarray(hi[None, :, 0]),
+        hiy=jnp.asarray(hi[None, :, 1]), hiz=jnp.asarray(hi[None, :, 2]))
+
+
+def probe_clear_fraction(cut: AABBCut, positions, tri_idx, m: int = 4096,
+                         seed: int = 0) -> float:
+    """Host estimate of the fraction of surface-hemisphere rays the cut
+    resolves as definitely-clear — the population the depth>=2 screens see.
+    Used by the session to enable the screen only where it pays: the stage
+    is pure per-lane cost, so on closed interiors (clear fraction ~0) it
+    can only lose, while open-sky scenes resolve a large fraction of their
+    walk lanes for free. Deterministic (fixed seed), numpy-only, runs once
+    per scene build (~ms)."""
+    rng = np.random.default_rng(seed)
+    pos = np.asarray(positions, np.float64)
+    tri = np.asarray(tri_idx)
+    pick = rng.integers(0, tri.shape[0], m)
+    a = pos[tri[pick, 0]]
+    b = pos[tri[pick, 1]]
+    c = pos[tri[pick, 2]]
+    r1 = np.sqrt(rng.random(m))
+    r2 = rng.random(m)
+    p = a * (1 - r1)[:, None] + b * (r1 * (1 - r2))[:, None] + (
+        c * (r1 * r2)[:, None])
+    n = np.cross(b - a, c - a)
+    nl = np.linalg.norm(n, axis=1, keepdims=True)
+    n = n / np.maximum(nl, 1e-20)
+    # uniform hemisphere about the geometric normal, random facing side
+    d = rng.normal(size=(m, 3))
+    d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-20)
+    side = np.where(rng.random(m) < 0.5, 1.0, -1.0)[:, None]
+    flip = np.sign(np.sum(d * n, axis=1, keepdims=True))
+    d = d * np.where(flip == 0, 1.0, flip) * side
+    diag = np.linalg.norm(pos.max(0) - pos.min(0))
+    o = p + n * side * (1e-4 * diag)
+    lo = np.stack([np.asarray(cut.lox)[0], np.asarray(cut.loy)[0],
+                   np.asarray(cut.loz)[0]], axis=1)  # (C, 3)
+    hi = np.stack([np.asarray(cut.hix)[0], np.asarray(cut.hiy)[0],
+                   np.asarray(cut.hiz)[0]], axis=1)
+    inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+    t0 = (lo[None] - o[:, None]) * inv[:, None]   # (m, C, 3)
+    t1 = (hi[None] - o[:, None]) * inv[:, None]
+    enter = np.minimum(t0, t1).max(axis=2)
+    exit_ = np.maximum(t0, t1).min(axis=2)
+    hit = (enter <= exit_) & (exit_ >= 0.0)
+    return float((~hit.any(axis=1)).mean())
+
+
+def cut_clear(cut: AABBCut, ray_o, ray_d, t_min, t_max, active):
+    """(N,) bool: True where the segment misses EVERY covering box — a
+    definitive no-intersection verdict. The slab predicate errs toward
+    "ambiguous": the enter/exit comparison carries a relative + absolute
+    slack, so fp-marginal overlaps stay with the exact walk."""
+    eps = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(ray_d) < eps,
+                          jnp.where(ray_d < 0.0, -eps, eps), ray_d)
+    ox, oy, oz = (ray_o[:, c:c + 1] for c in range(3))
+    ix, iy, iz = (inv[:, c:c + 1] for c in range(3))
+    t0x = (cut.lox - ox) * ix
+    t1x = (cut.hix - ox) * ix
+    t0y = (cut.loy - oy) * iy
+    t1y = (cut.hiy - oy) * iy
+    t0z = (cut.loz - oz) * iz
+    t1z = (cut.hiz - oz) * iz
+    enter = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), t_min[:, None]))
+    exit_ = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), t_max[:, None]))
+    slack = 1e-4 * jnp.abs(exit_) + 1e-6
+    maybe_hit = enter <= exit_ + slack
+    return active & ~jnp.any(maybe_hit, axis=1)

@@ -137,6 +137,33 @@ class RenderSession:
                 self.proxy = build_dense_proxy(
                     pos, tri, tri_alpha=tri_alpha,
                     k=int(os.environ.get("DXRPT_PROXY_K", "128")))
+            # AABB-cut clear screen (accel/proxy.py): C morton-chunk covering
+            # boxes as a broadcast constant; per-ray lanes that miss all of
+            # them provably hit nothing and skip the walk (the complementary
+            # definitely-CLEAR verdict — decisive on open-sky scenes where
+            # the proxy's blocked fraction collapses). ~3 KB, scene-static.
+            self.cut = None
+            self.cut_clear_fraction = 0.0
+            if self.settings.enable_clear_cut:
+                from ..accel.proxy import build_aabb_cut, probe_clear_fraction
+                cut = build_aabb_cut(
+                    pos, tri, c=int(os.environ.get("DXRPT_CUT_C", "128")))
+                if cut is not None:
+                    # Scene-adaptive gate: the screen is pure per-lane VPU
+                    # cost, so it only pays where a real fraction of
+                    # surface-hemisphere rays provably escape (open-sky
+                    # scenes). Measured (TIMING.md round 5): Sponza-class
+                    # interior clears ~0 and LOSES 15.5 ms/frame; the
+                    # SunTemple-class courtyard clears a large fraction and
+                    # wins. Gate on a deterministic host probe of that
+                    # fraction — same decision pattern as the raster's
+                    # session threshold.
+                    frac = probe_clear_fraction(cut, pos, tri)
+                    self.cut_clear_fraction = frac
+                    thresh = float(os.environ.get("DXRPT_CUT_MIN_CLEAR",
+                                                  "0.10"))
+                    if frac >= thresh:
+                        self.cut = cut
             # Temporal hit-reuse table (accel/history.py): last sample's
             # per-pixel hit/occluder triangles seed depth-1 traversals with
             # exact t bounds. Default OFF: measured NET-NEGATIVE on the v5e
@@ -360,12 +387,14 @@ class RenderSession:
 
         proxy_c = getattr(self, "proxy", None)
 
+        cut_c = getattr(self, "cut", None)
+
         if not os.environ.get("DXRPT_STAGED"):
             @partial(jax.jit, static_argnames=("settings",),
                      donate_argnums=(4, 5))
             def step_slab(scene, bvh, bvh2, bvh_ray, accum_slab, hist,
                           sky_cube, frame, row0, sun_grid, tri_tab, raster,
-                          alpha_bvh, proxy, settings):
+                          alpha_bvh, proxy, cut, settings):
                 history = (None if tri_tab is None
                            else {**hist, "tri_table": tri_tab})
                 out = render_sample(scene, bvh, sky_cube, settings, frame,
@@ -374,7 +403,7 @@ class RenderSession:
                                     bvh2=bvh2, sun_bvh=sun_grid,
                                     ray_bvh=bvh_ray, history=history,
                                     raster=raster, alpha_bvh=alpha_bvh,
-                                    proxy=proxy)
+                                    proxy=proxy, cut=cut)
                 if history is None:
                     return out, hist
                 accum_out, hist_out = out
@@ -397,7 +426,7 @@ class RenderSession:
 
             def step_slab(scene, bvh, _bvh2, _bvh_ray, accum_slab, hist,
                           sky_cube, frame, row0, _sun_grid, _tri_tab,
-                          _raster, _alpha_bvh, _proxy, settings):
+                          _raster, _alpha_bvh, _proxy, _cut, settings):
                 o, d, length, pix = raygen_slab(frame, row0, settings)
                 radiance = tracer.trace(scene, bvh, sky_cube, settings, frame,
                                         o, d, length, pix, width * height,
@@ -413,7 +442,7 @@ class RenderSession:
                        or [None] * len(slabs))
             outs = [step_slab(scene, bvh, bvh2, bvh_ray, slab, hist,
                               sky_cube, frame, r0, self.sun_grid, tri_table,
-                              raster, bvh_alpha, proxy_c, settings)
+                              raster, bvh_alpha, proxy_c, cut_c, settings)
                     for slab, hist, r0, raster in zip(slabs,
                                                       self._hist_slabs,
                                                       row0_dev, rasters)]

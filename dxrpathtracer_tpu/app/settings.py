@@ -100,6 +100,12 @@ class AppSettings:
     # walks run with an exact proxy t bound. Identical results up to
     # equal-t tie order (tests/test_proxy.py).
     enable_dense_proxy: bool = True
+    # TPU-only: AABB-cut "definitely clear" screen for per-ray depth>=2
+    # traversals (accel/proxy.py AABBCut) — lanes whose segment misses all C
+    # morton-chunk covering boxes provably hit nothing and skip the walk.
+    # Complements the dense proxy's definitely-blocked verdict; biggest on
+    # open-sky scenes (SunTemple-class). Exact by construction.
+    enable_clear_cut: bool = True
     clamp_roughness: bool = False
     avoid_caustic_paths: bool = False
     # Benchmark mode (the reference's `static const bool Benchmark`,

@@ -56,10 +56,11 @@ def make_sharded_step(mesh: Mesh, settings, width: int, height: int,
     # axes checker would otherwise require to be explicitly pvary'd per axis.
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(repl, repl, P(axis_name), repl, repl, repl, repl,
-                       repl, P(axis_name), repl, repl, repl),
+                       repl, P(axis_name), repl, repl, repl, repl),
              out_specs=P(axis_name), check_vma=False)
     def sharded(scene, bvh, accum_block, sky_cube, frame, bvh2, sun_grid,
-                ray_bvh, raster_stack, raster_tri_table, alpha_bvh, proxy):
+                ray_bvh, raster_stack, raster_tri_table, alpha_bvh, proxy,
+                cut):
         row0 = jax.lax.axis_index(axis_name) * rows_per
         raster = None
         if raster_stack is not None:
@@ -73,15 +74,16 @@ def make_sharded_step(mesh: Mesh, settings, width: int, height: int,
                              width, rows_per, accum_block,
                              row_offset=row0, total_height=height, bvh2=bvh2,
                              sun_bvh=sun_grid, ray_bvh=ray_bvh,
-                             raster=raster, alpha_bvh=alpha_bvh, proxy=proxy)
+                             raster=raster, alpha_bvh=alpha_bvh, proxy=proxy,
+                             cut=cut)
 
     @jax.jit
     def step(scene, bvh, accum, sky_cube, frame, bvh2=None, sun_grid=None,
              ray_bvh=None, raster_stack=None, raster_tri_table=None,
-             alpha_bvh=None, proxy=None):
+             alpha_bvh=None, proxy=None, cut=None):
         return sharded(scene, bvh, accum, sky_cube, frame, bvh2, sun_grid,
                        ray_bvh, raster_stack, raster_tri_table, alpha_bvh,
-                       proxy)
+                       proxy, cut)
 
     return step
 

@@ -786,7 +786,7 @@ def _shade_vertex(scene, sky_cube, settings: AppSettings, frame: FrameConstants,
     return state, tuple(shadow_reqs), mid
 
 
-def _flush_shadow(bvh, shadow_reqs, plan, alpha_test, proxy=None):
+def _flush_shadow(bvh, shadow_reqs, plan, alpha_test, proxy=None, cut=None):
     """One any_hit per shadow request (the reference's separate TraceRay
     dispatches, RayTrace.hlsl:262,311,434).
 
@@ -806,22 +806,30 @@ def _flush_shadow(bvh, shadow_reqs, plan, alpha_test, proxy=None):
     gather-free dense pre-pass first — proxy-blocked lanes resolve to 0
     without entering the walk, shrinking its lockstep width at entry.
     Visibility is EXACTLY equal either way (a proxy hit is a real
-    occluder; alpha dispatches never see the proxy)."""
-    from ..accel.proxy import screened_any
+    occluder; alpha dispatches never see the proxy).
+
+    cut (accel/proxy.AABBCut, optional): the definitely-CLEAR counterpart —
+    lanes whose segment misses every covering box resolve to 1 with no
+    traversal (valid for alpha dispatches too: alpha triangles are inside
+    the covering boxes, so a cut miss is a miss of everything)."""
+    from ..accel.proxy import cut_clear, screened_any
     vis_out = []
     for r, (_kind, use_alpha) in zip(shadow_reqs, plan):
+        act = r[4]
+        if cut is not None:
+            act = act & ~cut_clear(cut, r[0], r[1], r[2], r[3], act)
         if use_alpha:
             rec = _punch_through_closest(partial(closest_hit, bvh),
                                          alpha_test, r[0], r[1], r[2], r[3],
-                                         r[4])
-            vis_out.append(jnp.where(r[4] & (rec.tri_id >= 0), 0.0, 1.0))
+                                         act)
+            vis_out.append(jnp.where(act & (rec.tri_id >= 0), 0.0, 1.0))
         elif proxy is not None:
             vis_out.append(screened_any(
                 lambda o_, d_, tn_, tx_, a_: any_hit(bvh, o_, d_, tn_, tx_,
                                                      a_),
-                proxy, r[0], r[1], r[2], r[3], r[4]))
+                proxy, r[0], r[1], r[2], r[3], act))
         else:
-            vis_out.append(any_hit(bvh, r[0], r[1], r[2], r[3], r[4]))
+            vis_out.append(any_hit(bvh, r[0], r[1], r[2], r[3], act))
     return vis_out
 
 
@@ -892,7 +900,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 t_min0=0.0, active0=None, sample_idx=None,
                 packet_coherent: bool = False, bvh2=None, sun_bvh=None,
                 ray_bvh=None, history=None, raster=None, alpha_bvh=None,
-                proxy=None):
+                proxy=None, cut=None):
     """Trace a wavefront of rays to completion; returns (N, 3) radiance.
 
     ray_o/ray_d/t_max describe the depth-1 rays (already jittered primaries for
@@ -955,6 +963,13 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
     if (proxy is None or not s.enable_dense_proxy
             or os.environ.get("DXRPT_NO_PROXY")):
         proxy = None
+    # AABB-cut clear screen (accel/proxy.py): the definitely-CLEAR
+    # counterpart of the proxy's definitely-blocked verdict — per-ray
+    # depth>=2 lanes that provably hit nothing skip the walk. A/B knob:
+    # DXRPT_NO_CUT=1.
+    if (cut is None or not s.enable_clear_cut
+            or os.environ.get("DXRPT_NO_CUT")):
+        cut = None
     use_packet = (packet_coherent and bool(s.enable_packet_traversal)
                   and n % 128 == 0)
     use_mxu = use_packet and bool(s.enable_mxu_traversal) and bvh2 is not None
@@ -1076,9 +1091,17 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                 proxy, state["ray_o"], state["ray_d"], state["t_min"],
                 state["t_max"], state["active"])
         else:
+            act = state["active"]
+            if cut is not None:
+                # Clear-cut screen: lanes that provably miss the scene skip
+                # the walk; inactive lanes already yield the identical miss
+                # record (t = t_max, tri_id = -1), so results are exact.
+                from ..accel.proxy import cut_clear
+                act = act & ~cut_clear(cut, state["ray_o"], state["ray_d"],
+                                       state["t_min"], state["t_max"], act)
             rec = closest_hit(
                 rbvh, state["ray_o"], state["ray_d"], state["t_min"],
-                state["t_max"], state["active"])
+                state["t_max"], act)
         state, reqs, mid = _shade_vertex(
             scene, sky_cube, s, frame, depth, flags, state, rec, pixel_idx,
             total_num_pixels, first_set_idx, cmj_sample_idx)
@@ -1188,7 +1211,7 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
         if rest:
             sub = _flush_shadow(rbvh, [reqs[i] for i in rest],
                                 [plan[i] for i in rest], alpha_test,
-                                proxy=proxy)
+                                proxy=proxy, cut=cut)
             for j, i in enumerate(rest):
                 vis_list[i] = sub[j]
         state = _apply_vertex(s, sky_cube, depth, flags, state, mid, vis_list)
@@ -1415,7 +1438,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
                   width: int, height: int, accum, row_offset=0,
                   total_height=None, bvh2=None, sun_bvh=None, ray_bvh=None,
                   accum_sample_idx=None, history=None, raster=None,
-                  alpha_bvh=None, proxy=None):
+                  alpha_bvh=None, proxy=None, cut=None):
     """One progressive sample: raygen + trace + running-mean accumulation
     (RaygenShader, RayTrace.hlsl:92-149). Returns the new accumulation image
     (height, width, 3) f32.
@@ -1459,7 +1482,8 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
             t_o, t_d, t_len, t_pix = args
             return trace_paths(scene, bvh, sky_cube, s, frame,
                                t_o, t_d, t_len, t_pix, n, first_set_idx=1,
-                               sun_bvh=sun_bvh, ray_bvh=ray_bvh, proxy=proxy)
+                               sun_bvh=sun_bvh, ray_bvh=ray_bvh, proxy=proxy,
+                               cut=cut)
 
         radiance = jax.lax.map(trace_tile, (
             ray_start.reshape(n_tiles, tile, 3),
@@ -1479,7 +1503,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
             _tile_order(pixel_idx, height, width, ty, tx),
             n, first_set_idx=1, packet_coherent=True, bvh2=bvh2,
             sun_bvh=sun_bvh, ray_bvh=ray_bvh, history=history,
-            alpha_bvh=alpha_bvh, proxy=proxy,
+            alpha_bvh=alpha_bvh, proxy=proxy, cut=cut,
             raster=raster if (raster is not None
                               and (raster.ty, raster.tx) == (ty, tx))
             else None)
@@ -1492,7 +1516,7 @@ def render_sample(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConst
         radiance = trace_paths(scene, bvh, sky_cube, s, frame,
                                ray_start, ray_dir, ray_len, pixel_idx, n,
                                first_set_idx=1, sun_bvh=sun_bvh,
-                               ray_bvh=ray_bvh, proxy=proxy)
+                               ray_bvh=ray_bvh, proxy=proxy, cut=cut)
     radiance = radiance.reshape(height, width, 3)
 
     acc_idx = (frame.curr_sample_idx if accum_sample_idx is None
