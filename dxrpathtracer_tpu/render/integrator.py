@@ -1125,12 +1125,17 @@ def trace_paths(scene, bvh, sky_cube, settings: AppSettings, frame: FrameConstan
                     # EVERY record (measured 3.0 s/frame vs punch-through's
                     # 1.4 s on SponzaAlpha 960x540).
                     continue
-                if depth == 1 and use_packet:
+                if (depth == 1 and use_packet
+                        and not os.environ.get("DXRPT_SUNGRID_D1")):
                     # depth-1 opaque sun rays: the packet traversal is
                     # faster (80 vs 115 ms at 960x540 — primary-tile
                     # coherence collapses its gathers 50x; the grid walk
                     # can't amortize across lanes). Depth >= 2 sun rays go
                     # to the grid: 119 vs 172 ms per-ray / 255 ms packet.
+                    # DXRPT_SUNGRID_D1=1 routes depth 1 to the grid too —
+                    # the Sponza-measured tradeoff flips on scenes whose
+                    # packet sun walks run long (SunTemple-class A/B,
+                    # PERF_NOTES r5 s3).
                     continue
                 r = reqs[i]
                 vis_list[i] = sun_any_hit(

@@ -9,7 +9,8 @@ non-traversal remainder: traversal costs are known from tools/perf_probe.py
 and PERF_NOTES.md; whatever the sweep can't attribute is shading/raygen/
 accumulation/compaction.
 
-Usage: python tools/frame_decompose.py [WIDTH HEIGHT]
+Usage: python tools/frame_decompose.py [WIDTH HEIGHT [SCENE]]
+(SCENE defaults to Sponza; any Scenes enum name works, e.g. SunTemple.)
 """
 
 import dataclasses
@@ -25,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
     height = int(sys.argv[2]) if len(sys.argv) > 2 else 1080
+    scene_name = sys.argv[3] if len(sys.argv) > 3 else "Sponza"
 
     import jax
     from dxrpathtracer_tpu.app.session import RenderSession
@@ -53,7 +55,7 @@ def main():
         ("L3", dict(max_path_length=3)),
         ("L3 sun off", dict(max_path_length=3, enable_sun=False)),
     ]:
-        settings = AppSettings(current_scene=Scenes.Sponza,
+        settings = AppSettings(current_scene=Scenes[scene_name],
                                sqrt_num_samples=100, **kw)
         t0 = time.time()
         sess = RenderSession(settings=settings, width=width, height=height)
